@@ -1,0 +1,72 @@
+"""End-to-end all-intra encode/decode tests (self round-trip + HM decoder)."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from video_codecs_tpu.models.hevc import headers, intra_codec
+from video_codecs_tpu.utils import yuv
+
+HM_DECODER = "/root/repo/.refbuild/hm-16.5rc1/bin/TAppDecoderStatic"
+RNG = np.random.default_rng(7)
+
+
+def synth_frame(w, h, seed=0):
+    rng = np.random.default_rng(seed)
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    y = ((xx * 2 + yy) % 256).astype(np.uint8)
+    y = np.clip(y + rng.integers(-20, 20, (h, w)), 0, 255).astype(np.uint8)
+    u = np.clip(128 + (xx[::2, ::2] % 32) + rng.integers(-5, 5, (h // 2, w // 2)),
+                0, 255).astype(np.uint8)
+    v = np.clip(96 + (yy[::2, ::2] % 64) + rng.integers(-5, 5, (h // 2, w // 2)),
+                0, 255).astype(np.uint8)
+    return y, u, v
+
+
+@pytest.mark.parametrize("qp", [22, 32, 45])
+def test_encode_decode_roundtrip(qp):
+    w, h = 64, 48
+    cfg = headers.HevcConfig(width=w, height=h, qp=qp)
+    enc = intra_codec.IntraEncoder(cfg)
+    frames = [synth_frame(w, h, s) for s in range(2)]
+    stream, recons = enc.encode_sequence(frames)
+
+    dec = intra_codec.IntraDecoder()
+    out = dec.decode(stream)
+    assert len(out) == 2
+    assert dec.hash_status == [True, True]
+    for (ry, ru, rv), (dy, du, dv) in zip(recons, out):
+        np.testing.assert_array_equal(ry, dy)
+        np.testing.assert_array_equal(ru, du)
+        np.testing.assert_array_equal(rv, dv)
+    # Quality sanity: recon should be closer to source at lower QP.
+    p = yuv.psnr(np.stack([r[0] for r in recons]),
+                 np.stack([f[0] for f in frames]))
+    assert p > {22: 36, 32: 28, 45: 20}[qp], p
+
+
+@pytest.mark.skipif(not os.path.exists(HM_DECODER),
+                    reason="HM reference decoder not built")
+def test_hm_decoder_conformance(tmp_path):
+    """Our stream must decode in HM's TAppDecoder with hash-SEI OK and the
+    reconstruction must match ours bit-exactly."""
+    w, h = 64, 48
+    cfg = headers.HevcConfig(width=w, height=h, qp=32)
+    enc = intra_codec.IntraEncoder(cfg)
+    frames = [synth_frame(w, h, s) for s in range(2)]
+    stream, recons = enc.encode_sequence(frames)
+
+    bin_path = tmp_path / "out.bin"
+    rec_path = tmp_path / "rec.yuv"
+    bin_path.write_bytes(stream)
+    r = subprocess.run([HM_DECODER, "-b", str(bin_path), "-o", str(rec_path)],
+                       capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "OK" in r.stdout and "ERROR" not in r.stdout, r.stdout
+    ry, ru, rv = yuv.read_frames(str(rec_path), w, h)
+    for i, (ey, eu, ev) in enumerate(recons):
+        np.testing.assert_array_equal(ry[i], ey.astype(np.uint8))
+        np.testing.assert_array_equal(ru[i], eu.astype(np.uint8))
+        np.testing.assert_array_equal(rv[i], ev.astype(np.uint8))

@@ -163,10 +163,15 @@ class CabacEncoder:
         self.bw.write(((self.low >> 7) & 3) | 1, 2)
 
     def finish_slice(self) -> None:
-        """Called after encode_terminate(1): write rbsp trailing."""
-        if not self.bw.byte_aligned():
-            # rbsp_slice_segment_trailing_bits: stop-one bit + alignment.
-            self.bw.rbsp_trailing_bits()
+        """Byte-align after encode_terminate(1).
+
+        The final '1' bit emitted by the flush (spec 9.3.4.3.5) IS the
+        rbsp_stop_one_bit, so only zero padding follows (HM
+        TDecBinCABAC::finish asserts exactly this pattern).
+        """
+        nbits = self.bw.num_bits() & 7
+        if nbits:
+            self.bw.write(0, 8 - nbits)
 
 
 class CabacDecoder:

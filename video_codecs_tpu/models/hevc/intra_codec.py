@@ -1,0 +1,399 @@
+"""HEVC all-intra Main encoder + decoder (Milestone A build).
+
+Fixed toolset: 4:2:0 8-bit, CTB = CU = 16x16 (2Nx2N intra), TU 16x16 luma /
+8x8 chroma, DM chroma mode, deblock/SAO/SBH/transform-skip off, one I slice
+per picture, IDR-only stream.  Conformant HEVC Main: streams decode in HM's
+TAppDecoder with matching decoded-picture-hash SEI.
+
+Parity references: call stack SURVEY.md §3.1-3.2; HM TEncGOP/TEncSlice/
+TEncCu (mode decision collapsed to a batched 35-mode SATD sweep per
+SURVEY.md §7.1 "batched candidate evaluation"), TDecCu (xReconIntraQT).
+
+Architecture: the encoder is two parallel device passes + a serial host
+tail: (1) batched mode sweep over all blocks x 35 modes (original-neighbor
+references — standard fast-encoder practice; quality-only deviation from
+HM's recon-neighbor RDO), (2) raster recon producing levels + recon planes
+(host numpy reference here; wavefront JAX path in encoder_jax), (3) CABAC
+serialization.  The decoder parses on host and shares recon helpers, which
+makes encoder recon == decoder recon by construction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import math
+
+import numpy as np
+
+from video_codecs_tpu.entropy import bitstream as bs
+from video_codecs_tpu.entropy import cabac, ctx, residual
+from video_codecs_tpu.models.hevc import headers
+from video_codecs_tpu.ops import intra as intra_ops
+from video_codecs_tpu.ops import quant as quant_ops
+from video_codecs_tpu.ops import transform as tr_ops
+from video_codecs_tpu.utils import rom
+
+DC = 1
+
+
+# ---------------------------------------------------------------------------
+# Shared helpers (encoder recon == decoder recon)
+# ---------------------------------------------------------------------------
+
+def build_ref_np(plane: np.ndarray, x: int, y: int, n: int) -> np.ndarray:
+    """Substituted reference array (4N+1) for block at (x, y) from a
+    partially reconstructed plane, raster decode order availability."""
+    h, w = plane.shape
+    r = 4 * n + 1
+    samples = np.zeros(r, np.int32)
+    avail = np.zeros(r, bool)
+    # left column k=0..2N-1: p[-1][2N-1-k]
+    if x > 0:
+        for k in range(n, 2 * n):          # j = 2N-1-k in [0, N): left part
+            j = 2 * n - 1 - k
+            samples[k] = plane[y + j, x - 1]
+            avail[k] = True
+        # below-left j in [N, 2N): never decoded yet in raster block order
+    if x > 0 and y > 0:
+        samples[2 * n] = plane[y - 1, x - 1]
+        avail[2 * n] = True
+    if y > 0:
+        top_max = min(2 * n, w - x)        # top-right clipped at picture edge
+        for i in range(top_max):
+            samples[2 * n + 1 + i] = plane[y - 1, x + i]
+            avail[2 * n + 1 + i] = True
+    # spec 8.4.4.2.2 substitution
+    if not avail.any():
+        return np.full(r, 128, np.int32)
+    out = samples.copy()
+    if not avail[0]:
+        out[0] = samples[np.argmax(avail)]
+    for k in range(1, r):
+        if not avail[k]:
+            out[k] = out[k - 1]
+    return out
+
+
+def mpm_list(left_mode: int) -> list[int]:
+    """MPM candidates; above candidate is always DC because every CU is a
+    CTB top row (spec 8.4.2 line-buffer rule)."""
+    cand_a, cand_b = left_mode, DC
+    if cand_a == cand_b:
+        if cand_a < 2:
+            return [0, 1, 26]
+        return [cand_a, 2 + ((cand_a + 29) % 32), 2 + ((cand_a - 2 + 1) % 32)]
+    out = [cand_a, cand_b]
+    for third in (0, 1, 26):
+        if third not in out:
+            out.append(third)
+            break
+    return out
+
+
+def chroma_qp(qp: int) -> int:
+    return int(rom.CHROMA_QP_TABLE_420[max(0, min(57, qp))])
+
+
+def code_tb_np(orig: np.ndarray, pred: np.ndarray, qp: int, log2: int,
+               dst: bool) -> tuple[np.ndarray, np.ndarray]:
+    """Transform+quant one TB; returns (levels, recon)."""
+    res = orig.astype(np.int32) - pred
+    coeff = tr_ops.forward_transform_np(res, log2, dst=dst)
+    levels = quant_ops.quantize_np(coeff, qp, log2)
+    if not levels.any():
+        return levels, pred.astype(np.int32)
+    dq = quant_ops.dequantize_np(levels, qp, log2)
+    r = tr_ops.inverse_transform_np(dq, log2, dst=dst)
+    return levels, np.clip(pred + r, 0, 255).astype(np.int32)
+
+
+@dataclasses.dataclass
+class CtuData:
+    mode: int
+    levels_y: np.ndarray | None
+    levels_cb: np.ndarray | None
+    levels_cr: np.ndarray | None
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+class IntraEncoder:
+    def __init__(self, cfg: headers.HevcConfig) -> None:
+        assert cfg.width % 16 == 0 and cfg.height % 16 == 0, \
+            "pad input or use conformance window (not yet emitted)"
+        self.cfg = cfg
+        self._wrote_headers = False
+
+    def stream_headers(self) -> list[bytes]:
+        return [
+            bs.nal_unit(bs.NAL_VPS, headers.write_vps(self.cfg)),
+            bs.nal_unit(bs.NAL_SPS, headers.write_sps(self.cfg)),
+            bs.nal_unit(bs.NAL_PPS, headers.write_pps(self.cfg)),
+        ]
+
+    def decide_modes(self, y: np.ndarray) -> np.ndarray:
+        """Batched 35-mode SATD sweep from original neighbors + sequential
+        MPM-aware bit cost (SURVEY.md §7.1)."""
+        import jax.numpy as jnp
+
+        from video_codecs_tpu.ops import cost as cost_ops
+
+        cfg = self.cfg
+        bw, bh = cfg.width // 16, cfg.height // 16
+        nb = bw * bh
+        refs = np.zeros((nb, 65), np.int32)
+        origs = np.zeros((nb, 16, 16), np.int32)
+        yv = y.astype(np.int32)
+        for by in range(bh):
+            for bx in range(bw):
+                i = by * bw + bx
+                refs[i] = build_ref_np(yv, bx * 16, by * 16, 16)
+                origs[i] = yv[by * 16:(by + 1) * 16, bx * 16:(bx + 1) * 16]
+        modes = np.broadcast_to(np.arange(35, dtype=np.int32), (nb, 35))
+        preds = intra_ops.predict_intra(jnp.asarray(refs), jnp.asarray(modes), 4)
+        satd = np.asarray(cost_ops.hadamard_satd_8x8(
+            jnp.asarray(origs)[:, None], preds))  # [nb, 35]
+
+        sqrt_lambda = math.sqrt(0.57 * 2.0 ** ((cfg.qp - 12) / 3.0))
+        best = np.zeros(nb, np.int32)
+        for by in range(bh):
+            for bx in range(bw):
+                i = by * bw + bx
+                left = int(best[i - 1]) if bx > 0 else DC
+                mpm = mpm_list(left)
+                bits = np.full(35, 5.0 + 1.0)
+                bits[mpm[0]] = 2.0
+                bits[mpm[1]] = 3.0
+                bits[mpm[2]] = 3.0
+                cost = satd[i] + np.round(sqrt_lambda * bits)
+                best[i] = int(np.argmin(cost))
+        return best.reshape(bh, bw)
+
+    def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                     modes: np.ndarray | None = None):
+        """Encode one frame; returns (list of NALs, recon (y, u, v))."""
+        cfg = self.cfg
+        bw, bh = cfg.width // 16, cfg.height // 16
+        if modes is None:
+            modes = self.decide_modes(y)
+        qp_c = chroma_qp(cfg.qp)
+
+        rec_y = np.zeros((cfg.height, cfg.width), np.int32)
+        rec_u = np.zeros((cfg.height // 2, cfg.width // 2), np.int32)
+        rec_v = np.zeros_like(rec_u)
+        yv, uv, vv = (p.astype(np.int32) for p in (y, u, v))
+
+        ctus: list[CtuData] = []
+        for by in range(bh):
+            for bx in range(bw):
+                mode = int(modes[by, bx])
+                x, yy = bx * 16, by * 16
+                ref = build_ref_np(rec_y, x, yy, 16)
+                pred = intra_ops.predict_intra_np(ref, mode, 4)
+                lv, rec = code_tb_np(yv[yy:yy + 16, x:x + 16], pred, cfg.qp, 4,
+                                     dst=False)
+                rec_y[yy:yy + 16, x:x + 16] = rec
+                cx, cy = x // 2, yy // 2
+                out_c = []
+                for plane_o, plane_r in ((uv, rec_u), (vv, rec_v)):
+                    refc = build_ref_np(plane_r, cx, cy, 8)
+                    predc = intra_ops.predict_intra_np(refc, mode, 3,
+                                                       is_luma=False)
+                    lvc, recc = code_tb_np(plane_o[cy:cy + 8, cx:cx + 8],
+                                           predc, qp_c, 3, dst=False)
+                    plane_r[cy:cy + 8, cx:cx + 8] = recc
+                    out_c.append(lvc)
+                ctus.append(CtuData(
+                    mode=mode,
+                    levels_y=lv if lv.any() else None,
+                    levels_cb=out_c[0] if out_c[0].any() else None,
+                    levels_cr=out_c[1] if out_c[1].any() else None))
+
+        slice_nal = self._encode_slice(ctus)
+        sei_nal = self._hash_sei(rec_y, rec_u, rec_v)
+        return [slice_nal, sei_nal], (rec_y, rec_u, rec_v)
+
+    def _encode_slice(self, ctus: list[CtuData]) -> bytes:
+        cfg = self.cfg
+        bw = cfg.width // 16
+        w = headers.write_slice_header(cfg, bs.NAL_IDR_W_RADL)
+        states = ctx.init_states(ctx.I, cfg.qp)
+        enc = cabac.CabacEncoder(w, states)
+        for i, ctu in enumerate(ctus):
+            left_mode = ctus[i - 1].mode if i % bw else DC
+            self._encode_ctu(enc, ctu, left_mode)
+            enc.encode_terminate(1 if i == len(ctus) - 1 else 0)
+        enc.finish_slice()
+        return bs.nal_unit(bs.NAL_IDR_W_RADL, w.data())
+
+    def _encode_ctu(self, enc: cabac.CabacEncoder, ctu: CtuData,
+                    left_mode: int) -> None:
+        enc.encode_bin(ctx.off("part_size"), 1)  # PART_2Nx2N
+        mpm = mpm_list(left_mode)
+        mode = ctu.mode
+        if mode in mpm:
+            enc.encode_bin(ctx.off("prev_intra_luma_pred"), 1)
+            idx = mpm.index(mode)
+            enc.encode_bypass(0 if idx == 0 else 1)
+            if idx:
+                enc.encode_bypass(idx - 1)
+        else:
+            enc.encode_bin(ctx.off("prev_intra_luma_pred"), 0)
+            rem = mode
+            for c in sorted(mpm, reverse=True):
+                if mode > c:
+                    rem -= 1
+            enc.encode_bypass_bins(rem, 5)
+        enc.encode_bin(ctx.off("chroma_pred_mode"), 0)  # DM
+        enc.encode_bin(ctx.off("cbf_chroma"), 0 if ctu.levels_cb is None else 1)
+        enc.encode_bin(ctx.off("cbf_chroma"), 0 if ctu.levels_cr is None else 1)
+        enc.encode_bin(ctx.off("cbf_luma", 1), 0 if ctu.levels_y is None else 1)
+        if ctu.levels_y is not None:
+            residual.encode_residual(enc, ctu.levels_y, 4, rom.SCAN_DIAG, True)
+        if ctu.levels_cb is not None:
+            residual.encode_residual(enc, ctu.levels_cb, 3, rom.SCAN_DIAG, False)
+        if ctu.levels_cr is not None:
+            residual.encode_residual(enc, ctu.levels_cr, 3, rom.SCAN_DIAG, False)
+
+    def _hash_sei(self, rec_y, rec_u, rec_v) -> bytes:
+        w = bs.BitWriter()
+        w.write(132, 8)           # payloadType = decoded_picture_hash
+        w.write(1 + 48, 8)        # payloadSize
+        w.write(0, 8)             # hash_type = MD5
+        for plane in (rec_y, rec_u, rec_v):
+            md5 = hashlib.md5(plane.astype(np.uint8).tobytes()).digest()
+            for b in md5:
+                w.write(b, 8)
+        w.rbsp_trailing_bits()
+        return bs.nal_unit(bs.NAL_SUFFIX_SEI, w.data())
+
+    def encode_sequence(self, frames) -> tuple[bytes, list]:
+        """frames: iterable of (y, u, v); returns (annexb stream, recons)."""
+        nals = self.stream_headers()
+        recons = []
+        for (y, u, v) in frames:
+            frame_nals, rec = self.encode_frame(y, u, v)
+            nals.extend(frame_nals)
+            recons.append(rec)
+        return bs.annexb(nals), recons
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+class IntraDecoder:
+    def __init__(self) -> None:
+        self.cfg: headers.HevcConfig | None = None
+        self.pps: headers.PpsInfo | None = None
+        self.hash_status: list[bool] = []
+
+    def decode(self, stream: bytes) -> list[tuple[np.ndarray, ...]]:
+        frames = []
+        pending_hash: list[bytes] | None = None
+        for nal in bs.split_annexb(stream):
+            nal_type = (nal[0] >> 1) & 0x3F
+            rbsp = bs.strip_emulation_prevention(nal[2:])
+            if nal_type == bs.NAL_VPS:
+                continue
+            if nal_type == bs.NAL_SPS:
+                self.cfg = headers.parse_sps(rbsp)
+            elif nal_type == bs.NAL_PPS:
+                self.pps = headers.parse_pps(rbsp)
+            elif nal_type in (bs.NAL_IDR_W_RADL, bs.NAL_IDR_N_LP, bs.NAL_CRA):
+                frames.append(self._decode_slice(rbsp, nal_type))
+            elif nal_type == bs.NAL_SUFFIX_SEI:
+                md5s = self._parse_hash_sei(rbsp)
+                if md5s and frames:
+                    ok = all(
+                        hashlib.md5(frames[-1][i].astype(np.uint8).tobytes())
+                        .digest() == md5s[i] for i in range(3))
+                    self.hash_status.append(ok)
+        return frames
+
+    def _decode_slice(self, rbsp: bytes, nal_type: int):
+        cfg, pps = self.cfg, self.pps
+        info = headers.parse_slice_header(rbsp, nal_type, pps)
+        qp = info.qp
+        qp_c = chroma_qp(qp)
+        bw, bh = cfg.width // 16, cfg.height // 16
+
+        # CABAC payload starts at the (byte-aligned) slice data offset.
+        data = rbsp[info.data_offset_bits // 8:]
+        states = ctx.init_states(ctx.I, qp)
+        dec = cabac.CabacDecoder(bs.BitReader(data), states)
+
+        rec_y = np.zeros((cfg.height, cfg.width), np.int32)
+        rec_u = np.zeros((cfg.height // 2, cfg.width // 2), np.int32)
+        rec_v = np.zeros_like(rec_u)
+        left_modes = np.full(bh, DC, np.int32)
+
+        for by in range(bh):
+            left_mode = DC
+            for bx in range(bw):
+                mode, lv_y, lv_cb, lv_cr = self._decode_ctu(dec, left_mode)
+                left_mode = mode
+                x, yy = bx * 16, by * 16
+                ref = build_ref_np(rec_y, x, yy, 16)
+                pred = intra_ops.predict_intra_np(ref, mode, 4)
+                if lv_y is not None:
+                    dq = quant_ops.dequantize_np(lv_y, qp, 4)
+                    r = tr_ops.inverse_transform_np(dq, 4)
+                    rec = np.clip(pred + r, 0, 255)
+                else:
+                    rec = pred
+                rec_y[yy:yy + 16, x:x + 16] = rec
+                cx, cy = x // 2, yy // 2
+                for lv_c, plane in ((lv_cb, rec_u), (lv_cr, rec_v)):
+                    refc = build_ref_np(plane, cx, cy, 8)
+                    predc = intra_ops.predict_intra_np(refc, mode, 3,
+                                                       is_luma=False)
+                    if lv_c is not None:
+                        dq = quant_ops.dequantize_np(lv_c, qp_c, 3)
+                        r = tr_ops.inverse_transform_np(dq, 3)
+                        recc = np.clip(predc + r, 0, 255)
+                    else:
+                        recc = predc
+                    plane[cy:cy + 8, cx:cx + 8] = recc
+                end = dec.decode_terminate()
+                is_last = (by == bh - 1 and bx == bw - 1)
+                assert end == (1 if is_last else 0), \
+                    f"end_of_slice mismatch at CTU ({bx},{by})"
+        _ = left_modes
+        return rec_y, rec_u, rec_v
+
+    def _decode_ctu(self, dec: cabac.CabacDecoder, left_mode: int):
+        part = dec.decode_bin(ctx.off("part_size"))
+        assert part == 1, "NxN partition not supported in this build"
+        mpm = mpm_list(left_mode)
+        if dec.decode_bin(ctx.off("prev_intra_luma_pred")):
+            idx = 0 if dec.decode_bypass() == 0 else 1 + dec.decode_bypass()
+            mode = mpm[idx]
+        else:
+            rem = dec.decode_bypass_bins(5)
+            for c in sorted(mpm):
+                if rem >= c:
+                    rem += 1
+            mode = rem
+        cm = dec.decode_bin(ctx.off("chroma_pred_mode"))
+        assert cm == 0, "non-DM chroma mode not supported"
+        cbf_cb = dec.decode_bin(ctx.off("cbf_chroma"))
+        cbf_cr = dec.decode_bin(ctx.off("cbf_chroma"))
+        cbf_y = dec.decode_bin(ctx.off("cbf_luma", 1))
+        lv_y = residual.decode_residual(dec, 4, rom.SCAN_DIAG, True) if cbf_y else None
+        lv_cb = residual.decode_residual(dec, 3, rom.SCAN_DIAG, False) if cbf_cb else None
+        lv_cr = residual.decode_residual(dec, 3, rom.SCAN_DIAG, False) if cbf_cr else None
+        return mode, lv_y, lv_cb, lv_cr
+
+    @staticmethod
+    def _parse_hash_sei(rbsp: bytes) -> list[bytes] | None:
+        r = bs.BitReader(rbsp)
+        ptype = r.read(8)
+        psize = r.read(8)
+        if ptype != 132:
+            return None
+        assert r.read(8) == 0 and psize == 49
+        return [bytes(r.read(8) for _ in range(16)) for _ in range(3)]

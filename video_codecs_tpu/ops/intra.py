@@ -214,6 +214,40 @@ def predict_intra(ref: jnp.ndarray, modes: jnp.ndarray, log2_size: int, *,
     return jnp.clip(pred, 0, maxval).astype(jnp.int32)
 
 
+def predict_intra_np(ref: np.ndarray, mode: int, log2_size: int, *,
+                     is_luma: bool = True, bit_depth: int = 8) -> np.ndarray:
+    """Host twin: predict ONE block/mode with the same static weights.
+
+    Used by the sequential host reference encoder/decoder paths where a
+    per-block numpy matvec beats a device dispatch.
+    """
+    n = 1 << log2_size
+    maxval = (1 << bit_depth) - 1
+    w, bias, s_common = _mode_weights(log2_size, is_luma)
+    w = np.asarray(w[mode])              # [N*N, 2R]
+    ref = np.asarray(ref, np.int64)
+    mid = (ref[:-2] + 2 * ref[1:-1] + ref[2:] + 2) >> 2
+    ref_f = np.concatenate([ref[:1], mid, ref[-1:]])
+    ref2 = np.concatenate([ref, ref_f])
+    pred = ((w.astype(np.int64) @ ref2 + int(bias[mode])) >> s_common)
+    pred = pred.reshape(n, n)
+
+    if is_luma and log2_size <= 4:
+        corner = int(ref[2 * n])
+        left = ref[2 * n - 1:n - 1:-1]
+        top = ref[2 * n + 1:3 * n + 1]
+        if mode == DC:
+            dc = int((top.sum() + left.sum() + n) >> (log2_size + 1))
+            pred[0, 1:] = (top[1:] + 3 * dc + 2) >> 2
+            pred[1:, 0] = (left[1:] + 3 * dc + 2) >> 2
+            pred[0, 0] = (left[0] + 2 * dc + top[0] + 2) >> 2
+        elif mode == 26:
+            pred[:, 0] = np.clip(top[0] + ((left - corner) >> 1), 0, maxval)
+        elif mode == 10:
+            pred[0, :] = np.clip(left[0] + ((top - corner) >> 1), 0, maxval)
+    return np.clip(pred, 0, maxval).astype(np.int32)
+
+
 def use_filtered_ref(modes: jnp.ndarray, log2_size: int, is_luma: bool) -> jnp.ndarray:
     """Spec 8.4.4.2.3 filterFlag per mode (bool, broadcast over modes)."""
     if not is_luma or log2_size == 2:
