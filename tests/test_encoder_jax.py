@@ -1,0 +1,28 @@
+"""Device (wavefront) encoder path must match the host reference bit-exactly."""
+
+import numpy as np
+
+from test_intra_codec import synth_frame
+from video_codecs_tpu.models.hevc import headers, intra_codec
+
+
+def test_fast_path_matches_host_path():
+    w, h = 64, 48
+    cfg = headers.HevcConfig(width=w, height=h, qp=32)
+    frames = [synth_frame(w, h, s) for s in range(2)]
+
+    enc_a = intra_codec.IntraEncoder(cfg)
+    stream_a, rec_a = enc_a.encode_sequence(frames)
+    enc_b = intra_codec.IntraEncoder(cfg)
+    stream_b, rec_b = enc_b.encode_sequence(frames, fast=True)
+
+    for (ay, au, av), (by_, bu, bv) in zip(rec_a, rec_b):
+        np.testing.assert_array_equal(ay, by_)
+        np.testing.assert_array_equal(au, bu)
+        np.testing.assert_array_equal(av, bv)
+    assert stream_a == stream_b
+
+    dec = intra_codec.IntraDecoder()
+    out = dec.decode(stream_b)
+    assert dec.hash_status == [True, True]
+    np.testing.assert_array_equal(out[0][0], rec_b[0][0])

@@ -270,12 +270,38 @@ class IntraEncoder:
         w.rbsp_trailing_bits()
         return bs.nal_unit(bs.NAL_SUFFIX_SEI, w.data())
 
-    def encode_sequence(self, frames) -> tuple[bytes, list]:
+    def encode_frame_fast(self, y: np.ndarray, u: np.ndarray, v: np.ndarray):
+        """Device path: jitted mode decision + wavefront recon, host CABAC."""
+        from video_codecs_tpu.models.hevc import encoder_jax
+
+        cfg = self.cfg
+        bw, bh = cfg.width // 16, cfg.height // 16
+        st = encoder_jax.encode_frame_jit(y, u, v, cfg.qp, bw, bh)
+        modes = np.asarray(st["modes"]).reshape(-1)
+        lv_y = np.asarray(st["levels_y"])
+        lv_cb = np.asarray(st["levels_cb"])
+        lv_cr = np.asarray(st["levels_cr"])
+        cbf = np.asarray(st["cbf"])
+        ctus = [CtuData(mode=int(modes[i]),
+                        levels_y=lv_y[i] if cbf[0, i] else None,
+                        levels_cb=lv_cb[i] if cbf[1, i] else None,
+                        levels_cr=lv_cr[i] if cbf[2, i] else None)
+                for i in range(bw * bh)]
+        rec = (np.asarray(st["rec_y"]), np.asarray(st["rec_u"]),
+               np.asarray(st["rec_v"]))
+        slice_nal = self._encode_slice(ctus)
+        sei_nal = self._hash_sei(*rec)
+        return [slice_nal, sei_nal], rec
+
+    def encode_sequence(self, frames, fast: bool = False) -> tuple[bytes, list]:
         """frames: iterable of (y, u, v); returns (annexb stream, recons)."""
         nals = self.stream_headers()
         recons = []
         for (y, u, v) in frames:
-            frame_nals, rec = self.encode_frame(y, u, v)
+            if fast:
+                frame_nals, rec = self.encode_frame_fast(y, u, v)
+            else:
+                frame_nals, rec = self.encode_frame(y, u, v)
             nals.extend(frame_nals)
             recons.append(rec)
         return bs.annexb(nals), recons

@@ -151,7 +151,7 @@ def _mode_weights(log2_size: int, is_luma: bool):
                         put(p, ext_lin(k0 + 1), fact, scale)
                     else:
                         put(p, ext_lin(k0), 32, scale)
-    return jnp.asarray(w), jnp.asarray(bias), s_common
+    return w, bias.astype(np.int32), s_common  # numpy: safe across traces
 
 
 def predict_intra(ref: jnp.ndarray, modes: jnp.ndarray, log2_size: int, *,
@@ -169,9 +169,9 @@ def predict_intra(ref: jnp.ndarray, modes: jnp.ndarray, log2_size: int, *,
     ref_f = smooth_reference(ref)
     ref2 = jnp.concatenate([ref, ref_f], axis=-1).astype(jnp.float32)
     # All 35 modes at once: [B, 2R] x [35, N*N, 2R] -> [B, 35, N*N].
-    acc = jnp.einsum("br,mpr->bmp", ref2, w,
+    acc = jnp.einsum("br,mpr->bmp", ref2, jnp.asarray(w),
                      preferred_element_type=jnp.float32)
-    pred_all = (acc.astype(jnp.int32) + bias[None, :, None]) >> s_common
+    pred_all = (acc.astype(jnp.int32) + jnp.asarray(bias)[None, :, None]) >> s_common
 
     # Gather requested modes: [B, M, N*N].
     pred = jnp.take_along_axis(pred_all, modes[..., None], axis=1)
@@ -224,7 +224,7 @@ def predict_intra_np(ref: np.ndarray, mode: int, log2_size: int, *,
     n = 1 << log2_size
     maxval = (1 << bit_depth) - 1
     w, bias, s_common = _mode_weights(log2_size, is_luma)
-    w = np.asarray(w[mode])              # [N*N, 2R]
+    w = w[mode]                          # [N*N, 2R]
     ref = np.asarray(ref, np.int64)
     mid = (ref[:-2] + 2 * ref[1:-1] + ref[2:] + 2) >> 2
     ref_f = np.concatenate([ref[:1], mid, ref[-1:]])

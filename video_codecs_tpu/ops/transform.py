@@ -31,7 +31,7 @@ def _matrices(log2_size: int, dst: bool):
         t = rom.DST4
     else:
         t = rom.dct_matrix(1 << log2_size)
-    return jnp.asarray(t, jnp.int32), jnp.asarray(t.T.copy(), jnp.int32)
+    return t.astype(np.int32), np.ascontiguousarray(t.T, dtype=np.int32)
 
 
 def _stage(t: jnp.ndarray, blocks: jnp.ndarray, shift: int) -> jnp.ndarray:
