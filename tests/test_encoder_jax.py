@@ -26,3 +26,16 @@ def test_fast_path_matches_host_path():
     out = dec.decode(stream_b)
     assert dec.hash_status == [True, True]
     np.testing.assert_array_equal(out[0][0], rec_b[0][0])
+
+
+def test_native_cabac_matches_python():
+    from video_codecs_tpu.entropy import native
+    assert native.available(), "native CABAC library failed to build"
+    w, h = 64, 48
+    cfg = headers.HevcConfig(width=w, height=h, qp=27)
+    frames = [synth_frame(w, h, s) for s in range(2)]
+    enc = intra_codec.IntraEncoder(cfg)
+    for (y, u, v) in frames:
+        nals_nat, _ = enc.encode_frame_fast(y, u, v, use_native=True)
+        nals_py, _ = enc.encode_frame_fast(y, u, v, use_native=False)
+        assert nals_nat[0] == nals_py[0], "native slice != python slice"

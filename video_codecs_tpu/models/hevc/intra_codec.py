@@ -270,40 +270,76 @@ class IntraEncoder:
         w.rbsp_trailing_bits()
         return bs.nal_unit(bs.NAL_SUFFIX_SEI, w.data())
 
-    def encode_frame_fast(self, y: np.ndarray, u: np.ndarray, v: np.ndarray):
-        """Device path: jitted mode decision + wavefront recon, host CABAC."""
+    def encode_frame_fast(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                          use_native: bool = True):
+        """Device path: jitted mode decision + wavefront recon; native C++
+        CABAC serializer when available (byte-identical to the Python one)."""
+        from video_codecs_tpu.entropy import native
         from video_codecs_tpu.models.hevc import encoder_jax
 
         cfg = self.cfg
         bw, bh = cfg.width // 16, cfg.height // 16
         st = encoder_jax.encode_frame_jit(y, u, v, cfg.qp, bw, bh)
-        modes = np.asarray(st["modes"]).reshape(-1)
-        lv_y = np.asarray(st["levels_y"])
-        lv_cb = np.asarray(st["levels_cb"])
-        lv_cr = np.asarray(st["levels_cr"])
-        cbf = np.asarray(st["cbf"])
-        ctus = [CtuData(mode=int(modes[i]),
-                        levels_y=lv_y[i] if cbf[0, i] else None,
-                        levels_cb=lv_cb[i] if cbf[1, i] else None,
-                        levels_cr=lv_cr[i] if cbf[2, i] else None)
-                for i in range(bw * bh)]
-        rec = (np.asarray(st["rec_y"]), np.asarray(st["rec_u"]),
-               np.asarray(st["rec_v"]))
-        slice_nal = self._encode_slice(ctus)
+        return self.serialize_frame(st, use_native=use_native)
+
+    def serialize_frame(self, st, use_native: bool = True):
+        """Host tail: fetch device outputs once, CABAC-serialize, hash."""
+        import jax
+
+        from video_codecs_tpu.entropy import native
+
+        cfg = self.cfg
+        bw, bh = cfg.width // 16, cfg.height // 16
+        st = jax.device_get(st)
+        modes = st["modes"].reshape(-1)
+        lv_y, lv_cb, lv_cr = st["levels_y"], st["levels_cb"], st["levels_cr"]
+        cbf = st["cbf"]
+        rec = (st["rec_y"], st["rec_u"], st["rec_v"])
+
+        slice_nal = None
+        if use_native and native.available():
+            header = headers.write_slice_header(cfg, bs.NAL_IDR_W_RADL).data()
+            payload = native.encode_slice_native(
+                bw, bh, cfg.qp, modes, cbf, lv_y, lv_cb, lv_cr, header,
+                ctx.init_states(ctx.I, cfg.qp))
+            if payload is not None:
+                h0 = bs.NAL_IDR_W_RADL << 1
+                slice_nal = bytes([h0, 1]) + payload
+        if slice_nal is None:
+            ctus = [CtuData(mode=int(modes[i]),
+                            levels_y=lv_y[i] if cbf[0, i] else None,
+                            levels_cb=lv_cb[i] if cbf[1, i] else None,
+                            levels_cr=lv_cr[i] if cbf[2, i] else None)
+                    for i in range(bw * bh)]
+            slice_nal = self._encode_slice(ctus)
         sei_nal = self._hash_sei(*rec)
         return [slice_nal, sei_nal], rec
 
     def encode_sequence(self, frames, fast: bool = False) -> tuple[bytes, list]:
-        """frames: iterable of (y, u, v); returns (annexb stream, recons)."""
+        """frames: iterable of (y, u, v); returns (annexb stream, recons).
+
+        Fast path pipelines: all device frame encodes are dispatched
+        asynchronously up front, so the host CABAC tail of frame i overlaps
+        the device compute of frames i+1...
+        """
         nals = self.stream_headers()
         recons = []
-        for (y, u, v) in frames:
-            if fast:
-                frame_nals, rec = self.encode_frame_fast(y, u, v)
-            else:
+        if fast:
+            from video_codecs_tpu.models.hevc import encoder_jax
+
+            cfg = self.cfg
+            bw, bh = cfg.width // 16, cfg.height // 16
+            states = [encoder_jax.encode_frame_jit(y, u, v, cfg.qp, bw, bh)
+                      for (y, u, v) in frames]
+            for st in states:
+                frame_nals, rec = self.serialize_frame(st)
+                nals.extend(frame_nals)
+                recons.append(rec)
+        else:
+            for (y, u, v) in frames:
                 frame_nals, rec = self.encode_frame(y, u, v)
-            nals.extend(frame_nals)
-            recons.append(rec)
+                nals.extend(frame_nals)
+                recons.append(rec)
         return bs.annexb(nals), recons
 
 
