@@ -233,15 +233,19 @@ def encode_frame_device(y, u, v, modes, qp: int, qp_c: int, bw: int, bh: int):
     return state
 
 
-@functools.partial(jax.jit, static_argnames=("qp", "bw", "bh"))
-def encode_frame_jit(y, u, v, qp: int, bw: int, bh: int):
-    """Full device pipeline: mode decision + wavefront recon."""
+@functools.partial(jax.jit, static_argnames=("qp", "bw", "bh", "deblock"))
+def encode_frame_jit(y, u, v, qp: int, bw: int, bh: int, deblock: bool = True):
+    """Full device pipeline: mode decision + wavefront recon + deblock."""
     from video_codecs_tpu.models.hevc.intra_codec import chroma_qp
+    from video_codecs_tpu.ops import deblock as deblock_ops
 
     yi = y.astype(jnp.int32)
     ui = u.astype(jnp.int32)
     vi = v.astype(jnp.int32)
     modes = decide_modes_device(yi, qp, bw, bh)
     st = encode_frame_device(yi, ui, vi, modes, qp, chroma_qp(qp), bw, bh)
+    if deblock:
+        st["rec_y"], st["rec_u"], st["rec_v"] = deblock_ops.deblock_420(
+            st["rec_y"], st["rec_u"], st["rec_v"], qp)
     st["modes"] = modes
     return st

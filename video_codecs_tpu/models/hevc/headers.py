@@ -29,7 +29,7 @@ class HevcConfig:
     log2_min_tb: int = 2
     log2_max_tb: int = 4
     level_idc: int = 123       # level 4.1
-    deblocking_disabled: bool = True
+    deblocking_disabled: bool = False
     sign_data_hiding: bool = False
 
     @property
@@ -205,7 +205,7 @@ def write_pps(cfg: HevcConfig) -> bytes:
 class PpsInfo:
     sign_data_hiding: bool = False
     init_qp: int = 26
-    deblocking_disabled: bool = True
+    deblocking_disabled: bool = False
 
 
 def parse_pps(rbsp: bytes) -> PpsInfo:
@@ -247,6 +247,10 @@ def write_slice_header(cfg: HevcConfig, nal_type: int) -> BitWriter:
     w.ue(0)         # slice_pic_parameter_set_id
     w.ue(2)         # slice_type = I
     w.se(cfg.qp - 26)  # slice_qp_delta (init_qp_minus26 = 0)
+    if not cfg.deblocking_disabled:
+        # present when pps_loop_filter_across_slices_enabled_flag &&
+        # (SAO on || !slice_deblocking_filter_disabled_flag)
+        w.flag(1)   # slice_loop_filter_across_slices_enabled_flag
     w.byte_alignment()
     return w
 
@@ -267,6 +271,8 @@ def parse_slice_header(rbsp: bytes, nal_type: int, pps: PpsInfo) -> SliceInfo:
     slice_type = r.ue()
     assert slice_type == 2, "only I slices supported"
     qp = pps.init_qp + r.se()
+    if not pps.deblocking_disabled:
+        r.flag()  # slice_loop_filter_across_slices_enabled_flag
     # byte_alignment: consume up to the next byte boundary
     one = r.flag()
     assert one == 1

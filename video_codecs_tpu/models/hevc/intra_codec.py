@@ -29,6 +29,7 @@ import numpy as np
 from video_codecs_tpu.entropy import bitstream as bs
 from video_codecs_tpu.entropy import cabac, ctx, residual
 from video_codecs_tpu.models.hevc import headers
+from video_codecs_tpu.ops import deblock as deblock_ops
 from video_codecs_tpu.ops import intra as intra_ops
 from video_codecs_tpu.ops import quant as quant_ops
 from video_codecs_tpu.ops import transform as tr_ops
@@ -212,6 +213,10 @@ class IntraEncoder:
                     levels_cb=out_c[0] if out_c[0].any() else None,
                     levels_cr=out_c[1] if out_c[1].any() else None))
 
+        if not cfg.deblocking_disabled:
+            rec_y, rec_u, rec_v = deblock_ops.deblock_420_np(
+                rec_y, rec_u, rec_v, cfg.qp)
+
         slice_nal = self._encode_slice(ctus)
         sei_nal = self._hash_sei(rec_y, rec_u, rec_v)
         return [slice_nal, sei_nal], (rec_y, rec_u, rec_v)
@@ -279,7 +284,8 @@ class IntraEncoder:
 
         cfg = self.cfg
         bw, bh = cfg.width // 16, cfg.height // 16
-        st = encoder_jax.encode_frame_jit(y, u, v, cfg.qp, bw, bh)
+        st = encoder_jax.encode_frame_jit(y, u, v, cfg.qp, bw, bh,
+                                          deblock=not cfg.deblocking_disabled)
         return self.serialize_frame(st, use_native=use_native)
 
     def serialize_frame(self, st, use_native: bool = True):
@@ -329,8 +335,9 @@ class IntraEncoder:
 
             cfg = self.cfg
             bw, bh = cfg.width // 16, cfg.height // 16
-            states = [encoder_jax.encode_frame_jit(y, u, v, cfg.qp, bw, bh)
-                      for (y, u, v) in frames]
+            states = [encoder_jax.encode_frame_jit(
+                y, u, v, cfg.qp, bw, bh,
+                deblock=not cfg.deblocking_disabled) for (y, u, v) in frames]
             for st in states:
                 frame_nals, rec = self.serialize_frame(st)
                 nals.extend(frame_nals)
@@ -425,6 +432,9 @@ class IntraDecoder:
                 assert end == (1 if is_last else 0), \
                     f"end_of_slice mismatch at CTU ({bx},{by})"
         _ = left_modes
+        if not pps.deblocking_disabled:
+            rec_y, rec_u, rec_v = deblock_ops.deblock_420_np(
+                rec_y, rec_u, rec_v, qp)
         return rec_y, rec_u, rec_v
 
     def _decode_ctu(self, dec: cabac.CabacDecoder, left_mode: int):

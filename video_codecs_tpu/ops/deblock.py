@@ -1,0 +1,179 @@
+"""HEVC deblocking filter (spec 8.7.2), batched over all edges — TPU-native.
+
+Parity reference: hm-16.5rc1/source/Lib/TLibCommon/TComLoopFilter.cpp —
+loopFilterPic (:130) vertical-then-horizontal over the picture,
+xEdgeFilterLuma (:560) strong/weak decision, beta/tc tables (:59-67),
+xPelFilterLuma / xPelFilterChroma.
+
+This module implements the uniform-grid case of the current builds: every
+edge on the deblocking grid is a CU/TU boundary with both sides intra
+(boundary strength 2).  Vertical edges of the whole picture are filtered
+first, then horizontal edges on the vertically-filtered samples — each
+pass is one fully-parallel tensor op (all edges x all 4-line segments at
+once).  The horizontal pass reuses the vertical kernel on the transposed
+plane.  A per-edge BS map hook extends this to inter later.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from video_codecs_tpu.utils import rom
+
+# TComLoopFilter.cpp:59-67 (spec Tables 8-12).
+TC_TABLE = np.array(
+    [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1,
+     1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 5, 5, 6, 6, 7, 8, 9, 10, 11,
+     13, 14, 16, 18, 20, 22, 24], np.int32)
+BETA_TABLE = np.array(
+    [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 6, 7, 8, 9, 10, 11, 12,
+     13, 14, 15, 16, 17, 18, 20, 22, 24, 26, 28, 30, 32, 34, 36, 38, 40, 42,
+     44, 46, 48, 50, 52, 54, 56, 58, 60, 62, 64], np.int32)
+
+INTRA_TC_OFFSET = 2  # BS=2 -> tc index + 2
+
+
+def _luma_params(qp: int, bit_depth: int = 8) -> tuple[int, int]:
+    scale = 1 << (bit_depth - 8)
+    tc = int(TC_TABLE[min(max(qp + INTRA_TC_OFFSET, 0), 53)]) * scale
+    beta = int(BETA_TABLE[min(max(qp, 0), 51)]) * scale
+    return tc, beta
+
+
+def _chroma_params(qp: int, bit_depth: int = 8) -> int:
+    qpc = int(rom.CHROMA_QP_TABLE_420[min(max(qp, 0), 57)])
+    scale = 1 << (bit_depth - 8)
+    return int(TC_TABLE[min(max(qpc + INTRA_TC_OFFSET, 0), 53)]) * scale
+
+
+def _filter_ver_edges_luma(plane: jnp.ndarray, edges: np.ndarray, qp: int,
+                           bit_depth: int = 8) -> jnp.ndarray:
+    """Filter vertical luma edges (BS=2 everywhere) at columns `edges`."""
+    if edges.size == 0:
+        return plane
+    tc, beta = _luma_params(qp, bit_depth)
+    if tc == 0 and beta == 0:
+        return plane
+    h = plane.shape[0]
+    maxval = (1 << bit_depth) - 1
+    idx = edges[:, None] + np.arange(-4, 4)[None, :]          # [E, 8]
+    blk = plane[:, idx]                                        # [H, E, 8]
+    blk = jnp.swapaxes(blk, 0, 1).reshape(-1, h // 4, 4, 8)    # [E, S, 4, 8]
+    p3, p2, p1, p0 = blk[..., 0], blk[..., 1], blk[..., 2], blk[..., 3]
+    q0, q1, q2, q3 = blk[..., 4], blk[..., 5], blk[..., 6], blk[..., 7]
+
+    dp = jnp.abs(p2 - 2 * p1 + p0)    # [E, S, 4]
+    dq = jnp.abs(q2 - 2 * q1 + q0)
+    d0 = dp[..., 0] + dq[..., 0]      # [E, S]
+    d3 = dp[..., 3] + dq[..., 3]
+    d = d0 + d3
+    filt = d < beta
+
+    def strong_line(i):
+        return ((2 * (dp[..., i] + dq[..., i]) < (beta >> 2)) &
+                ((jnp.abs(p3[..., i] - p0[..., i]) +
+                  jnp.abs(q0[..., i] - q3[..., i])) < (beta >> 3)) &
+                (jnp.abs(p0[..., i] - q0[..., i]) < ((5 * tc + 1) >> 1)))
+
+    strong = filt & strong_line(0) & strong_line(3)            # [E, S]
+    dp_s = dp[..., 0] + dp[..., 3]
+    dq_s = dq[..., 0] + dq[..., 3]
+    side_thr = (beta + (beta >> 1)) >> 3
+    dep1 = dp_s < side_thr
+    deq1 = dq_s < side_thr
+
+    # ---- strong filter (3 samples each side) ----
+    sp0 = jnp.clip((p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3,
+                   p0 - 2 * tc, p0 + 2 * tc)
+    sp1 = jnp.clip((p2 + p1 + p0 + q0 + 2) >> 2, p1 - 2 * tc, p1 + 2 * tc)
+    sp2 = jnp.clip((2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3,
+                   p2 - 2 * tc, p2 + 2 * tc)
+    sq0 = jnp.clip((q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3,
+                   q0 - 2 * tc, q0 + 2 * tc)
+    sq1 = jnp.clip((q2 + q1 + q0 + p0 + 2) >> 2, q1 - 2 * tc, q1 + 2 * tc)
+    sq2 = jnp.clip((2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3,
+                   q2 - 2 * tc, q2 + 2 * tc)
+
+    # ---- weak filter ----
+    delta = (9 * (q0 - p0) - 3 * (q1 - p1) + 8) >> 4
+    weak_on = jnp.abs(delta) < 10 * tc
+    dclip = jnp.clip(delta, -tc, tc)
+    wp0 = jnp.clip(p0 + dclip, 0, maxval)
+    wq0 = jnp.clip(q0 - dclip, 0, maxval)
+    tc2 = tc >> 1
+    dp1 = jnp.clip((((p2 + p0 + 1) >> 1) - p1 + dclip) >> 1, -tc2, tc2)
+    wq1d = jnp.clip((((q2 + q0 + 1) >> 1) - q1 - dclip) >> 1, -tc2, tc2)
+    wp1 = jnp.clip(p1 + dp1, 0, maxval)
+    wq1 = jnp.clip(q1 + wq1d, 0, maxval)
+
+    st = strong[..., None]                                     # [E, S, 1]
+    fl = filt[..., None]
+    wk = fl & ~st & weak_on
+    out_p0 = jnp.where(st, sp0, jnp.where(wk, wp0, p0))
+    out_q0 = jnp.where(st, sq0, jnp.where(wk, wq0, q0))
+    out_p1 = jnp.where(st, sp1, jnp.where(wk & dep1[..., None], wp1, p1))
+    out_q1 = jnp.where(st, sq1, jnp.where(wk & deq1[..., None], wq1, q1))
+    out_p2 = jnp.where(st, sp2, p2)
+    out_q2 = jnp.where(st, sq2, q2)
+
+    new = jnp.stack([out_p2, out_p1, out_p0, out_q0, out_q1, out_q2], axis=-1)
+    new = new.reshape(edges.size, h, 6)
+    new = jnp.swapaxes(new, 0, 1)                              # [H, E, 6]
+    widx = edges[:, None] + np.arange(-3, 3)[None, :]
+    return plane.at[:, widx].set(new)
+
+
+def _filter_ver_edges_chroma(plane: jnp.ndarray, edges: np.ndarray, qp: int,
+                             bit_depth: int = 8) -> jnp.ndarray:
+    """Chroma vertical edges: BS=2 -> always filter p0/q0 (spec 8.7.2.5.5)."""
+    if edges.size == 0:
+        return plane
+    tc = _chroma_params(qp, bit_depth)
+    if tc == 0:
+        return plane
+    maxval = (1 << bit_depth) - 1
+    idx = edges[:, None] + np.arange(-2, 2)[None, :]
+    blk = plane[:, idx]                                        # [H, E, 4]
+    p1, p0, q0, q1 = blk[..., 0], blk[..., 1], blk[..., 2], blk[..., 3]
+    delta = jnp.clip(((((q0 - p0) << 2) + p1 - q1 + 4) >> 3), -tc, tc)
+    np0 = jnp.clip(p0 + delta, 0, maxval)
+    nq0 = jnp.clip(q0 - delta, 0, maxval)
+    new = jnp.stack([np0, nq0], axis=-1)                       # [H, E, 2]
+    widx = edges[:, None] + np.arange(-1, 1)[None, :]
+    return plane.at[:, widx].set(new)
+
+
+def deblock_420(rec_y: jnp.ndarray, rec_u: jnp.ndarray, rec_v: jnp.ndarray,
+                qp: int, block: int = 16, bit_depth: int = 8):
+    """Deblock an all-intra picture with a uniform `block` CU/TU grid.
+
+    Vertical edges first (whole picture), then horizontal on the result
+    (HM loopFilterPic order).  Horizontal = vertical kernel on transpose.
+    """
+    h, w = rec_y.shape
+    ey = np.arange(block, w, block, dtype=np.int32)
+    ex = np.arange(block, h, block, dtype=np.int32)
+    cb = block // 2
+    cey = np.arange(cb, w // 2, cb, dtype=np.int32)
+    cex = np.arange(cb, h // 2, cb, dtype=np.int32)
+
+    rec_y = _filter_ver_edges_luma(rec_y, ey, qp, bit_depth)
+    rec_y = _filter_ver_edges_luma(rec_y.T, ex, qp, bit_depth).T
+    out_c = []
+    for p in (rec_u, rec_v):
+        p = _filter_ver_edges_chroma(p, cey, qp, bit_depth)
+        p = _filter_ver_edges_chroma(p.T, cex, qp, bit_depth).T
+        out_c.append(p)
+    return rec_y, out_c[0], out_c[1]
+
+
+# ---------------------------------------------------------------------------
+# NumPy twin (host reference path)
+# ---------------------------------------------------------------------------
+
+def deblock_420_np(rec_y: np.ndarray, rec_u: np.ndarray, rec_v: np.ndarray,
+                   qp: int, block: int = 16, bit_depth: int = 8):
+    out = deblock_420(jnp.asarray(rec_y), jnp.asarray(rec_u),
+                      jnp.asarray(rec_v), qp, block, bit_depth)
+    return tuple(np.asarray(o) for o in out)
