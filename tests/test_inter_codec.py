@@ -1,0 +1,75 @@
+"""Low-delay P (IPPP) end-to-end tests: self round-trip + HM conformance."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from test_intra_codec import HM_DECODER, synth_frame
+from video_codecs_tpu.models.hevc import headers, inter_codec
+from video_codecs_tpu.utils import yuv
+
+
+def moving_clip(w, h, n):
+    """Translating textured frames (gives ME something real to find)."""
+    rng = np.random.default_rng(11)
+    big = rng.integers(0, 256, (h + 64, w + 64)).astype(np.uint8)
+    # smooth the noise so sub-pel interpolation matters
+    big = (big[:-1, :-1].astype(np.int32) + big[1:, :-1] + big[:-1, 1:] +
+           big[1:, 1:]) // 4
+    frames = []
+    for f in range(n):
+        dx, dy = 2 * f + (f % 2), f
+        y = big[dy:dy + h, dx:dx + w].astype(np.uint8)
+        u = np.full((h // 2, w // 2), 100 + 5 * f, np.uint8)
+        v = np.full((h // 2, w // 2), 140 - 3 * f, np.uint8)
+        frames.append((y, u, v))
+    return frames
+
+
+def test_ldp_roundtrip():
+    w, h = 64, 48
+    cfg = headers.HevcConfig(width=w, height=h, qp=30)
+    enc = inter_codec.LowDelayEncoder(cfg)
+    frames = moving_clip(w, h, 4)
+    stream, recons = enc.encode_sequence_ldp(frames)
+
+    dec = inter_codec.LowDelayDecoder()
+    out = dec.decode(stream)
+    assert len(out) == 4
+    assert dec.hash_status == [True] * 4
+    for (ry, ru, rv), (dy, du, dv) in zip(recons, out):
+        np.testing.assert_array_equal(ry, dy)
+        np.testing.assert_array_equal(ru, du)
+        np.testing.assert_array_equal(rv, dv)
+    # P frames of a pure translation should be cheap and high quality
+    p = yuv.psnr(np.stack([r[0] for r in recons]),
+                 np.stack([f[0] for f in frames]))
+    assert p > 30, p
+
+
+@pytest.mark.skipif(not os.path.exists(HM_DECODER),
+                    reason="HM reference decoder not built")
+def test_ldp_hm_conformance(tmp_path):
+    w, h = 64, 48
+    cfg = headers.HevcConfig(width=w, height=h, qp=32)
+    enc = inter_codec.LowDelayEncoder(cfg)
+    frames = moving_clip(w, h, 4)
+    # mix in an intra-favoring frame (scene change) to exercise intra-in-P
+    sc = synth_frame(w, h, 5)
+    frames.append(sc)
+    stream, recons = enc.encode_sequence_ldp(frames)
+
+    bin_path = tmp_path / "ldp.bin"
+    rec_path = tmp_path / "ldp_rec.yuv"
+    bin_path.write_bytes(stream)
+    r = subprocess.run([HM_DECODER, "-b", str(bin_path), "-o", str(rec_path)],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert r.stdout.count("(OK)") == 5 and "ERROR" not in r.stdout, r.stdout
+    ry, ru, rv = yuv.read_frames(str(rec_path), w, h)
+    for i, (ey, eu, ev) in enumerate(recons):
+        np.testing.assert_array_equal(ry[i], ey.astype(np.uint8))
+        np.testing.assert_array_equal(ru[i], eu.astype(np.uint8))
+        np.testing.assert_array_equal(rv[i], ev.astype(np.uint8))

@@ -1,0 +1,661 @@
+"""HEVC low-delay P (IPPP) encoder + decoder — Milestone B build.
+
+Extends the all-intra build with inter prediction: one L0 reference (the
+previous deblocked picture), CTB = CU = PU = 16x16 2Nx2N, merge (1
+candidate) + AMVP quarter-pel MVs, skip CUs, per-edge boundary-strength
+deblocking, POC/RPS slice machinery.
+
+Parity references: SURVEY.md §3.1; HM TEncSearch predInterSearch :2912
+(collapsed to a batched full-window search per SURVEY.md §7.1), TEncCu
+xCheckRDCostMerge2Nx2N :453, TComDataCU merge/AMVP candidate derivation,
+TDecCu xReconInter :410.
+
+Encoder structure: pass 1 (parallel, device ops): full-window ME + intra
+SATD sweep for every block; pass 2 (raster, host): merge/AMVP candidate
+derivation from final neighbor MVs, mode choice by SATD + lambda*bits,
+transform/recon; pass 3: CABAC; then BS-map deblocking.  The decoder
+mirrors pass 2/3 and shares all derivation helpers, so encoder recon ==
+decoder recon by construction; HM conformance is asserted in tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+
+from video_codecs_tpu.entropy import bitstream as bs
+from video_codecs_tpu.entropy import cabac, ctx, residual
+from video_codecs_tpu.models.hevc import headers
+from video_codecs_tpu.models.hevc import intra_codec as ic
+from video_codecs_tpu.ops import deblock as deblock_ops
+from video_codecs_tpu.ops import interp
+from video_codecs_tpu.ops import quant as quant_ops
+from video_codecs_tpu.ops import transform as tr_ops
+from video_codecs_tpu.utils import rom
+
+DC = 1
+NAL_TRAIL_R = 1
+
+MODE_INTER, MODE_INTRA = 0, 1
+
+
+@dataclasses.dataclass
+class BlockInfo:
+    """Per-16x16-block coding state (the SoA row of TComDataCU)."""
+    pred_mode: int = MODE_INTRA   # MODE_INTER / MODE_INTRA
+    skip: bool = False
+    merge: bool = False
+    mvp_idx: int = 0
+    mvd: tuple[int, int] = (0, 0)
+    mv: tuple[int, int] = (0, 0)  # final quarter-pel MV (inter only)
+    intra_mode: int = DC
+    cbf_y: bool = False
+    cbf_cb: bool = False
+    cbf_cr: bool = False
+    levels_y: np.ndarray | None = None
+    levels_cb: np.ndarray | None = None
+    levels_cr: np.ndarray | None = None
+
+
+def derive_merge_candidate(info: list[list[BlockInfo | None]], bx: int,
+                           by: int, bw: int, bh: int) -> tuple[int, int]:
+    """First merge candidate (MaxNumMergeCand=1): first available inter
+    neighbor in A1, B1, B0, A0, B2 order, else zero MV (spec 8.5.3.2.3)."""
+    def inter_mv(nbx, nby):
+        if nbx < 0 or nby < 0 or nbx >= bw or nby >= bh:
+            return None
+        if nby > by or (nby == by and nbx > bx):
+            return None  # not yet decoded
+        b = info[nby][nbx]
+        if b is None or b.pred_mode != MODE_INTER:
+            return None
+        return b.mv
+
+    # PU = whole 16x16 block: A1=(x-1,y+15) -> left block; B1=(x+15,y-1) ->
+    # above; B0=(x+16,y-1) -> above-right; A0=(x-1,y+16) -> below-left
+    # (never decoded); B2=(x-1,y-1) -> above-left.
+    for nbx, nby in ((bx - 1, by), (bx, by - 1), (bx + 1, by - 1),
+                     (bx - 1, by + 1), (bx - 1, by - 1)):
+        mv = inter_mv(nbx, nby)
+        if mv is not None:
+            return mv
+    return (0, 0)
+
+
+def derive_amvp(info: list[list[BlockInfo | None]], bx: int, by: int,
+                bw: int, bh: int) -> list[tuple[int, int]]:
+    """Two AMVP candidates (spec 8.5.3.2.5-7, single ref, no scaling):
+    A = left (A0 below-left never available, then A1), B = first of
+    B0/B1/B2; prune equal; pad with zero MVs."""
+    def inter_mv(nbx, nby):
+        if nbx < 0 or nby < 0 or nbx >= bw or nby >= bh:
+            return None
+        if nby > by or (nby == by and nbx > bx):
+            return None
+        b = info[nby][nbx]
+        if b is None or b.pred_mode != MODE_INTER:
+            return None
+        return b.mv
+
+    cand = []
+    a = inter_mv(bx - 1, by)                       # A1 (A0 unavailable)
+    if a is not None:
+        cand.append(a)
+    for nbx, nby in ((bx + 1, by - 1), (bx, by - 1), (bx - 1, by - 1)):
+        b = inter_mv(nbx, nby)
+        if b is not None:
+            if not cand or cand[0] != b:
+                cand.append(b)
+            break
+    while len(cand) < 2:
+        cand.append((0, 0))
+    return cand[:2]
+
+
+def mvd_bits_estimate(mvd: tuple[int, int]) -> int:
+    b = 2
+    for c in mvd:
+        a = abs(c)
+        if a > 0:
+            b += 1
+        if a > 1:
+            b += 2 * max(int(math.log2(a)), 1)
+    return b
+
+
+def compute_bs_maps(info, bw, bh):
+    """Boundary strengths between adjacent blocks (spec 8.7.2.4)."""
+    bs_ver = np.zeros((bw - 1, bh), np.int32)
+    bs_hor = np.zeros((bh - 1, bw), np.int32)
+
+    def bs(a: BlockInfo, b: BlockInfo) -> int:
+        if a.pred_mode == MODE_INTRA or b.pred_mode == MODE_INTRA:
+            return 2
+        if a.cbf_y or b.cbf_y:
+            return 1
+        if (abs(a.mv[0] - b.mv[0]) >= 4) or (abs(a.mv[1] - b.mv[1]) >= 4):
+            return 1
+        return 0
+
+    for by in range(bh):
+        for bx in range(1, bw):
+            bs_ver[bx - 1, by] = bs(info[by][bx - 1], info[by][bx])
+    for by in range(1, bh):
+        for bx in range(bw):
+            bs_hor[by - 1, bx] = bs(info[by - 1][bx], info[by][bx])
+    return bs_ver, bs_hor
+
+
+def write_p_slice_header(cfg: headers.HevcConfig, poc: int):
+    w = bs.BitWriter()
+    w.flag(1)          # first_slice_segment_in_pic_flag
+    w.ue(0)            # slice_pic_parameter_set_id
+    w.ue(1)            # slice_type = P
+    w.write(poc & 255, 8)  # slice_pic_order_cnt_lsb
+    w.flag(0)          # short_term_ref_pic_set_sps_flag
+    # st_ref_pic_set(0): 1 negative ref at delta 1
+    w.ue(1)            # num_negative_pics
+    w.ue(0)            # num_positive_pics
+    w.ue(0)            # delta_poc_s0_minus1[0]
+    w.flag(1)          # used_by_curr_pic_s0_flag[0]
+    w.flag(0)          # num_ref_idx_active_override_flag
+    w.ue(4)            # five_minus_max_num_merge_cand -> MaxNumMergeCand=1
+    w.se(cfg.qp - 26)  # slice_qp_delta
+    if not cfg.deblocking_disabled:
+        w.flag(1)      # slice_loop_filter_across_slices_enabled_flag
+    w.byte_alignment()
+    return w
+
+
+def parse_p_slice_header(rbsp: bytes, pps: headers.PpsInfo):
+    r = bs.BitReader(rbsp)
+    assert r.flag() == 1
+    assert r.ue() == 0
+    st = r.ue()
+    assert st == 1, "only P slices supported here"
+    poc = r.read(8)
+    assert r.flag() == 0
+    assert r.ue() == 1 and r.ue() == 0, "single-ref RPS expected"
+    r.ue()   # delta_poc_s0_minus1
+    assert r.flag() == 1
+    assert r.flag() == 0  # no num_ref override
+    assert r.ue() == 4, "MaxNumMergeCand must be 1 in this build"
+    qp = pps.init_qp + r.se()
+    if not pps.deblocking_disabled:
+        r.flag()
+    assert r.flag() == 1
+    r.byte_align()
+    return poc, qp, r.bit_pos()
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+class LowDelayEncoder(ic.IntraEncoder):
+    """IPPP encoder: frame 0 IDR intra, then P frames."""
+
+    def __init__(self, cfg: headers.HevcConfig, search_range: int = 8) -> None:
+        super().__init__(cfg)
+        self.search_range = search_range
+
+    def encode_sequence_ldp(self, frames):
+        nals = self.stream_headers()
+        recons = []
+        ref = None
+        for poc, (y, u, v) in enumerate(frames):
+            if poc == 0:
+                frame_nals, rec = self.encode_frame(y, u, v)
+            else:
+                frame_nals, rec = self.encode_p_frame(y, u, v, ref, poc)
+            nals.extend(frame_nals)
+            recons.append(rec)
+            ref = rec
+        return bs.annexb(nals), recons
+
+    def encode_p_frame(self, y, u, v, ref, poc):
+        import jax.numpy as jnp
+
+        from video_codecs_tpu.ops import cost as cost_ops
+        from video_codecs_tpu.ops import me as me_ops
+
+        cfg = self.cfg
+        bw, bh = cfg.width // 16, cfg.height // 16
+        nb = bw * bh
+        qp = cfg.qp
+        qp_c = ic.chroma_qp(qp)
+        ref_y, ref_u, ref_v = (r.astype(np.int32) for r in ref)
+        yv, uv, vv = (p.astype(np.int32) for p in (y, u, v))
+
+        # ---- pass 1 (batched): ME + intra sweep ----
+        x0 = np.tile(np.arange(bw, dtype=np.int32) * 16, bh)
+        y0 = np.repeat(np.arange(bh, dtype=np.int32) * 16, bw)
+        cur = np.stack([yv[b // bw * 16:b // bw * 16 + 16,
+                           b % bw * 16:b % bw * 16 + 16] for b in range(nb)])
+        mvx, mvy, me_satd = me_ops.motion_search(
+            jnp.asarray(ref_y), jnp.asarray(cur), jnp.asarray(x0),
+            jnp.asarray(y0), 16, self.search_range)
+        mvx, mvy, me_satd = (np.asarray(a) for a in (mvx, mvy, me_satd))
+
+        intra_modes = self.decide_modes(y)  # [bh, bw] (orig-neighbor sweep)
+        # SATD of the chosen intra mode per block:
+        from video_codecs_tpu.ops import intra as intra_ops
+        intra_satd = np.zeros(nb, np.int64)
+        sl = math.sqrt(0.57 * 2.0 ** ((qp - 12) / 3.0))
+
+        # ---- pass 2 (raster): decide + recon ----
+        rec_y = np.zeros_like(yv)
+        rec_u = np.zeros_like(uv)
+        rec_v = np.zeros_like(vv)
+        info: list[list[BlockInfo | None]] = [
+            [None] * bw for _ in range(bh)]
+
+        for by in range(bh):
+            for bx in range(bw):
+                i = by * bw + bx
+                xx, yy = bx * 16, by * 16
+                oy = cur[i]
+                merge_mv = derive_merge_candidate(info, bx, by, bw, bh)
+                amvp = derive_amvp(info, bx, by, bw, bh)
+
+                # candidate predictions (luma SATD costs)
+                pred_merge = interp.mc_luma_np(ref_y, xx, yy, *merge_mv, 16)
+                satd_merge = _satd8(oy, pred_merge)
+                me_mv = (int(mvx[i]), int(mvy[i]))
+                if me_mv == tuple(merge_mv):
+                    pred_me = pred_merge
+                else:
+                    pred_me = interp.mc_luma_np(ref_y, xx, yy, *me_mv, 16)
+                satd_me = _satd8(oy, pred_me)
+                # AMVP predictor choice: cheaper mvd
+                mvds = [(me_mv[0] - p[0], me_mv[1] - p[1]) for p in amvp]
+                bits0 = mvd_bits_estimate(mvds[0])
+                bits1 = mvd_bits_estimate(mvds[1])
+                mvp_idx = 0 if bits0 <= bits1 else 1
+                mvd = mvds[mvp_idx]
+
+                left = info[by][bx - 1] if bx else None
+                left_intra_mode = (left.intra_mode
+                                   if left and left.pred_mode == MODE_INTRA
+                                   else DC)
+                imode = int(intra_modes[by, bx])
+                ref_arr = ic.build_ref_np(rec_y, xx, yy, 16)
+                pred_intra = intra_ops.predict_intra_np(ref_arr, imode, 4)
+                satd_intra = _satd8(oy, pred_intra)
+
+                cost_merge = satd_merge + round(sl * 2)
+                cost_me = satd_me + round(sl * (6 + mvd_bits_estimate(mvd)))
+                cost_intra = satd_intra + round(sl * 9)
+
+                b = BlockInfo()
+                if cost_intra <= min(cost_merge, cost_me):
+                    b.pred_mode = MODE_INTRA
+                    b.intra_mode = imode
+                    pred = pred_intra
+                else:
+                    b.pred_mode = MODE_INTER
+                    if cost_merge <= cost_me:
+                        b.merge = True
+                        b.mv = tuple(merge_mv)
+                        pred = pred_merge
+                    else:
+                        b.merge = False
+                        b.mv = me_mv
+                        b.mvp_idx = mvp_idx
+                        b.mvd = mvd
+                        pred = pred_me
+
+                # luma TB
+                lv, rec = ic.code_tb_np(oy, pred, qp, 4, dst=False)
+                b.cbf_y = bool(lv.any())
+                b.levels_y = lv if b.cbf_y else None
+                # chroma TBs
+                cx, cy = xx // 2, yy // 2
+                for comp, (po, pr) in enumerate(((uv, rec_u), (vv, rec_v))):
+                    if b.pred_mode == MODE_INTRA:
+                        refc = ic.build_ref_np(pr, cx, cy, 8)
+                        predc = intra_ops.predict_intra_np(refc, imode, 3,
+                                                           is_luma=False)
+                    else:
+                        refc_plane = ref_u if comp == 0 else ref_v
+                        predc = interp.mc_chroma_np(refc_plane, cx, cy,
+                                                    b.mv[0], b.mv[1], 8)
+                    lvc, recc = ic.code_tb_np(po[cy:cy + 8, cx:cx + 8],
+                                              predc, qp_c, 3, dst=False)
+                    cbf = bool(lvc.any())
+                    if comp == 0:
+                        b.cbf_cb = cbf
+                        b.levels_cb = lvc if cbf else None
+                    else:
+                        b.cbf_cr = cbf
+                        b.levels_cr = lvc if cbf else None
+                    pr[cy:cy + 8, cx:cx + 8] = recc
+
+                # AMVP CU with no residual: rqt_root_cbf=0; merge CU with no
+                # residual: becomes skip.
+                no_resid = not (b.cbf_y or b.cbf_cb or b.cbf_cr)
+                if b.pred_mode == MODE_INTER and b.merge and no_resid:
+                    b.skip = True
+                rec_y[yy:yy + 16, xx:xx + 16] = rec if b.cbf_y else pred
+                info[by][bx] = b
+                intra_satd[i] = satd_intra
+
+        # ---- pass 3: CABAC ----
+        slice_nal = self._encode_p_slice(info, poc)
+
+        # ---- deblock with BS maps ----
+        if not cfg.deblocking_disabled:
+            bs_ver, bs_hor = compute_bs_maps(info, bw, bh)
+            rec_y, rec_u, rec_v = deblock_ops.deblock_420_bs_np(
+                rec_y, rec_u, rec_v, qp, bs_ver, bs_hor)
+        sei_nal = self._hash_sei(rec_y, rec_u, rec_v)
+        return [slice_nal, sei_nal], (rec_y, rec_u, rec_v)
+
+    def _encode_p_slice(self, info, poc) -> bytes:
+        cfg = self.cfg
+        bw, bh = cfg.width // 16, cfg.height // 16
+        w = write_p_slice_header(cfg, poc)
+        states = ctx.init_states(ctx.P, cfg.qp)
+        enc = cabac.CabacEncoder(w, states)
+        for by in range(bh):
+            for bx in range(bw):
+                self._encode_p_ctu(enc, info, bx, by, bw, bh)
+                last = (by == bh - 1 and bx == bw - 1)
+                enc.encode_terminate(1 if last else 0)
+        enc.finish_slice()
+        return bs.nal_unit(NAL_TRAIL_R, w.data())
+
+    def _encode_p_ctu(self, enc, info, bx, by, bw, bh):
+        b: BlockInfo = info[by][bx]
+        left = info[by][bx - 1] if bx else None
+        above = info[by - 1][bx] if by else None
+        skip_ctx = (1 if (left and left.skip) else 0) + \
+                   (1 if (above and above.skip) else 0)
+        enc.encode_bin(ctx.off("skip_flag", skip_ctx), 1 if b.skip else 0)
+        if b.skip:
+            return  # merge candidate implied (MaxNumMergeCand=1)
+        enc.encode_bin(ctx.off("pred_mode"),
+                       1 if b.pred_mode == MODE_INTRA else 0)
+        if b.pred_mode == MODE_INTRA:
+            left_mode = (left.intra_mode
+                         if left and left.pred_mode == MODE_INTRA else DC)
+            self._encode_intra_part(enc, b, left_mode)
+        else:
+            enc.encode_bin(ctx.off("part_size"), 1)  # PART_2Nx2N
+            enc.encode_bin(ctx.off("merge_flag"), 1 if b.merge else 0)
+            if not b.merge:
+                self._encode_mvd(enc, b.mvd)
+                enc.encode_bin(ctx.off("mvp_idx"), b.mvp_idx)
+            has_resid = b.cbf_y or b.cbf_cb or b.cbf_cr
+            if not b.merge:
+                enc.encode_bin(ctx.off("qt_root_cbf"), 1 if has_resid else 0)
+                if not has_resid:
+                    return
+            # transform tree depth 0
+            enc.encode_bin(ctx.off("cbf_chroma"), 1 if b.cbf_cb else 0)
+            enc.encode_bin(ctx.off("cbf_chroma"), 1 if b.cbf_cr else 0)
+            if b.cbf_cb or b.cbf_cr:
+                enc.encode_bin(ctx.off("cbf_luma", 1), 1 if b.cbf_y else 0)
+            else:
+                assert b.cbf_y, "inter rootCbf=1 with all-zero cbfs"
+            if b.cbf_y:
+                residual.encode_residual(enc, b.levels_y, 4, rom.SCAN_DIAG, True)
+            if b.cbf_cb:
+                residual.encode_residual(enc, b.levels_cb, 3, rom.SCAN_DIAG, False)
+            if b.cbf_cr:
+                residual.encode_residual(enc, b.levels_cr, 3, rom.SCAN_DIAG, False)
+            return
+        # intra CU residual (always coded cbfs)
+        enc.encode_bin(ctx.off("cbf_chroma"), 1 if b.cbf_cb else 0)
+        enc.encode_bin(ctx.off("cbf_chroma"), 1 if b.cbf_cr else 0)
+        enc.encode_bin(ctx.off("cbf_luma", 1), 1 if b.cbf_y else 0)
+        if b.cbf_y:
+            residual.encode_residual(enc, b.levels_y, 4, rom.SCAN_DIAG, True)
+        if b.cbf_cb:
+            residual.encode_residual(enc, b.levels_cb, 3, rom.SCAN_DIAG, False)
+        if b.cbf_cr:
+            residual.encode_residual(enc, b.levels_cr, 3, rom.SCAN_DIAG, False)
+
+    def _encode_intra_part(self, enc, b: BlockInfo, left_mode: int):
+        enc.encode_bin(ctx.off("part_size"), 1)  # 2Nx2N
+        mpm = ic.mpm_list(left_mode)
+        mode = b.intra_mode
+        if mode in mpm:
+            enc.encode_bin(ctx.off("prev_intra_luma_pred"), 1)
+            idx = mpm.index(mode)
+            enc.encode_bypass(0 if idx == 0 else 1)
+            if idx:
+                enc.encode_bypass(idx - 1)
+        else:
+            enc.encode_bin(ctx.off("prev_intra_luma_pred"), 0)
+            rem = mode
+            for c in sorted(mpm, reverse=True):
+                if mode > c:
+                    rem -= 1
+            enc.encode_bypass_bins(rem, 5)
+        enc.encode_bin(ctx.off("chroma_pred_mode"), 0)  # DM
+
+    def _encode_mvd(self, enc, mvd):
+        ax, ay = abs(mvd[0]), abs(mvd[1])
+        enc.encode_bin(ctx.off("mvd", 0), 1 if ax > 0 else 0)
+        enc.encode_bin(ctx.off("mvd", 0), 1 if ay > 0 else 0)
+        if ax > 0:
+            enc.encode_bin(ctx.off("mvd", 1), 1 if ax > 1 else 0)
+        if ay > 0:
+            enc.encode_bin(ctx.off("mvd", 1), 1 if ay > 1 else 0)
+        for a, v in ((ax, mvd[0]), (ay, mvd[1])):
+            if a > 0:
+                if a > 1:
+                    _write_eg1(enc, a - 2)
+                enc.encode_bypass(1 if v < 0 else 0)
+
+    def serialize(self):
+        raise NotImplementedError
+
+
+def _write_eg1(enc, symbol: int) -> None:
+    """1st-order Exp-Golomb, bypass (HM xWriteEpExGolomb count=1)."""
+    count = 1
+    while symbol >= (1 << count):
+        enc.encode_bypass(1)
+        symbol -= 1 << count
+        count += 1
+    enc.encode_bypass(0)
+    enc.encode_bypass_bins(symbol, count)
+
+
+def _read_eg1(dec) -> int:
+    count = 1
+    value = 0
+    while dec.decode_bypass():
+        value += 1 << count
+        count += 1
+    return value + dec.decode_bypass_bins(count)
+
+
+def _satd8(a: np.ndarray, b: np.ndarray) -> int:
+    from video_codecs_tpu.ops import cost as cost_ops
+    import jax.numpy as jnp
+    return int(np.asarray(cost_ops.hadamard_satd_8x8(
+        jnp.asarray(a)[None], jnp.asarray(b)[None]))[0])
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+class LowDelayDecoder(ic.IntraDecoder):
+    """Decodes IDR + TRAIL_R P-slice streams of this build."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self._ref = None
+
+    def decode(self, stream: bytes):
+        frames = []
+        for nal in bs.split_annexb(stream):
+            nal_type = (nal[0] >> 1) & 0x3F
+            rbsp = bs.strip_emulation_prevention(nal[2:])
+            if nal_type == bs.NAL_VPS:
+                continue
+            if nal_type == bs.NAL_SPS:
+                self.cfg = headers.parse_sps(rbsp)
+            elif nal_type == bs.NAL_PPS:
+                self.pps = headers.parse_pps(rbsp)
+            elif nal_type in (bs.NAL_IDR_W_RADL, bs.NAL_IDR_N_LP, bs.NAL_CRA):
+                frame = self._decode_slice(rbsp, nal_type)
+                frames.append(frame)
+                self._ref = frame
+            elif nal_type == NAL_TRAIL_R:
+                frame = self._decode_p_slice(rbsp)
+                frames.append(frame)
+                self._ref = frame
+            elif nal_type == bs.NAL_SUFFIX_SEI:
+                import hashlib
+                md5s = self._parse_hash_sei(rbsp)
+                if md5s and frames:
+                    ok = all(
+                        hashlib.md5(frames[-1][i].astype(np.uint8).tobytes())
+                        .digest() == md5s[i] for i in range(3))
+                    self.hash_status.append(ok)
+        return frames
+
+    def _decode_p_slice(self, rbsp: bytes):
+        from video_codecs_tpu.ops import intra as intra_ops
+
+        cfg, pps = self.cfg, self.pps
+        poc, qp, offset_bits = parse_p_slice_header(rbsp, pps)
+        qp_c = ic.chroma_qp(qp)
+        bw, bh = cfg.width // 16, cfg.height // 16
+        ref_y, ref_u, ref_v = (r.astype(np.int32) for r in self._ref)
+
+        data = rbsp[offset_bits // 8:]
+        states = ctx.init_states(ctx.P, qp)
+        dec = cabac.CabacDecoder(bs.BitReader(data), states)
+
+        rec_y = np.zeros((cfg.height, cfg.width), np.int32)
+        rec_u = np.zeros((cfg.height // 2, cfg.width // 2), np.int32)
+        rec_v = np.zeros_like(rec_u)
+        info: list[list[BlockInfo | None]] = [[None] * bw for _ in range(bh)]
+
+        for by in range(bh):
+            for bx in range(bw):
+                b = self._decode_p_ctu(dec, info, bx, by, bw, bh)
+                info[by][bx] = b
+                xx, yy = bx * 16, by * 16
+                cx, cy = xx // 2, yy // 2
+                if b.pred_mode == MODE_INTRA:
+                    ref_arr = ic.build_ref_np(rec_y, xx, yy, 16)
+                    pred = intra_ops.predict_intra_np(ref_arr, b.intra_mode, 4)
+                else:
+                    pred = interp.mc_luma_np(ref_y, xx, yy, *b.mv, 16)
+                rec_y[yy:yy + 16, xx:xx + 16] = _recon_tb(
+                    pred, b.levels_y, qp, 4)
+                for comp, pr in ((0, rec_u), (1, rec_v)):
+                    if b.pred_mode == MODE_INTRA:
+                        refc = ic.build_ref_np(pr, cx, cy, 8)
+                        predc = intra_ops.predict_intra_np(
+                            refc, b.intra_mode, 3, is_luma=False)
+                    else:
+                        rp = ref_u if comp == 0 else ref_v
+                        predc = interp.mc_chroma_np(rp, cx, cy, *b.mv, 8)
+                    lvc = b.levels_cb if comp == 0 else b.levels_cr
+                    pr[cy:cy + 8, cx:cx + 8] = _recon_tb(predc, lvc, qp_c, 3)
+                end = dec.decode_terminate()
+                last = (by == bh - 1 and bx == bw - 1)
+                assert end == (1 if last else 0)
+
+        if not pps.deblocking_disabled:
+            bs_ver, bs_hor = compute_bs_maps(info, bw, bh)
+            rec_y, rec_u, rec_v = deblock_ops.deblock_420_bs_np(
+                rec_y, rec_u, rec_v, qp, bs_ver, bs_hor)
+        return rec_y, rec_u, rec_v
+
+    def _decode_p_ctu(self, dec, info, bx, by, bw, bh) -> BlockInfo:
+        b = BlockInfo()
+        left = info[by][bx - 1] if bx else None
+        above = info[by - 1][bx] if by else None
+        skip_ctx = (1 if (left and left.skip) else 0) + \
+                   (1 if (above and above.skip) else 0)
+        if dec.decode_bin(ctx.off("skip_flag", skip_ctx)):
+            b.skip = True
+            b.merge = True
+            b.pred_mode = MODE_INTER
+            b.mv = derive_merge_candidate(info, bx, by, bw, bh)
+            return b
+        if dec.decode_bin(ctx.off("pred_mode")):
+            b.pred_mode = MODE_INTRA
+            assert dec.decode_bin(ctx.off("part_size")) == 1
+            left_mode = (left.intra_mode
+                         if left and left.pred_mode == MODE_INTRA else DC)
+            mpm = ic.mpm_list(left_mode)
+            if dec.decode_bin(ctx.off("prev_intra_luma_pred")):
+                idx = 0 if dec.decode_bypass() == 0 else 1 + dec.decode_bypass()
+                b.intra_mode = mpm[idx]
+            else:
+                rem = dec.decode_bypass_bins(5)
+                for c in sorted(mpm):
+                    if rem >= c:
+                        rem += 1
+                b.intra_mode = rem
+            assert dec.decode_bin(ctx.off("chroma_pred_mode")) == 0
+            b.cbf_cb = bool(dec.decode_bin(ctx.off("cbf_chroma")))
+            b.cbf_cr = bool(dec.decode_bin(ctx.off("cbf_chroma")))
+            b.cbf_y = bool(dec.decode_bin(ctx.off("cbf_luma", 1)))
+        else:
+            b.pred_mode = MODE_INTER
+            assert dec.decode_bin(ctx.off("part_size")) == 1
+            b.merge = bool(dec.decode_bin(ctx.off("merge_flag")))
+            if b.merge:
+                b.mv = derive_merge_candidate(info, bx, by, bw, bh)
+            else:
+                b.mvd = self._decode_mvd(dec)
+                b.mvp_idx = dec.decode_bin(ctx.off("mvp_idx"))
+                amvp = derive_amvp(info, bx, by, bw, bh)
+                p = amvp[b.mvp_idx]
+                b.mv = (p[0] + b.mvd[0], p[1] + b.mvd[1])
+            if not b.merge:
+                if not dec.decode_bin(ctx.off("qt_root_cbf")):
+                    return b
+            b.cbf_cb = bool(dec.decode_bin(ctx.off("cbf_chroma")))
+            b.cbf_cr = bool(dec.decode_bin(ctx.off("cbf_chroma")))
+            if b.cbf_cb or b.cbf_cr:
+                b.cbf_y = bool(dec.decode_bin(ctx.off("cbf_luma", 1)))
+            else:
+                b.cbf_y = True  # inferred (rootCbf promised residual)
+        if b.cbf_y:
+            b.levels_y = residual.decode_residual(dec, 4, rom.SCAN_DIAG, True)
+        if b.cbf_cb:
+            b.levels_cb = residual.decode_residual(dec, 3, rom.SCAN_DIAG, False)
+        if b.cbf_cr:
+            b.levels_cr = residual.decode_residual(dec, 3, rom.SCAN_DIAG, False)
+        return b
+
+    @staticmethod
+    def _decode_mvd(dec) -> tuple[int, int]:
+        gx = dec.decode_bin(ctx.off("mvd", 0))
+        gy = dec.decode_bin(ctx.off("mvd", 0))
+        g1x = dec.decode_bin(ctx.off("mvd", 1)) if gx else 0
+        g1y = dec.decode_bin(ctx.off("mvd", 1)) if gy else 0
+        out = []
+        for g, g1 in ((gx, g1x), (gy, g1y)):
+            if not g:
+                out.append(0)
+                continue
+            a = 1
+            if g1:
+                a = 2 + _read_eg1(dec)
+            sign = dec.decode_bypass()
+            out.append(-a if sign else a)
+        return (out[0], out[1])
+
+
+def _recon_tb(pred: np.ndarray, levels: np.ndarray | None, qp: int,
+              log2: int) -> np.ndarray:
+    if levels is None:
+        return pred.astype(np.int32)
+    dq = quant_ops.dequantize_np(levels, qp, log2)
+    r = tr_ops.inverse_transform_np(dq, log2)
+    return np.clip(pred + r, 0, 255).astype(np.int32)

@@ -48,12 +48,18 @@ def _chroma_params(qp: int, bit_depth: int = 8) -> int:
 
 
 def _filter_ver_edges_luma(plane: jnp.ndarray, edges: np.ndarray, qp: int,
-                           bit_depth: int = 8) -> jnp.ndarray:
-    """Filter vertical luma edges (BS=2 everywhere) at columns `edges`."""
+                           bit_depth: int = 8,
+                           bs: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Filter vertical luma edges at columns `edges`.
+
+    bs: optional [E, H//4] boundary strength per 4-line segment (0/1/2);
+    None means BS=2 everywhere (all-intra picture)."""
     if edges.size == 0:
         return plane
-    tc, beta = _luma_params(qp, bit_depth)
-    if tc == 0 and beta == 0:
+    tc2, beta = _luma_params(qp, bit_depth)
+    scale = 1 << (bit_depth - 8)
+    tc1 = int(TC_TABLE[min(max(qp, 0), 53)]) * scale  # BS=1 index (no +2)
+    if beta == 0 and tc2 == 0:
         return plane
     h = plane.shape[0]
     maxval = (1 << bit_depth) - 1
@@ -68,7 +74,12 @@ def _filter_ver_edges_luma(plane: jnp.ndarray, edges: np.ndarray, qp: int,
     d0 = dp[..., 0] + dq[..., 0]      # [E, S]
     d3 = dp[..., 3] + dq[..., 3]
     d = d0 + d3
-    filt = d < beta
+    if bs is None:
+        tc = tc2
+        filt = d < beta
+    else:
+        tc = jnp.where(bs == 2, tc2, tc1)[..., None]   # [E, S, 1] -> bcast
+        filt = (d < beta) & (bs > 0)
 
     def strong_line(i):
         return ((2 * (dp[..., i] + dq[..., i]) < (beta >> 2)) &
@@ -76,6 +87,8 @@ def _filter_ver_edges_luma(plane: jnp.ndarray, edges: np.ndarray, qp: int,
                   jnp.abs(q0[..., i] - q3[..., i])) < (beta >> 3)) &
                 (jnp.abs(p0[..., i] - q0[..., i]) < ((5 * tc + 1) >> 1)))
 
+    if bs is not None:
+        tc = tc[..., 0]  # [E, S] for the per-segment decisions below
     strong = filt & strong_line(0) & strong_line(3)            # [E, S]
     dp_s = dp[..., 0] + dp[..., 3]
     dq_s = dq[..., 0] + dq[..., 3]
@@ -84,26 +97,27 @@ def _filter_ver_edges_luma(plane: jnp.ndarray, edges: np.ndarray, qp: int,
     deq1 = dq_s < side_thr
 
     # ---- strong filter (3 samples each side) ----
+    tcl = tc[..., None] if bs is not None else tc  # [E,S,1] vs scalar
     sp0 = jnp.clip((p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3,
-                   p0 - 2 * tc, p0 + 2 * tc)
-    sp1 = jnp.clip((p2 + p1 + p0 + q0 + 2) >> 2, p1 - 2 * tc, p1 + 2 * tc)
+                   p0 - 2 * tcl, p0 + 2 * tcl)
+    sp1 = jnp.clip((p2 + p1 + p0 + q0 + 2) >> 2, p1 - 2 * tcl, p1 + 2 * tcl)
     sp2 = jnp.clip((2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3,
-                   p2 - 2 * tc, p2 + 2 * tc)
+                   p2 - 2 * tcl, p2 + 2 * tcl)
     sq0 = jnp.clip((q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3,
-                   q0 - 2 * tc, q0 + 2 * tc)
-    sq1 = jnp.clip((q2 + q1 + q0 + p0 + 2) >> 2, q1 - 2 * tc, q1 + 2 * tc)
+                   q0 - 2 * tcl, q0 + 2 * tcl)
+    sq1 = jnp.clip((q2 + q1 + q0 + p0 + 2) >> 2, q1 - 2 * tcl, q1 + 2 * tcl)
     sq2 = jnp.clip((2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3,
-                   q2 - 2 * tc, q2 + 2 * tc)
+                   q2 - 2 * tcl, q2 + 2 * tcl)
 
     # ---- weak filter ----
     delta = (9 * (q0 - p0) - 3 * (q1 - p1) + 8) >> 4
-    weak_on = jnp.abs(delta) < 10 * tc
-    dclip = jnp.clip(delta, -tc, tc)
+    weak_on = jnp.abs(delta) < 10 * tcl
+    dclip = jnp.clip(delta, -tcl, tcl)
     wp0 = jnp.clip(p0 + dclip, 0, maxval)
     wq0 = jnp.clip(q0 - dclip, 0, maxval)
-    tc2 = tc >> 1
-    dp1 = jnp.clip((((p2 + p0 + 1) >> 1) - p1 + dclip) >> 1, -tc2, tc2)
-    wq1d = jnp.clip((((q2 + q0 + 1) >> 1) - q1 - dclip) >> 1, -tc2, tc2)
+    tch = tcl >> 1
+    dp1 = jnp.clip((((p2 + p0 + 1) >> 1) - p1 + dclip) >> 1, -tch, tch)
+    wq1d = jnp.clip((((q2 + q0 + 1) >> 1) - q1 - dclip) >> 1, -tch, tch)
     wp1 = jnp.clip(p1 + dp1, 0, maxval)
     wq1 = jnp.clip(q1 + wq1d, 0, maxval)
 
@@ -125,8 +139,11 @@ def _filter_ver_edges_luma(plane: jnp.ndarray, edges: np.ndarray, qp: int,
 
 
 def _filter_ver_edges_chroma(plane: jnp.ndarray, edges: np.ndarray, qp: int,
-                             bit_depth: int = 8) -> jnp.ndarray:
-    """Chroma vertical edges: BS=2 -> always filter p0/q0 (spec 8.7.2.5.5)."""
+                             bit_depth: int = 8,
+                             mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Chroma vertical edges, filtered where BS==2 (spec 8.7.2.5.5).
+
+    mask: optional [E, H_c] bool (BS==2 per line); None = everywhere."""
     if edges.size == 0:
         return plane
     tc = _chroma_params(qp, bit_depth)
@@ -139,6 +156,10 @@ def _filter_ver_edges_chroma(plane: jnp.ndarray, edges: np.ndarray, qp: int,
     delta = jnp.clip(((((q0 - p0) << 2) + p1 - q1 + 4) >> 3), -tc, tc)
     np0 = jnp.clip(p0 + delta, 0, maxval)
     nq0 = jnp.clip(q0 - delta, 0, maxval)
+    if mask is not None:
+        m = jnp.swapaxes(mask, 0, 1)                           # [H, E]
+        np0 = jnp.where(m, np0, p0)
+        nq0 = jnp.where(m, nq0, q0)
     new = jnp.stack([np0, nq0], axis=-1)                       # [H, E, 2]
     widx = edges[:, None] + np.arange(-1, 1)[None, :]
     return plane.at[:, widx].set(new)
@@ -176,4 +197,43 @@ def deblock_420_np(rec_y: np.ndarray, rec_u: np.ndarray, rec_v: np.ndarray,
                    qp: int, block: int = 16, bit_depth: int = 8):
     out = deblock_420(jnp.asarray(rec_y), jnp.asarray(rec_u),
                       jnp.asarray(rec_v), qp, block, bit_depth)
+    return tuple(np.asarray(o) for o in out)
+
+
+def deblock_420_bs(rec_y, rec_u, rec_v, qp: int,
+                   bs_ver: np.ndarray, bs_hor: np.ndarray,
+                   block: int = 16, bit_depth: int = 8):
+    """Deblock with per-block-pair boundary strengths (inter pictures).
+
+    bs_ver: [n_ver_edges, bh] BS between horizontally adjacent blocks;
+    bs_hor: [n_hor_edges, bw] BS between vertically adjacent blocks.
+    """
+    h, w = rec_y.shape
+    ey = np.arange(block, w, block, dtype=np.int32)
+    ex = np.arange(block, h, block, dtype=np.int32)
+    cbk = block // 2
+    cey = np.arange(cbk, w // 2, cbk, dtype=np.int32)
+    cex = np.arange(cbk, h // 2, cbk, dtype=np.int32)
+    segs = block // 4
+
+    bs_v = jnp.repeat(jnp.asarray(bs_ver), segs, axis=1)   # [E, H//4]
+    bs_h = jnp.repeat(jnp.asarray(bs_hor), segs, axis=1)
+    rec_y = _filter_ver_edges_luma(rec_y, ey, qp, bit_depth, bs=bs_v)
+    rec_y = _filter_ver_edges_luma(rec_y.T, ex, qp, bit_depth, bs=bs_h).T
+
+    cm_v = jnp.repeat(jnp.asarray(bs_ver) == 2, cbk, axis=1)  # [E, H_c]
+    cm_h = jnp.repeat(jnp.asarray(bs_hor) == 2, cbk, axis=1)
+    out_c = []
+    for p in (rec_u, rec_v):
+        p = _filter_ver_edges_chroma(p, cey, qp, bit_depth, mask=cm_v)
+        p = _filter_ver_edges_chroma(p.T, cex, qp, bit_depth, mask=cm_h).T
+        out_c.append(p)
+    return rec_y, out_c[0], out_c[1]
+
+
+def deblock_420_bs_np(rec_y, rec_u, rec_v, qp, bs_ver, bs_hor,
+                      block: int = 16, bit_depth: int = 8):
+    out = deblock_420_bs(jnp.asarray(rec_y), jnp.asarray(rec_u),
+                         jnp.asarray(rec_v), qp, bs_ver, bs_hor,
+                         block, bit_depth)
     return tuple(np.asarray(o) for o in out)

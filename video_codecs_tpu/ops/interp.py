@@ -1,0 +1,142 @@
+"""HEVC sub-pel interpolation + motion compensation (spec 8.5.4.2.2).
+
+Parity reference: hm-16.5rc1/source/Lib/TLibCommon/TComInterpolationFilter.cpp
+— 8-tap luma / 4-tap chroma DCT-IF coefficient tables (:57-65), templated
+filterHor/filterVer (:350-392).
+
+Batched over blocks: each block carries its own integer MV + fractional
+phase; gathers are clamped to the picture (edge replication, equivalent to
+HM's margin padding).  All arithmetic int32, 14-bit intermediate domain:
+    shift1 = BitDepth-8 (=0), shift2 = 6, shift3 = 14-BitDepth (=6),
+    final uni-pred: (pred14 + 32) >> 6, clipped.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+# frac -> 8 taps (TComInterpolationFilter.cpp:57)
+LUMA_FILTERS = np.array([
+    [0, 0, 0, 64, 0, 0, 0, 0],
+    [-1, 4, -10, 58, 17, -5, 1, 0],
+    [-1, 4, -11, 40, 40, -11, 4, -1],
+    [0, 1, -5, 17, 58, -10, 4, -1]], np.int32)
+
+# frac (1/8) -> 4 taps (TComInterpolationFilter.cpp:64)
+CHROMA_FILTERS = np.array([
+    [0, 64, 0, 0],
+    [-2, 58, 10, -2],
+    [-4, 54, 16, -2],
+    [-6, 46, 28, -4],
+    [-4, 36, 36, -4],
+    [-4, 28, 46, -6],
+    [-2, 16, 54, -4],
+    [-2, 10, 58, -2]], np.int32)
+
+
+def _gather_window(ref: jnp.ndarray, x0, y0, w: int, h: int) -> jnp.ndarray:
+    """[B, h, w] windows at integer (x0, y0), edge-replicated."""
+    hh, ww = ref.shape
+    rows = jnp.clip(y0[:, None, None] +
+                    jnp.arange(h, dtype=jnp.int32)[None, :, None], 0, hh - 1)
+    cols = jnp.clip(x0[:, None, None] +
+                    jnp.arange(w, dtype=jnp.int32)[None, None, :], 0, ww - 1)
+    return ref[rows, cols]
+
+
+def mc_luma(ref: jnp.ndarray, x0, y0, mvx, mvy, n: int) -> jnp.ndarray:
+    """Spec-exact luma MC [B, n, n]: two 8-tap stages, standard shifts.
+
+    The unified two-pass path is exact for every phase: full-pel taps are
+    a single 64, and *64 followed by >>6 is lossless, so the integer-MV
+    and single-direction cases reduce to the spec formulas bit-exactly.
+    (x0, y0): block positions; (mvx, mvy): quarter-pel MVs, per block.
+    """
+    ix = x0 + (mvx >> 2)
+    iy = y0 + (mvy >> 2)
+    fx = mvx & 3
+    fy = mvy & 3
+    win = _gather_window(ref.astype(jnp.int32), ix - 3, iy - 3, n + 7, n + 7)
+    taps = jnp.asarray(LUMA_FILTERS)
+    fh = taps[fx]
+    fv = taps[fy]
+    cols = jnp.stack([win[:, :, i:i + n] for i in range(8)], axis=-1)
+    hor = jnp.einsum("byxi,bi->byx", cols, fh)    # >> shift1 (=0); 14-bit
+    rows = jnp.stack([hor[:, i:i + n, :] for i in range(8)], axis=-1)
+    ver = jnp.einsum("byxi,bi->byx", rows, fv)    # 20-bit
+    pred14 = ver >> 6                              # shift2
+    out = jnp.clip((pred14 + 32) >> 6, 0, 255)
+    return out.astype(jnp.int32)
+
+
+def mc_chroma(ref: jnp.ndarray, x0, y0, mvx, mvy, n: int) -> jnp.ndarray:
+    """Chroma MC: 1/8-pel MVs (= luma quarter-pel MV used directly in
+    chroma sample units), 4-tap filters, taps -1..+2."""
+    ix = x0 + (mvx >> 3)
+    iy = y0 + (mvy >> 3)
+    fx = mvx & 7
+    fy = mvy & 7
+    win = _gather_window(ref.astype(jnp.int32), ix - 1, iy - 1, n + 3, n + 3)
+    taps = jnp.asarray(CHROMA_FILTERS)
+    fh = taps[fx]
+    fv = taps[fy]
+    cols = jnp.stack([win[:, :, i:i + n] for i in range(4)], axis=-1)
+    hor = jnp.einsum("byxi,bi->byx", cols, fh)
+    rows = jnp.stack([hor[:, i:i + n, :] for i in range(4)], axis=-1)
+    ver = jnp.einsum("byxi,bi->byx", rows, fv)
+    pred14 = ver >> 6
+    out = jnp.clip((pred14 + 32) >> 6, 0, 255)
+    return out.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# NumPy scalar twin (tests / host reference)
+# ---------------------------------------------------------------------------
+
+def mc_luma_np(ref: np.ndarray, x0: int, y0: int, mvx: int, mvy: int,
+               n: int) -> np.ndarray:
+    ix, iy = x0 + (mvx >> 2), y0 + (mvy >> 2)
+    fx, fy = mvx & 3, mvy & 3
+    h, w = ref.shape
+    win = np.zeros((n + 7, n + 7), np.int64)
+    for r in range(n + 7):
+        for c in range(n + 7):
+            win[r, c] = ref[min(max(iy - 3 + r, 0), h - 1),
+                            min(max(ix - 3 + c, 0), w - 1)]
+    fh = LUMA_FILTERS[fx].astype(np.int64)
+    fv = LUMA_FILTERS[fy].astype(np.int64)
+    hor = np.zeros((n + 7, n), np.int64)
+    for r in range(n + 7):
+        for c in range(n):
+            hor[r, c] = (win[r, c:c + 8] * fh).sum()
+    out = np.zeros((n, n), np.int64)
+    for r in range(n):
+        for c in range(n):
+            v = (hor[r:r + 8, c] * fv).sum() >> 6
+            out[r, c] = min(max((v + 32) >> 6, 0), 255)
+    return out.astype(np.int32)
+
+
+def mc_chroma_np(ref: np.ndarray, x0: int, y0: int, mvx: int, mvy: int,
+                 n: int) -> np.ndarray:
+    ix, iy = x0 + (mvx >> 3), y0 + (mvy >> 3)
+    fx, fy = mvx & 7, mvy & 7
+    h, w = ref.shape
+    win = np.zeros((n + 3, n + 3), np.int64)
+    for r in range(n + 3):
+        for c in range(n + 3):
+            win[r, c] = ref[min(max(iy - 1 + r, 0), h - 1),
+                            min(max(ix - 1 + c, 0), w - 1)]
+    fh = CHROMA_FILTERS[fx].astype(np.int64)
+    fv = CHROMA_FILTERS[fy].astype(np.int64)
+    hor = np.zeros((n + 3, n), np.int64)
+    for r in range(n + 3):
+        for c in range(n):
+            hor[r, c] = (win[r, c:c + 4] * fh).sum()
+    out = np.zeros((n, n), np.int64)
+    for r in range(n):
+        for c in range(n):
+            v = (hor[r:r + 4, c] * fv).sum() >> 6
+            out[r, c] = min(max((v + 32) >> 6, 0), 255)
+    return out.astype(np.int32)
