@@ -1,0 +1,72 @@
+"""H.264 baseline I_16x16 codec: CAVLC round-trip, self decode, JM conformance."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from test_intra_codec import synth_frame
+from video_codecs_tpu.entropy import cavlc
+from video_codecs_tpu.entropy.bitstream import BitReader, BitWriter
+from video_codecs_tpu.models.h264 import intra_codec as h264
+from video_codecs_tpu.utils import yuv
+
+JM_DECODER = "/root/repo/.refbuild/jm18.5/bin/ldecod.exe"
+RNG = np.random.default_rng(21)
+
+
+def test_cavlc_roundtrip_fuzz():
+    for trial in range(400):
+        n = int(RNG.choice([16, 15, 4]))
+        mag = int(RNG.choice([1, 2, 30, 3000, 30000]))
+        coeffs = [int(v) if RNG.random() < RNG.uniform(0, 1) else 0
+                  for v in RNG.integers(-mag, mag + 1, n)]
+        nc = -1 if n == 4 else int(RNG.choice([0, 1, 2, 3, 4, 7, 8, 16]))
+        w = BitWriter()
+        cavlc.encode_block(w, coeffs, nc, n)
+        pad = (8 - (w.num_bits() & 7)) & 7
+        if pad:
+            w.write(0, pad)
+        w.write(0xFF, 8)
+        got = cavlc.decode_block(BitReader(w.data()), nc, n)
+        assert got == coeffs, (trial, nc)
+
+
+@pytest.mark.parametrize("qp", [20, 28, 40])
+def test_h264_self_roundtrip(qp):
+    w, h = 64, 48
+    enc = h264.H264IntraEncoder(w, h, qp=qp)
+    frames = [synth_frame(w, h, s) for s in range(2)]
+    stream, recons = enc.encode_sequence(frames)
+    dec = h264.H264IntraDecoder()
+    out = dec.decode(stream)
+    assert len(out) == 2
+    for i in range(2):
+        for j in range(3):
+            np.testing.assert_array_equal(out[i][j], recons[i][j])
+    p = yuv.psnr(np.stack([r[0] for r in recons]),
+                 np.stack([f[0] for f in frames]))
+    assert p > {20: 38, 28: 31, 40: 22}[qp], p
+
+
+@pytest.mark.skipif(not os.path.exists(JM_DECODER),
+                    reason="JM reference decoder not built")
+def test_h264_jm_conformance(tmp_path):
+    w, h = 64, 48
+    enc = h264.H264IntraEncoder(w, h, qp=28)
+    frames = [synth_frame(w, h, s) for s in range(3)]
+    stream, recons = enc.encode_sequence(frames)
+    bin_path = tmp_path / "ours.264"
+    rec_path = tmp_path / "jm_rec.yuv"
+    bin_path.write_bytes(stream)
+    r = subprocess.run([JM_DECODER, "-i", str(bin_path), "-o", str(rec_path)],
+                       capture_output=True, text=True, timeout=120,
+                       cwd=tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "3 frames are decoded" in r.stdout, r.stdout
+    ry, ru, rv = yuv.read_frames(str(rec_path), w, h)
+    for i, (ey, eu, ev) in enumerate(recons):
+        np.testing.assert_array_equal(ry[i], ey.astype(np.uint8))
+        np.testing.assert_array_equal(ru[i], eu.astype(np.uint8))
+        np.testing.assert_array_equal(rv[i], ev.astype(np.uint8))
