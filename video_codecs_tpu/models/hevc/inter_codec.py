@@ -487,11 +487,18 @@ def _satd8(a: np.ndarray, b: np.ndarray) -> int:
 # ---------------------------------------------------------------------------
 
 class LowDelayDecoder(ic.IntraDecoder):
-    """Decodes IDR + TRAIL_R P-slice streams of this build."""
+    """Decodes IDR + TRAIL_R P-slice streams of this build.
 
-    def __init__(self) -> None:
+    With conceal=True, lost/corrupt P pictures are concealed by frame copy
+    (the reference's erc_do_p.c frame-copy mode; SURVEY.md §5 failure
+    detection) so packet-loss streams still yield a full-length output.
+    """
+
+    def __init__(self, conceal: bool = False) -> None:
         super().__init__()
         self._ref = None
+        self.conceal = conceal
+        self.concealed: list[int] = []
 
     def decode(self, stream: bytes):
         frames = []
@@ -509,7 +516,14 @@ class LowDelayDecoder(ic.IntraDecoder):
                 frames.append(frame)
                 self._ref = frame
             elif nal_type == NAL_TRAIL_R:
-                frame = self._decode_p_slice(rbsp)
+                if self.conceal:
+                    try:
+                        frame = self._decode_p_slice(rbsp)
+                    except Exception:
+                        frame = tuple(p.copy() for p in self._ref)
+                        self.concealed.append(len(frames))
+                else:
+                    frame = self._decode_p_slice(rbsp)
                 frames.append(frame)
                 self._ref = frame
             elif nal_type == bs.NAL_SUFFIX_SEI:
