@@ -73,3 +73,26 @@ def test_ldp_hm_conformance(tmp_path):
         np.testing.assert_array_equal(ry[i], ey.astype(np.uint8))
         np.testing.assert_array_equal(ru[i], eu.astype(np.uint8))
         np.testing.assert_array_equal(rv[i], ev.astype(np.uint8))
+
+
+@pytest.mark.parametrize("ctrl", ["rlambda", "urq"])
+def test_rate_control_hits_target(ctrl):
+    from video_codecs_tpu.models.hevc import ratectrl
+    w, h, fps = 64, 48, 30.0
+    frames = moving_clip(w, h, 10)
+    target_bps = 120_000.0
+    cfg = headers.HevcConfig(width=w, height=h, qp=32)
+    enc = inter_codec.LowDelayEncoder(cfg)
+    cls = (ratectrl.RateLambdaControl if ctrl == "rlambda"
+           else ratectrl.UrqQuadraticControl)
+    rc = cls(target_bps, fps, w, h, base_qp=32)
+    stream, recons = enc.encode_sequence_ldp(frames, rate_control=rc)
+    achieved = len(stream) * 8 * fps / len(frames)
+    assert 0.55 * target_bps < achieved < 1.6 * target_bps, \
+        (achieved, enc.frame_qps)
+    assert len(set(enc.frame_qps)) > 1, "QP never adapted"
+    # stream remains decodable (per-slice QP via slice_qp_delta)
+    dec = inter_codec.LowDelayDecoder()
+    out = dec.decode(stream)
+    assert len(out) == 10
+    np.testing.assert_array_equal(out[-1][0], recons[-1][0])

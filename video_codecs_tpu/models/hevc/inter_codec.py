@@ -201,15 +201,26 @@ class LowDelayEncoder(ic.IntraEncoder):
         super().__init__(cfg)
         self.search_range = search_range
 
-    def encode_sequence_ldp(self, frames):
+    def encode_sequence_ldp(self, frames, rate_control=None):
+        """IPPP encode; optional rate controller (models.hevc.ratectrl)
+        drives per-picture QP through slice_qp_delta."""
         nals = self.stream_headers()
         recons = []
         ref = None
+        self.frame_qps: list[int] = []
         for poc, (y, u, v) in enumerate(frames):
+            if rate_control is not None:
+                self.cfg.qp = rate_control.pick_qp()
+            self.frame_qps.append(self.cfg.qp)
             if poc == 0:
                 frame_nals, rec = self.encode_frame(y, u, v)
             else:
                 frame_nals, rec = self.encode_p_frame(y, u, v, ref, poc)
+            if rate_control is not None:
+                bits = 8 * sum(len(n) for n in frame_nals)
+                mad = float(np.mean(np.abs(
+                    rec[0].astype(np.float64) - y.astype(np.float64))))
+                rate_control.update(bits, mad)
             nals.extend(frame_nals)
             recons.append(rec)
             ref = rec
