@@ -31,6 +31,18 @@ class HevcConfig:
     level_idc: int = 123       # level 4.1
     deblocking_disabled: bool = False
     sign_data_hiding: bool = False
+    tile_columns: int = 1      # uniform tile columns (1 = no tiles)
+
+    @property
+    def tiles_enabled(self) -> bool:
+        return self.tile_columns > 1
+
+    def tile_col_bounds(self) -> list[tuple[int, int]]:
+        """[(first_ctb_x, last_ctb_x+1)] per tile column, uniform spacing
+        (TComPicSym tile maps; spec 6.5.1 uniform_spacing rule)."""
+        n, cols = self.tile_columns, self.ctbs_x
+        edges = [(i * cols) // n for i in range(n + 1)]
+        return [(edges[i], edges[i + 1]) for i in range(n)]
 
     @property
     def ctbs_x(self) -> int:
@@ -183,8 +195,13 @@ def write_pps(cfg: HevcConfig) -> bytes:
     w.flag(0)       # weighted_pred_flag
     w.flag(0)       # weighted_bipred_flag
     w.flag(0)       # transquant_bypass_enabled_flag
-    w.flag(0)       # tiles_enabled_flag
+    w.flag(1 if cfg.tiles_enabled else 0)  # tiles_enabled_flag
     w.flag(0)       # entropy_coding_sync_enabled_flag
+    if cfg.tiles_enabled:
+        w.ue(cfg.tile_columns - 1)  # num_tile_columns_minus1
+        w.ue(0)                     # num_tile_rows_minus1
+        w.flag(1)                   # uniform_spacing_flag
+        w.flag(1)                   # loop_filter_across_tiles_enabled_flag
     w.flag(1)       # pps_loop_filter_across_slices_enabled_flag
     w.flag(1)       # deblocking_filter_control_present_flag
     w.flag(0)       # deblocking_filter_override_enabled_flag
@@ -206,6 +223,7 @@ class PpsInfo:
     sign_data_hiding: bool = False
     init_qp: int = 26
     deblocking_disabled: bool = False
+    tile_columns: int = 1
 
 
 def parse_pps(rbsp: bytes) -> PpsInfo:
@@ -225,8 +243,14 @@ def parse_pps(rbsp: bytes) -> PpsInfo:
     assert not r.flag()
     r.flag(), r.flag()
     assert not r.flag(), "transquant bypass unsupported"
-    assert not r.flag(), "tiles unsupported"
+    tiles_on = bool(r.flag())  # tiles_enabled_flag
     assert not r.flag(), "WPP unsupported"
+    tile_columns = 1
+    if tiles_on:
+        tile_columns = r.ue() + 1
+        assert r.ue() == 0, "tile rows unsupported"
+        assert r.flag() == 1, "non-uniform tiles unsupported"
+        r.flag()  # loop_filter_across_tiles
     r.flag()
     dbf_disabled = True
     if r.flag():  # deblocking_filter_control_present
@@ -235,11 +259,15 @@ def parse_pps(rbsp: bytes) -> PpsInfo:
         if not dbf_disabled:
             r.se(), r.se()
     return PpsInfo(sign_data_hiding=sdh, init_qp=init_qp,
-                   deblocking_disabled=dbf_disabled)
+                   deblocking_disabled=dbf_disabled,
+                   tile_columns=tile_columns)
 
 
-def write_slice_header(cfg: HevcConfig, nal_type: int) -> BitWriter:
-    """I-slice segment header; returns the writer so slice data appends."""
+def write_slice_header(cfg: HevcConfig, nal_type: int,
+                       entry_points: list[int] | None = None) -> BitWriter:
+    """I-slice segment header; returns the writer so slice data appends.
+
+    entry_points: byte sizes of all but the last tile substream."""
     w = BitWriter()
     w.flag(1)       # first_slice_segment_in_pic_flag
     if 16 <= nal_type <= 23:  # IRAP
@@ -251,6 +279,14 @@ def write_slice_header(cfg: HevcConfig, nal_type: int) -> BitWriter:
         # present when pps_loop_filter_across_slices_enabled_flag &&
         # (SAO on || !slice_deblocking_filter_disabled_flag)
         w.flag(1)   # slice_loop_filter_across_slices_enabled_flag
+    if cfg.tiles_enabled:
+        eps = entry_points or []
+        w.ue(len(eps))  # num_entry_point_offsets
+        if eps:
+            nbits = max(e - 1 for e in eps).bit_length() or 1
+            w.ue(nbits - 1)  # offset_len_minus1
+            for e in eps:
+                w.write(e - 1, nbits)
     w.byte_alignment()
     return w
 
@@ -260,6 +296,7 @@ class SliceInfo:
     slice_type: int
     qp: int
     data_offset_bits: int
+    entry_points: list[int] = dataclasses.field(default_factory=list)
 
 
 def parse_slice_header(rbsp: bytes, nal_type: int, pps: PpsInfo) -> SliceInfo:
@@ -273,9 +310,16 @@ def parse_slice_header(rbsp: bytes, nal_type: int, pps: PpsInfo) -> SliceInfo:
     qp = pps.init_qp + r.se()
     if not pps.deblocking_disabled:
         r.flag()  # slice_loop_filter_across_slices_enabled_flag
+    entry_points = []
+    if pps.tile_columns > 1:
+        n = r.ue()
+        if n:
+            nbits = r.ue() + 1
+            entry_points = [r.read(nbits) + 1 for _ in range(n)]
     # byte_alignment: consume up to the next byte boundary
     one = r.flag()
     assert one == 1
     r.byte_align()
     return SliceInfo(slice_type=slice_type, qp=qp,
-                     data_offset_bits=r.bit_pos())
+                     data_offset_bits=r.bit_pos(),
+                     entry_points=entry_points)

@@ -42,25 +42,29 @@ DC = 1
 # Shared helpers (encoder recon == decoder recon)
 # ---------------------------------------------------------------------------
 
-def build_ref_np(plane: np.ndarray, x: int, y: int, n: int) -> np.ndarray:
+def build_ref_np(plane: np.ndarray, x: int, y: int, n: int,
+                 tile_x0: int = 0, tile_x1: int | None = None) -> np.ndarray:
     """Substituted reference array (4N+1) for block at (x, y) from a
-    partially reconstructed plane, raster decode order availability."""
+    partially reconstructed plane; availability follows tile-scan decode
+    order and never crosses the [tile_x0, tile_x1) tile column."""
     h, w = plane.shape
+    if tile_x1 is None:
+        tile_x1 = w
     r = 4 * n + 1
     samples = np.zeros(r, np.int32)
     avail = np.zeros(r, bool)
     # left column k=0..2N-1: p[-1][2N-1-k]
-    if x > 0:
+    if x > tile_x0:
         for k in range(n, 2 * n):          # j = 2N-1-k in [0, N): left part
             j = 2 * n - 1 - k
             samples[k] = plane[y + j, x - 1]
             avail[k] = True
         # below-left j in [N, 2N): never decoded yet in raster block order
-    if x > 0 and y > 0:
+    if x > tile_x0 and y > 0:
         samples[2 * n] = plane[y - 1, x - 1]
         avail[2 * n] = True
     if y > 0:
-        top_max = min(2 * n, w - x)        # top-right clipped at picture edge
+        top_max = min(2 * n, tile_x1 - x)  # clipped at tile/picture edge
         for i in range(top_max):
             samples[2 * n + 1 + i] = plane[y - 1, x + i]
             avail[2 * n + 1 + i] = True
@@ -144,6 +148,10 @@ class IntraEncoder:
 
         cfg = self.cfg
         bw, bh = cfg.width // 16, cfg.height // 16
+        bounds = cfg.tile_col_bounds()
+        tile_of = np.zeros(bw, np.int32)
+        for t, (tx0, tx1) in enumerate(bounds):
+            tile_of[tx0:tx1] = t
         nb = bw * bh
         refs = np.zeros((nb, 65), np.int32)
         origs = np.zeros((nb, 16, 16), np.int32)
@@ -151,7 +159,9 @@ class IntraEncoder:
         for by in range(bh):
             for bx in range(bw):
                 i = by * bw + bx
-                refs[i] = build_ref_np(yv, bx * 16, by * 16, 16)
+                tx0, tx1 = bounds[tile_of[bx]]
+                refs[i] = build_ref_np(yv, bx * 16, by * 16, 16,
+                                       tx0 * 16, tx1 * 16)
                 origs[i] = yv[by * 16:(by + 1) * 16, bx * 16:(bx + 1) * 16]
         modes = np.broadcast_to(np.arange(35, dtype=np.int32), (nb, 35))
         preds = intra_ops.predict_intra(jnp.asarray(refs), jnp.asarray(modes), 4)
@@ -163,7 +173,8 @@ class IntraEncoder:
         for by in range(bh):
             for bx in range(bw):
                 i = by * bw + bx
-                left = int(best[i - 1]) if bx > 0 else DC
+                at_tile_edge = bx == bounds[tile_of[bx]][0]
+                left = DC if at_tile_edge else int(best[i - 1])
                 mpm = mpm_list(left)
                 bits = np.full(35, 5.0 + 1.0)
                 bits[mpm[0]] = 2.0
@@ -187,12 +198,14 @@ class IntraEncoder:
         rec_v = np.zeros_like(rec_u)
         yv, uv, vv = (p.astype(np.int32) for p in (y, u, v))
 
-        ctus: list[CtuData] = []
-        for by in range(bh):
-            for bx in range(bw):
+        ctus: list[CtuData] = [None] * (bw * bh)  # type: ignore
+        tile_iter = [(bx, by, tx0, tx1)
+                     for (tx0, tx1) in cfg.tile_col_bounds()
+                     for by in range(bh) for bx in range(tx0, tx1)]
+        for bx, by, tx0, tx1 in tile_iter:
                 mode = int(modes[by, bx])
                 x, yy = bx * 16, by * 16
-                ref = build_ref_np(rec_y, x, yy, 16)
+                ref = build_ref_np(rec_y, x, yy, 16, tx0 * 16, tx1 * 16)
                 pred = intra_ops.predict_intra_np(ref, mode, 4)
                 lv, rec = code_tb_np(yv[yy:yy + 16, x:x + 16], pred, cfg.qp, 4,
                                      dst=False)
@@ -200,18 +213,18 @@ class IntraEncoder:
                 cx, cy = x // 2, yy // 2
                 out_c = []
                 for plane_o, plane_r in ((uv, rec_u), (vv, rec_v)):
-                    refc = build_ref_np(plane_r, cx, cy, 8)
+                    refc = build_ref_np(plane_r, cx, cy, 8, tx0 * 8, tx1 * 8)
                     predc = intra_ops.predict_intra_np(refc, mode, 3,
                                                        is_luma=False)
                     lvc, recc = code_tb_np(plane_o[cy:cy + 8, cx:cx + 8],
                                            predc, qp_c, 3, dst=False)
                     plane_r[cy:cy + 8, cx:cx + 8] = recc
                     out_c.append(lvc)
-                ctus.append(CtuData(
+                ctus[by * bw + bx] = CtuData(
                     mode=mode,
                     levels_y=lv if lv.any() else None,
                     levels_cb=out_c[0] if out_c[0].any() else None,
-                    levels_cr=out_c[1] if out_c[1].any() else None))
+                    levels_cr=out_c[1] if out_c[1].any() else None)
 
         if not cfg.deblocking_disabled:
             rec_y, rec_u, rec_v = deblock_ops.deblock_420_np(
@@ -222,17 +235,32 @@ class IntraEncoder:
         return [slice_nal, sei_nal], (rec_y, rec_u, rec_v)
 
     def _encode_slice(self, ctus: list[CtuData]) -> bytes:
+        """Serialize the slice; with tiles, one CABAC substream per tile
+        in tile-scan order with entry-point offsets in the header."""
         cfg = self.cfg
-        bw = cfg.width // 16
-        w = headers.write_slice_header(cfg, bs.NAL_IDR_W_RADL)
-        states = ctx.init_states(ctx.I, cfg.qp)
-        enc = cabac.CabacEncoder(w, states)
-        for i, ctu in enumerate(ctus):
-            left_mode = ctus[i - 1].mode if i % bw else DC
-            self._encode_ctu(enc, ctu, left_mode)
-            enc.encode_terminate(1 if i == len(ctus) - 1 else 0)
-        enc.finish_slice()
-        return bs.nal_unit(bs.NAL_IDR_W_RADL, w.data())
+        bw, bh = cfg.width // 16, cfg.height // 16
+        bounds = cfg.tile_col_bounds()
+        substreams = []
+        for t, (tx0, tx1) in enumerate(bounds):
+            w = bs.BitWriter()
+            enc = cabac.CabacEncoder(w, ctx.init_states(ctx.I, cfg.qp))
+            last_tile = t == len(bounds) - 1
+            for by in range(bh):
+                for bx in range(tx0, tx1):
+                    ctu = ctus[by * bw + bx]
+                    left_mode = ctus[by * bw + bx - 1].mode if bx > tx0 else DC
+                    self._encode_ctu(enc, ctu, left_mode)
+                    last_ctu = (by == bh - 1 and bx == tx1 - 1)
+                    enc.encode_terminate(1 if (last_ctu and last_tile) else 0)
+                    if last_ctu and not last_tile:
+                        enc.encode_terminate(1)  # end_of_subset_one_bit
+            enc.finish_slice()
+            substreams.append(w.data())
+        hdr = headers.write_slice_header(
+            cfg, bs.NAL_IDR_W_RADL,
+            entry_points=[len(ss) for ss in substreams[:-1]])
+        return bs.nal_unit(bs.NAL_IDR_W_RADL,
+                           hdr.data() + b"".join(substreams))
 
     def _encode_ctu(self, enc: cabac.CabacEncoder, ctu: CtuData,
                     left_mode: int) -> None:
@@ -283,6 +311,8 @@ class IntraEncoder:
         from video_codecs_tpu.models.hevc import encoder_jax
 
         cfg = self.cfg
+        assert cfg.tile_columns == 1, \
+            "use parallel.tiles.encode_frame_tiles for tiled streams"
         bw, bh = cfg.width // 16, cfg.height // 16
         st = encoder_jax.encode_frame_jit(y, u, v, cfg.qp, bw, bh,
                                           deblock=not cfg.deblocking_disabled)
@@ -390,48 +420,57 @@ class IntraDecoder:
         qp_c = chroma_qp(qp)
         bw, bh = cfg.width // 16, cfg.height // 16
 
-        # CABAC payload starts at the (byte-aligned) slice data offset.
+        # CABAC payload starts at the (byte-aligned) slice data offset;
+        # tiles split it into independent substreams at the entry points.
         data = rbsp[info.data_offset_bits // 8:]
-        states = ctx.init_states(ctx.I, qp)
-        dec = cabac.CabacDecoder(bs.BitReader(data), states)
+        n_tiles = pps.tile_columns
+        edges = [(i * bw) // n_tiles for i in range(n_tiles + 1)]
+        offs = [0]
+        for e in info.entry_points:
+            offs.append(offs[-1] + e)
+        offs.append(len(data))
+        assert len(offs) == n_tiles + 1, "entry points != tile count"
 
         rec_y = np.zeros((cfg.height, cfg.width), np.int32)
         rec_u = np.zeros((cfg.height // 2, cfg.width // 2), np.int32)
         rec_v = np.zeros_like(rec_u)
-        left_modes = np.full(bh, DC, np.int32)
 
-        for by in range(bh):
-            left_mode = DC
-            for bx in range(bw):
-                mode, lv_y, lv_cb, lv_cr = self._decode_ctu(dec, left_mode)
-                left_mode = mode
-                x, yy = bx * 16, by * 16
-                ref = build_ref_np(rec_y, x, yy, 16)
-                pred = intra_ops.predict_intra_np(ref, mode, 4)
-                if lv_y is not None:
-                    dq = quant_ops.dequantize_np(lv_y, qp, 4)
-                    r = tr_ops.inverse_transform_np(dq, 4)
-                    rec = np.clip(pred + r, 0, 255)
-                else:
-                    rec = pred
-                rec_y[yy:yy + 16, x:x + 16] = rec
-                cx, cy = x // 2, yy // 2
-                for lv_c, plane in ((lv_cb, rec_u), (lv_cr, rec_v)):
-                    refc = build_ref_np(plane, cx, cy, 8)
-                    predc = intra_ops.predict_intra_np(refc, mode, 3,
-                                                       is_luma=False)
-                    if lv_c is not None:
-                        dq = quant_ops.dequantize_np(lv_c, qp_c, 3)
-                        r = tr_ops.inverse_transform_np(dq, 3)
-                        recc = np.clip(predc + r, 0, 255)
+        for t in range(n_tiles):
+            tx0, tx1 = edges[t], edges[t + 1]
+            dec = cabac.CabacDecoder(bs.BitReader(data[offs[t]:offs[t + 1]]),
+                                     ctx.init_states(ctx.I, qp))
+            last_tile = t == n_tiles - 1
+            for by in range(bh):
+                left_mode = DC
+                for bx in range(tx0, tx1):
+                    mode, lv_y, lv_cb, lv_cr = self._decode_ctu(dec, left_mode)
+                    left_mode = mode
+                    x, yy = bx * 16, by * 16
+                    ref = build_ref_np(rec_y, x, yy, 16, tx0 * 16, tx1 * 16)
+                    pred = intra_ops.predict_intra_np(ref, mode, 4)
+                    if lv_y is not None:
+                        dq = quant_ops.dequantize_np(lv_y, qp, 4)
+                        r = tr_ops.inverse_transform_np(dq, 4)
+                        rec = np.clip(pred + r, 0, 255)
                     else:
-                        recc = predc
-                    plane[cy:cy + 8, cx:cx + 8] = recc
-                end = dec.decode_terminate()
-                is_last = (by == bh - 1 and bx == bw - 1)
-                assert end == (1 if is_last else 0), \
-                    f"end_of_slice mismatch at CTU ({bx},{by})"
-        _ = left_modes
+                        rec = pred
+                    rec_y[yy:yy + 16, x:x + 16] = rec
+                    cx, cy = x // 2, yy // 2
+                    for lv_c, plane in ((lv_cb, rec_u), (lv_cr, rec_v)):
+                        refc = build_ref_np(plane, cx, cy, 8, tx0 * 8, tx1 * 8)
+                        predc = intra_ops.predict_intra_np(refc, mode, 3,
+                                                           is_luma=False)
+                        if lv_c is not None:
+                            dq = quant_ops.dequantize_np(lv_c, qp_c, 3)
+                            r = tr_ops.inverse_transform_np(dq, 3)
+                            recc = np.clip(predc + r, 0, 255)
+                        else:
+                            recc = predc
+                        plane[cy:cy + 8, cx:cx + 8] = recc
+                    end = dec.decode_terminate()
+                    is_last = (by == bh - 1 and bx == tx1 - 1 and last_tile)
+                    assert end == (1 if is_last else 0), \
+                        f"end_of_slice mismatch at CTU ({bx},{by})"
         if not pps.deblocking_disabled:
             rec_y, rec_u, rec_v = deblock_ops.deblock_420_np(
                 rec_y, rec_u, rec_v, qp)
