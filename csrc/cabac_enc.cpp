@@ -254,7 +254,7 @@ static int sig_ctx_inc(int pattern, int px, int py, int log2, bool luma,
 }
 
 static void encode_residual(Cabac& c, const Offsets& o, const int32_t* lv,
-                            int log2, bool luma) {
+                            int log2, bool luma, bool sign_hiding) {
   int n = 1 << log2;
   ScanTables st;
   st.init(log2);
@@ -331,6 +331,7 @@ static void encode_residual(Cabac& c, const Offsets& o, const int32_t* lv,
     for (int k = 15; k >= 0; --k)
       if (cgc[k]) sig_pos[nsig++] = k;
     if (!nsig) continue;
+    bool hidden = sign_hiding && (sig_pos[0] - sig_pos[nsig - 1] > 3);
 
     int ctx_set = (i == 0 || !luma) ? 0 : 2;
     if (c1 == 0) ctx_set += 1;
@@ -357,7 +358,8 @@ static void encode_residual(Cabac& c, const Offsets& o, const int32_t* lv,
       if (a < 0) a = -a;
       c.bin(abs_base, a > 2);
     }
-    for (int k = 0; k < nsig; ++k) c.bypass(cgc[sig_pos[k]] < 0);
+    int nsigns = hidden ? nsig - 1 : nsig;
+    for (int k = 0; k < nsigns; ++k) c.bypass(cgc[sig_pos[k]] < 0);
 
     int rice = 0, first_coeff2 = 1;
     for (int k = 0; k < nsig; ++k) {
@@ -387,7 +389,7 @@ int vct_encode_slice(int bw, int bh, int /*qp*/, const int32_t* modes,
                      const uint8_t* header, int header_len,
                      const uint8_t* init_states, int num_ctx,
                      const int* offs,  // 11 offsets, order as struct Offsets
-                     uint8_t* out, int out_capacity) {
+                     uint8_t* out, int out_capacity, int sign_hiding) {
   Offsets o;
   o.part_size = offs[0];
   o.prev_intra = offs[1];
@@ -443,9 +445,9 @@ int vct_encode_slice(int bw, int bh, int /*qp*/, const int32_t* modes,
     c.bin(o.cbf_chroma, cbf_cb);
     c.bin(o.cbf_chroma, cbf_cr);
     c.bin(o.cbf_luma + 1, cbf_y);
-    if (cbf_y) encode_residual(c, o, levels_y + i * 256, 4, true);
-    if (cbf_cb) encode_residual(c, o, levels_cb + i * 64, 3, false);
-    if (cbf_cr) encode_residual(c, o, levels_cr + i * 64, 3, false);
+    if (cbf_y) encode_residual(c, o, levels_y + i * 256, 4, true, sign_hiding);
+    if (cbf_cb) encode_residual(c, o, levels_cb + i * 64, 3, false, sign_hiding);
+    if (cbf_cr) encode_residual(c, o, levels_cr + i * 64, 3, false, sign_hiding);
     c.terminate(i == b - 1 ? 1 : 0);
   }
   // byte-align; flush's last bit is the rbsp stop bit

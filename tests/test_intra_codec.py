@@ -70,3 +70,43 @@ def test_hm_decoder_conformance(tmp_path):
         np.testing.assert_array_equal(ry[i], ey.astype(np.uint8))
         np.testing.assert_array_equal(ru[i], eu.astype(np.uint8))
         np.testing.assert_array_equal(rv[i], ev.astype(np.uint8))
+
+
+@pytest.mark.skipif(not os.path.exists(HM_DECODER),
+                    reason="HM reference decoder not built")
+def test_sign_data_hiding_conformance(tmp_path):
+    """SBH on: smaller stream, still HM-conformant and self-consistent."""
+    w, h = 64, 48
+    frames = [synth_frame(w, h, s) for s in range(2)]
+    streams = {}
+    for sbh in (False, True):
+        cfg = headers.HevcConfig(width=w, height=h, qp=30,
+                                 sign_data_hiding=sbh)
+        enc = intra_codec.IntraEncoder(cfg)
+        stream, recons = enc.encode_sequence(frames)
+        dec = intra_codec.IntraDecoder()
+        out = dec.decode(stream)
+        assert dec.hash_status == [True, True]
+        np.testing.assert_array_equal(out[0][0], recons[0][0])
+        streams[sbh] = (stream, recons)
+    # On content this tiny the parity adjustments can offset the saved sign
+    # bits; assert the delta stays small (the win shows on real sequences).
+    assert len(streams[True][0]) < 1.03 * len(streams[False][0])
+
+    bin_path = tmp_path / "sbh.bin"
+    bin_path.write_bytes(streams[True][0])
+    r = subprocess.run([HM_DECODER, "-b", str(bin_path), "-o",
+                        str(tmp_path / "sbh.yuv")],
+                       capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0 and "ERROR" not in r.stdout, r.stdout + r.stderr
+    assert r.stdout.count("(OK)") == 2
+
+
+def test_sbh_fast_path_matches_host():
+    cfg = headers.HevcConfig(width=64, height=48, qp=30, sign_data_hiding=True)
+    frames = [synth_frame(64, 48, s) for s in range(2)]
+    enc_a = intra_codec.IntraEncoder(cfg)
+    sa, _ = enc_a.encode_sequence(frames)
+    enc_b = intra_codec.IntraEncoder(cfg)
+    sb, _ = enc_b.encode_sequence(frames, fast=True)
+    assert sa == sb

@@ -45,6 +45,7 @@ def _load():
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,  # init states
             ctypes.POINTER(ctypes.c_int),     # offsets
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,  # out
+            ctypes.c_int,                     # sign_hiding
         ]
         _LIB = lib
     except Exception:
@@ -59,7 +60,8 @@ def available() -> bool:
 def encode_slice_native(bw: int, bh: int, qp: int, modes: np.ndarray,
                         cbf: np.ndarray, levels_y: np.ndarray,
                         levels_cb: np.ndarray, levels_cr: np.ndarray,
-                        header: bytes, init_states: np.ndarray) -> bytes | None:
+                        header: bytes, init_states: np.ndarray,
+                        sign_hiding: bool = False) -> bytes | None:
     """Returns the EBSP payload (header + slice data) or None if no lib."""
     lib = _load()
     if lib is None:
@@ -94,7 +96,8 @@ def encode_slice_native(bw: int, bh: int, qp: int, modes: np.ndarray,
         p(levels_cr, ctypes.c_int32),
         p(header_arr, ctypes.c_uint8), len(header),
         p(states, ctypes.c_uint8), states.size,
-        p(offs, ctypes.c_int), p(out, ctypes.c_uint8), cap)
+        p(offs, ctypes.c_int), p(out, ctypes.c_uint8), cap,
+        1 if sign_hiding else 0)
     if n < 0:
         return None
     return out[:n].tobytes()

@@ -79,7 +79,8 @@ def _last_ctx_params(log2_size: int, is_luma: bool) -> tuple[int, int]:
 
 
 def encode_residual(enc: CabacEncoder, levels: np.ndarray, log2_size: int,
-                    scan_type: int, is_luma: bool) -> None:
+                    scan_type: int, is_luma: bool,
+                    sign_hiding: bool = False) -> None:
     """Encode one TU's quantized levels [N, N] (raster [y][x], signed)."""
     n = 1 << log2_size
     scan = rom.scan_order(log2_size, scan_type)
@@ -158,6 +159,8 @@ def encode_residual(enc: CabacEncoder, levels: np.ndarray, log2_size: int,
         abs_coeff = [int(abs(cg_coeffs[nn])) for nn in sig_pos]
         signs = [1 if cg_coeffs[nn] < 0 else 0 for nn in sig_pos]
 
+        hidden = sign_hiding and (sig_pos[0] - sig_pos[-1] > 3)
+
         ctx_set = (0 if (i == 0 or not is_luma) else 2)
         if c1 == 0:
             ctx_set += 1
@@ -179,8 +182,14 @@ def encode_residual(enc: CabacEncoder, levels: np.ndarray, log2_size: int,
                 c1 += 1
         if first_c2_idx != -1:
             enc.encode_bin(abs_base, int(abs_coeff[first_c2_idx] > 2))
-        for s in signs:
-            enc.encode_bypass(s)
+        if hidden:
+            assert (sum(abs_coeff) & 1) == signs[-1], \
+                "SBH parity not prepared (run quant.apply_sbh first)"
+            for s in signs[:-1]:
+                enc.encode_bypass(s)
+        else:
+            for s in signs:
+                enc.encode_bypass(s)
 
         rice = 0
         first_coeff2 = 1
@@ -239,7 +248,7 @@ def _encode_remainder(enc: CabacEncoder, value: int, rice: int) -> None:
 # ---------------------------------------------------------------------------
 
 def decode_residual(dec: CabacDecoder, log2_size: int, scan_type: int,
-                    is_luma: bool) -> np.ndarray:
+                    is_luma: bool, sign_hiding: bool = False) -> np.ndarray:
     """Decode one TU's levels -> [N, N] int32 raster (inverse of encode)."""
     n = 1 << log2_size
     scan = rom.scan_order(log2_size, scan_type)
@@ -330,7 +339,9 @@ def decode_residual(dec: CabacDecoder, log2_size: int, scan_type: int,
         greater2 = 0
         if first_c2_idx != -1:
             greater2 = dec.decode_bin(abs_base)
-        signs = [dec.decode_bypass() for _ in sig_pos]
+        hidden = sign_hiding and (sig_pos[0] - sig_pos[-1] > 3)
+        signs = [dec.decode_bypass()
+                 for _ in range(len(sig_pos) - (1 if hidden else 0))]
 
         abs_coeff = []
         for k in range(len(sig_pos)):
@@ -352,6 +363,8 @@ def decode_residual(dec: CabacDecoder, log2_size: int, scan_type: int,
                     rice = min(rice + 1, 4)
             if abs_coeff[k] >= 2:
                 first_coeff2 = 0
+        if hidden:
+            signs.append(sum(abs_coeff) & 1)  # inferred sign (parity rule)
         for k, nn in enumerate(sig_pos):
             coeffs[i * 16 + nn] = -abs_coeff[k] if signs[k] else abs_coeff[k]
 

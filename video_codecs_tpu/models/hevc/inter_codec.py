@@ -319,7 +319,8 @@ class LowDelayEncoder(ic.IntraEncoder):
                         pred = pred_me
 
                 # luma TB
-                lv, rec = ic.code_tb_np(oy, pred, qp, 4, dst=False)
+                lv, rec = ic.code_tb_np(oy, pred, qp, 4, dst=False,
+                                        sbh=cfg.sign_data_hiding)
                 b.cbf_y = bool(lv.any())
                 b.levels_y = lv if b.cbf_y else None
                 # chroma TBs
@@ -334,7 +335,8 @@ class LowDelayEncoder(ic.IntraEncoder):
                         predc = interp.mc_chroma_np(refc_plane, cx, cy,
                                                     b.mv[0], b.mv[1], 8)
                     lvc, recc = ic.code_tb_np(po[cy:cy + 8, cx:cx + 8],
-                                              predc, qp_c, 3, dst=False)
+                                              predc, qp_c, 3, dst=False,
+                                              sbh=cfg.sign_data_hiding)
                     cbf = bool(lvc.any())
                     if comp == 0:
                         b.cbf_cb = cbf
@@ -412,22 +414,22 @@ class LowDelayEncoder(ic.IntraEncoder):
             else:
                 assert b.cbf_y, "inter rootCbf=1 with all-zero cbfs"
             if b.cbf_y:
-                residual.encode_residual(enc, b.levels_y, 4, rom.SCAN_DIAG, True)
+                residual.encode_residual(enc, b.levels_y, 4, rom.SCAN_DIAG, True, sign_hiding=self.cfg.sign_data_hiding)
             if b.cbf_cb:
-                residual.encode_residual(enc, b.levels_cb, 3, rom.SCAN_DIAG, False)
+                residual.encode_residual(enc, b.levels_cb, 3, rom.SCAN_DIAG, False, sign_hiding=self.cfg.sign_data_hiding)
             if b.cbf_cr:
-                residual.encode_residual(enc, b.levels_cr, 3, rom.SCAN_DIAG, False)
+                residual.encode_residual(enc, b.levels_cr, 3, rom.SCAN_DIAG, False, sign_hiding=self.cfg.sign_data_hiding)
             return
         # intra CU residual (always coded cbfs)
         enc.encode_bin(ctx.off("cbf_chroma"), 1 if b.cbf_cb else 0)
         enc.encode_bin(ctx.off("cbf_chroma"), 1 if b.cbf_cr else 0)
         enc.encode_bin(ctx.off("cbf_luma", 1), 1 if b.cbf_y else 0)
         if b.cbf_y:
-            residual.encode_residual(enc, b.levels_y, 4, rom.SCAN_DIAG, True)
+            residual.encode_residual(enc, b.levels_y, 4, rom.SCAN_DIAG, True, sign_hiding=self.cfg.sign_data_hiding)
         if b.cbf_cb:
-            residual.encode_residual(enc, b.levels_cb, 3, rom.SCAN_DIAG, False)
+            residual.encode_residual(enc, b.levels_cb, 3, rom.SCAN_DIAG, False, sign_hiding=self.cfg.sign_data_hiding)
         if b.cbf_cr:
-            residual.encode_residual(enc, b.levels_cr, 3, rom.SCAN_DIAG, False)
+            residual.encode_residual(enc, b.levels_cr, 3, rom.SCAN_DIAG, False, sign_hiding=self.cfg.sign_data_hiding)
 
     def _encode_intra_part(self, enc, b: BlockInfo, left_mode: int):
         enc.encode_bin(ctx.off("part_size"), 1)  # 2Nx2N
@@ -651,11 +653,11 @@ class LowDelayDecoder(ic.IntraDecoder):
             else:
                 b.cbf_y = True  # inferred (rootCbf promised residual)
         if b.cbf_y:
-            b.levels_y = residual.decode_residual(dec, 4, rom.SCAN_DIAG, True)
+            b.levels_y = residual.decode_residual(dec, 4, rom.SCAN_DIAG, True, sign_hiding=self.pps.sign_data_hiding)
         if b.cbf_cb:
-            b.levels_cb = residual.decode_residual(dec, 3, rom.SCAN_DIAG, False)
+            b.levels_cb = residual.decode_residual(dec, 3, rom.SCAN_DIAG, False, sign_hiding=self.pps.sign_data_hiding)
         if b.cbf_cr:
-            b.levels_cr = residual.decode_residual(dec, 3, rom.SCAN_DIAG, False)
+            b.levels_cr = residual.decode_residual(dec, 3, rom.SCAN_DIAG, False, sign_hiding=self.pps.sign_data_hiding)
         return b
 
     @staticmethod

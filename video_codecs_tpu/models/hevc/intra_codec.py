@@ -101,11 +101,13 @@ def chroma_qp(qp: int) -> int:
 
 
 def code_tb_np(orig: np.ndarray, pred: np.ndarray, qp: int, log2: int,
-               dst: bool) -> tuple[np.ndarray, np.ndarray]:
+               dst: bool, sbh: bool = False) -> tuple[np.ndarray, np.ndarray]:
     """Transform+quant one TB; returns (levels, recon)."""
     res = orig.astype(np.int32) - pred
     coeff = tr_ops.forward_transform_np(res, log2, dst=dst)
     levels = quant_ops.quantize_np(coeff, qp, log2)
+    if sbh and levels.any():
+        levels = quant_ops.apply_sbh_np(levels, log2)
     if not levels.any():
         return levels, pred.astype(np.int32)
     dq = quant_ops.dequantize_np(levels, qp, log2)
@@ -208,7 +210,7 @@ class IntraEncoder:
                 ref = build_ref_np(rec_y, x, yy, 16, tx0 * 16, tx1 * 16)
                 pred = intra_ops.predict_intra_np(ref, mode, 4)
                 lv, rec = code_tb_np(yv[yy:yy + 16, x:x + 16], pred, cfg.qp, 4,
-                                     dst=False)
+                                     dst=False, sbh=cfg.sign_data_hiding)
                 rec_y[yy:yy + 16, x:x + 16] = rec
                 cx, cy = x // 2, yy // 2
                 out_c = []
@@ -217,7 +219,8 @@ class IntraEncoder:
                     predc = intra_ops.predict_intra_np(refc, mode, 3,
                                                        is_luma=False)
                     lvc, recc = code_tb_np(plane_o[cy:cy + 8, cx:cx + 8],
-                                           predc, qp_c, 3, dst=False)
+                                           predc, qp_c, 3, dst=False,
+                                           sbh=cfg.sign_data_hiding)
                     plane_r[cy:cy + 8, cx:cx + 8] = recc
                     out_c.append(lvc)
                 ctus[by * bw + bx] = CtuData(
@@ -284,12 +287,16 @@ class IntraEncoder:
         enc.encode_bin(ctx.off("cbf_chroma"), 0 if ctu.levels_cb is None else 1)
         enc.encode_bin(ctx.off("cbf_chroma"), 0 if ctu.levels_cr is None else 1)
         enc.encode_bin(ctx.off("cbf_luma", 1), 0 if ctu.levels_y is None else 1)
+        sbh = self.cfg.sign_data_hiding
         if ctu.levels_y is not None:
-            residual.encode_residual(enc, ctu.levels_y, 4, rom.SCAN_DIAG, True)
+            residual.encode_residual(enc, ctu.levels_y, 4, rom.SCAN_DIAG, True,
+                                     sign_hiding=sbh)
         if ctu.levels_cb is not None:
-            residual.encode_residual(enc, ctu.levels_cb, 3, rom.SCAN_DIAG, False)
+            residual.encode_residual(enc, ctu.levels_cb, 3, rom.SCAN_DIAG,
+                                     False, sign_hiding=sbh)
         if ctu.levels_cr is not None:
-            residual.encode_residual(enc, ctu.levels_cr, 3, rom.SCAN_DIAG, False)
+            residual.encode_residual(enc, ctu.levels_cr, 3, rom.SCAN_DIAG,
+                                     False, sign_hiding=sbh)
 
     def _hash_sei(self, rec_y, rec_u, rec_v) -> bytes:
         w = bs.BitWriter()
@@ -315,7 +322,8 @@ class IntraEncoder:
             "use parallel.tiles.encode_frame_tiles for tiled streams"
         bw, bh = cfg.width // 16, cfg.height // 16
         st = encoder_jax.encode_frame_jit(y, u, v, cfg.qp, bw, bh,
-                                          deblock=not cfg.deblocking_disabled)
+                                          deblock=not cfg.deblocking_disabled,
+                                          sbh=cfg.sign_data_hiding)
         return self.serialize_frame(st, use_native=use_native)
 
     def serialize_frame(self, st, use_native: bool = True):
@@ -337,7 +345,8 @@ class IntraEncoder:
             header = headers.write_slice_header(cfg, bs.NAL_IDR_W_RADL).data()
             payload = native.encode_slice_native(
                 bw, bh, cfg.qp, modes, cbf, lv_y, lv_cb, lv_cr, header,
-                ctx.init_states(ctx.I, cfg.qp))
+                ctx.init_states(ctx.I, cfg.qp),
+                sign_hiding=cfg.sign_data_hiding)
             if payload is not None:
                 h0 = bs.NAL_IDR_W_RADL << 1
                 slice_nal = bytes([h0, 1]) + payload
@@ -367,7 +376,8 @@ class IntraEncoder:
             bw, bh = cfg.width // 16, cfg.height // 16
             states = [encoder_jax.encode_frame_jit(
                 y, u, v, cfg.qp, bw, bh,
-                deblock=not cfg.deblocking_disabled) for (y, u, v) in frames]
+                deblock=not cfg.deblocking_disabled,
+                sbh=cfg.sign_data_hiding) for (y, u, v) in frames]
             for st in states:
                 frame_nals, rec = self.serialize_frame(st)
                 nals.extend(frame_nals)
@@ -494,9 +504,13 @@ class IntraDecoder:
         cbf_cb = dec.decode_bin(ctx.off("cbf_chroma"))
         cbf_cr = dec.decode_bin(ctx.off("cbf_chroma"))
         cbf_y = dec.decode_bin(ctx.off("cbf_luma", 1))
-        lv_y = residual.decode_residual(dec, 4, rom.SCAN_DIAG, True) if cbf_y else None
-        lv_cb = residual.decode_residual(dec, 3, rom.SCAN_DIAG, False) if cbf_cb else None
-        lv_cr = residual.decode_residual(dec, 3, rom.SCAN_DIAG, False) if cbf_cr else None
+        sbh = self.pps.sign_data_hiding
+        lv_y = residual.decode_residual(dec, 4, rom.SCAN_DIAG, True,
+                                        sign_hiding=sbh) if cbf_y else None
+        lv_cb = residual.decode_residual(dec, 3, rom.SCAN_DIAG, False,
+                                         sign_hiding=sbh) if cbf_cb else None
+        lv_cr = residual.decode_residual(dec, 3, rom.SCAN_DIAG, False,
+                                         sign_hiding=sbh) if cbf_cr else None
         return mode, lv_y, lv_cb, lv_cr
 
     @staticmethod

@@ -57,6 +57,80 @@ def dequantize(level: jnp.ndarray, qp: int, log2_size: int, *,
     return jnp.clip(c, -lim, lim - 1).astype(jnp.int32)
 
 
+def apply_sbh_np(levels: np.ndarray, log2_size: int) -> np.ndarray:
+    """Sign-data-hiding parity fix (encoder side, host twin).
+
+    Per 4x4 coefficient group with lastSig-firstSig >= 4 in scan order, the
+    sign of the first significant coefficient is inferred from the parity
+    of the absolute-level sum (spec 7.3.8.11); when the parity disagrees,
+    bump that coefficient's magnitude by one (HM's signBitHidingHDQ picks
+    the cheapest deltaU position; magnitude+1 at firstSig keeps the
+    significance map unchanged, trading a little rate).
+    """
+    from video_codecs_tpu.utils import rom
+
+    n = 1 << log2_size
+    scan = rom.scan_order(log2_size, rom.SCAN_DIAG)
+    flat = levels.reshape(-1).copy()
+    coeffs = flat[scan]
+    for cg in range(0, n * n, 16):
+        c = coeffs[cg:cg + 16]
+        nz = np.nonzero(c)[0]
+        if nz.size == 0 or nz[-1] - nz[0] < 4:
+            continue
+        sum_abs = int(np.abs(c).sum())
+        neg = c[nz[0]] < 0
+        if (sum_abs & 1) != (1 if neg else 0):
+            # Prefer decrementing a magnitude >= 2 (saves rate and cannot
+            # change the significance map / hidden condition); fall back to
+            # incrementing the first significant coefficient.
+            big = nz[np.abs(c[nz]) >= 2]
+            if big.size:
+                pos = big[-1]  # highest-frequency large coefficient
+                c[pos] -= np.sign(c[pos])
+            else:
+                c[nz[0]] += -1 if neg else 1
+    out = np.zeros_like(flat)
+    out[scan] = coeffs
+    return out.reshape(n, n)
+
+
+def apply_sbh(levels: jnp.ndarray, log2_size: int) -> jnp.ndarray:
+    """Vectorized SBH parity fix over [..., N, N] level blocks (device)."""
+    from video_codecs_tpu.utils import rom
+
+    n = 1 << log2_size
+    scan = rom.scan_order(log2_size, rom.SCAN_DIAG)
+    flat = levels.reshape(levels.shape[:-2] + (n * n,))
+    coeffs = flat[..., scan].reshape(levels.shape[:-2] + (-1, 16))
+    sig = coeffs != 0
+    pos = jnp.arange(16, dtype=jnp.int32)
+    first = jnp.min(jnp.where(sig, pos, 16), axis=-1)
+    last = jnp.max(jnp.where(sig, pos, -1), axis=-1)
+    hidden = (last - first) >= 4
+    sum_abs = jnp.sum(jnp.abs(coeffs), axis=-1)
+    first_c = jnp.minimum(first, 15)
+    first_val = jnp.take_along_axis(coeffs, first_c[..., None], axis=-1)[..., 0]
+    neg = first_val < 0
+    mismatch = hidden & ((sum_abs & 1) != neg.astype(jnp.int32))
+    # Prefer decrementing the highest-frequency |level| >= 2 coefficient.
+    big = jnp.abs(coeffs) >= 2
+    last_big = jnp.max(jnp.where(big, pos, -1), axis=-1)
+    use_dec = mismatch & (last_big >= 0)
+    dec_pos = jnp.maximum(last_big, 0)
+    dec_val = jnp.take_along_axis(coeffs, dec_pos[..., None], axis=-1)[..., 0]
+    dec_adj = jnp.where(use_dec, -jnp.sign(dec_val), 0)
+    coeffs = coeffs + dec_adj[..., None] * (pos[None, :] == dec_pos[..., None])
+    # Fallback: increment the first significant coefficient's magnitude.
+    use_inc = mismatch & (last_big < 0)
+    inc_adj = jnp.where(use_inc, jnp.where(neg, -1, 1), 0)
+    coeffs = coeffs + inc_adj[..., None] * (pos[None, :] == first_c[..., None])
+    out = jnp.zeros_like(flat)
+    out = out.at[..., scan].set(
+        coeffs.reshape(levels.shape[:-2] + (n * n,)))
+    return out.reshape(levels.shape)
+
+
 def quantize_np(coeff: np.ndarray, qp: int, log2_size: int, *,
                 intra_slice: bool = True, bit_depth: int = 8) -> np.ndarray:
     per, rem = qp // 6, qp % 6
