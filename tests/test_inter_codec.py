@@ -96,3 +96,28 @@ def test_rate_control_hits_target(ctrl):
     out = dec.decode(stream)
     assert len(out) == 10
     np.testing.assert_array_equal(out[-1][0], recons[-1][0])
+
+
+def test_checkpoint_resume_bit_identical(tmp_path):
+    """3+3 frames with a save/load checkpoint == 6 frames straight."""
+    from video_codecs_tpu.models.hevc import checkpoint
+    w, h = 64, 48
+    frames = moving_clip(w, h, 6)
+    cfg = headers.HevcConfig(width=w, height=h, qp=32)
+
+    enc = inter_codec.LowDelayEncoder(cfg)
+    straight, _ = enc.encode_sequence_ldp(frames)
+
+    enc_a = inter_codec.LowDelayEncoder(cfg)
+    nals_a, _, state = enc_a.encode_frames(frames[:3])
+    p = tmp_path / "ck.npz"
+    checkpoint.save(state, str(p))
+    restored = checkpoint.load(str(p))
+    assert restored.poc == 3
+
+    enc_b = inter_codec.LowDelayEncoder(cfg)
+    nals_b, _, _ = enc_b.encode_frames(frames[3:], start_state=restored)
+    import video_codecs_tpu.entropy.bitstream as bs_mod
+    resumed = bs_mod.annexb(enc_b.stream_headers() if False else
+                            enc_a.stream_headers() + nals_a + nals_b)
+    assert resumed == straight

@@ -205,10 +205,26 @@ class LowDelayEncoder(ic.IntraEncoder):
         """IPPP encode; optional rate controller (models.hevc.ratectrl)
         drives per-picture QP through slice_qp_delta."""
         nals = self.stream_headers()
+        frame_nals, recons, _ = self.encode_frames(frames, None, rate_control)
+        nals.extend(frame_nals)
+        return bs.annexb(nals), recons
+
+    def encode_frames(self, frames, start_state=None, rate_control=None):
+        """Encode pictures, optionally resuming from a checkpoint state;
+        returns (nal list, recons, final EncoderState)."""
+        from video_codecs_tpu.models.hevc import checkpoint
+
+        nals: list[bytes] = []
         recons = []
         ref = None
+        poc0 = 0
+        if start_state is not None:
+            ref = start_state.ref
+            poc0 = start_state.poc
+            checkpoint.restore_rc(start_state, rate_control)
         self.frame_qps: list[int] = []
-        for poc, (y, u, v) in enumerate(frames):
+        for k, (y, u, v) in enumerate(frames):
+            poc = poc0 + k
             if rate_control is not None:
                 self.cfg.qp = rate_control.pick_qp()
             self.frame_qps.append(self.cfg.qp)
@@ -224,7 +240,9 @@ class LowDelayEncoder(ic.IntraEncoder):
             nals.extend(frame_nals)
             recons.append(rec)
             ref = rec
-        return bs.annexb(nals), recons
+        from video_codecs_tpu.models.hevc import checkpoint as _cp
+        final = _cp.capture(poc0 + len(recons), ref, rate_control)
+        return nals, recons, final
 
     def encode_p_frame(self, y, u, v, ref, poc):
         import jax.numpy as jnp
