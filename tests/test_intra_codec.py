@@ -110,3 +110,37 @@ def test_sbh_fast_path_matches_host():
     enc_b = intra_codec.IntraEncoder(cfg)
     sb, _ = enc_b.encode_sequence(frames, fast=True)
     assert sa == sb
+
+
+@pytest.mark.skipif(not os.path.exists(HM_DECODER),
+                    reason="HM reference decoder not built")
+def test_sao_conformance(tmp_path):
+    """SAO on: self round-trip + HM decodes with hash OK + quality helps."""
+    w, h = 64, 48
+    frames = [synth_frame(w, h, s) for s in range(2)]
+    recs = {}
+    for sao in (False, True):
+        cfg = headers.HevcConfig(width=w, height=h, qp=37, sao=sao)
+        enc = intra_codec.IntraEncoder(cfg)
+        stream, recons = enc.encode_sequence(frames)
+        dec = intra_codec.IntraDecoder()
+        out = dec.decode(stream)
+        assert dec.hash_status == [True, True], f"sao={sao}"
+        for o, r in zip(out, recons):
+            np.testing.assert_array_equal(o[0], r[0])
+        recs[sao] = (stream, recons)
+    p_off = yuv.psnr(np.stack([r[0] for r in recs[False][1]]),
+                     np.stack([f[0] for f in frames]))
+    p_on = yuv.psnr(np.stack([r[0] for r in recs[True][1]]),
+                    np.stack([f[0] for f in frames]))
+    assert p_on > p_off - 0.05, (p_on, p_off)  # SAO should not hurt
+
+    bin_path = tmp_path / "sao.bin"
+    bin_path.write_bytes(recs[True][0])
+    r = subprocess.run([HM_DECODER, "-b", str(bin_path), "-o",
+                        str(tmp_path / "sao.yuv")],
+                       capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert r.stdout.count("(OK)") == 2 and "ERROR" not in r.stdout, r.stdout
+    ry, _, _ = yuv.read_frames(str(tmp_path / "sao.yuv"), w, h)
+    np.testing.assert_array_equal(ry[0], recs[True][1][0][0].astype(np.uint8))

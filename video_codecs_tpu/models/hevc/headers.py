@@ -32,6 +32,7 @@ class HevcConfig:
     deblocking_disabled: bool = False
     sign_data_hiding: bool = False
     tile_columns: int = 1      # uniform tile columns (1 = no tiles)
+    sao: bool = False
 
     @property
     def tiles_enabled(self) -> bool:
@@ -125,7 +126,7 @@ def write_sps(cfg: HevcConfig) -> bytes:
     w.ue(0)         # max_transform_hierarchy_depth_intra
     w.flag(0)       # scaling_list_enabled_flag
     w.flag(0)       # amp_enabled_flag
-    w.flag(0)       # sample_adaptive_offset_enabled_flag
+    w.flag(1 if cfg.sao else 0)  # sample_adaptive_offset_enabled_flag
     w.flag(0)       # pcm_enabled_flag
     w.ue(0)         # num_short_term_ref_pic_sets
     w.flag(0)       # long_term_ref_pics_present_flag
@@ -162,7 +163,7 @@ def parse_sps(rbsp: bytes) -> HevcConfig:
     assert depth_intra == 0, "TU quadtree depth > 0 not yet supported"
     assert not r.flag(), "scaling lists unsupported"
     r.flag()  # amp (inter only; irrelevant for now)
-    assert not r.flag(), "SAO unsupported"
+    sao = bool(r.flag())
     assert not r.flag(), "PCM unsupported"
     assert r.ue() == 0, "RPS unsupported (all-intra build)"
     assert not r.flag()
@@ -171,7 +172,7 @@ def parse_sps(rbsp: bytes) -> HevcConfig:
     # ignore VUI/extensions
     return HevcConfig(width=width, height=height, log2_ctb=log2_ctb,
                       log2_min_cb=log2_min_cb, log2_min_tb=log2_min_tb,
-                      log2_max_tb=log2_max_tb)
+                      log2_max_tb=log2_max_tb, sao=sao)
 
 
 def write_pps(cfg: HevcConfig) -> bytes:
@@ -274,6 +275,9 @@ def write_slice_header(cfg: HevcConfig, nal_type: int,
         w.flag(0)   # no_output_of_prior_pics_flag
     w.ue(0)         # slice_pic_parameter_set_id
     w.ue(2)         # slice_type = I
+    if cfg.sao:
+        w.flag(1)   # slice_sao_luma_flag
+        w.flag(1)   # slice_sao_chroma_flag
     w.se(cfg.qp - 26)  # slice_qp_delta (init_qp_minus26 = 0)
     if not cfg.deblocking_disabled:
         # present when pps_loop_filter_across_slices_enabled_flag &&
@@ -299,7 +303,8 @@ class SliceInfo:
     entry_points: list[int] = dataclasses.field(default_factory=list)
 
 
-def parse_slice_header(rbsp: bytes, nal_type: int, pps: PpsInfo) -> SliceInfo:
+def parse_slice_header(rbsp: bytes, nal_type: int, pps: PpsInfo,
+                       sps_sao: bool = False) -> SliceInfo:
     r = BitReader(rbsp)
     assert r.flag() == 1, "multi-slice pictures unsupported"
     if 16 <= nal_type <= 23:
@@ -307,6 +312,9 @@ def parse_slice_header(rbsp: bytes, nal_type: int, pps: PpsInfo) -> SliceInfo:
     assert r.ue() == 0
     slice_type = r.ue()
     assert slice_type == 2, "only I slices supported"
+    if sps_sao:
+        assert r.flag() == 1 and r.flag() == 1, \
+            "per-slice SAO disable unsupported"
     qp = pps.init_qp + r.se()
     if not pps.deblocking_disabled:
         r.flag()  # slice_loop_filter_across_slices_enabled_flag

@@ -32,6 +32,7 @@ from video_codecs_tpu.models.hevc import headers
 from video_codecs_tpu.ops import deblock as deblock_ops
 from video_codecs_tpu.ops import intra as intra_ops
 from video_codecs_tpu.ops import quant as quant_ops
+from video_codecs_tpu.ops import sao as sao_ops
 from video_codecs_tpu.ops import transform as tr_ops
 from video_codecs_tpu.utils import rom
 
@@ -121,6 +122,89 @@ class CtuData:
     levels_y: np.ndarray | None
     levels_cb: np.ndarray | None
     levels_cr: np.ndarray | None
+
+
+def encode_sao_ctu(enc, params, i, bx, by, bw, tx0):
+    """sao() syntax for one CTU (spec 7.3.8.3)."""
+    left_same = (bx > tx0 and
+                 all(params[i - 1][c].key() == params[i][c].key()
+                     for c in range(3)))
+    if bx > tx0:
+        enc.encode_bin(ctx.off("sao_merge"), 1 if left_same else 0)
+        if left_same:
+            return
+    up_same = (by > 0 and
+               all(params[i - bw][c].key() == params[i][c].key()
+                   for c in range(3)))
+    if by > 0:
+        enc.encode_bin(ctx.off("sao_merge"), 1 if up_same else 0)
+        if up_same:
+            return
+    for c in range(3):
+        p = params[i][c]
+        if c < 2:  # type coded for luma (c==0) and chroma (c==1)
+            enc.encode_bin(ctx.off("sao_type"),
+                           0 if p.type_idx == sao_ops.SAO_OFF else 1)
+            if p.type_idx != sao_ops.SAO_OFF:
+                enc.encode_bypass(
+                    1 if p.type_idx == sao_ops.SAO_EO else 0)
+        if p.type_idx == sao_ops.SAO_OFF:
+            continue
+        for k in range(4):
+            mag = abs(p.offsets[k])
+            for _ in range(mag):
+                enc.encode_bypass(1)
+            if mag < 7:
+                enc.encode_bypass(0)
+        if p.type_idx == sao_ops.SAO_BO:
+            for k in range(4):
+                if p.offsets[k]:
+                    enc.encode_bypass(1 if p.offsets[k] < 0 else 0)
+            enc.encode_bypass_bins(p.band_position, 5)
+        elif c < 2:
+            enc.encode_bypass_bins(p.eo_class, 2)
+
+def decode_sao_ctu(dec, params, i, bx, by, bw, tx0):
+    if bx > tx0 and dec.decode_bin(ctx.off("sao_merge")):
+        params[i] = [params[i - 1][c] for c in range(3)]
+        return
+    if by > 0 and dec.decode_bin(ctx.off("sao_merge")):
+        params[i] = [params[i - bw][c] for c in range(3)]
+        return
+    out = []
+    for c in range(3):
+        if c < 2:
+            if dec.decode_bin(ctx.off("sao_type")):
+                type_idx = (sao_ops.SAO_EO if dec.decode_bypass()
+                            else sao_ops.SAO_BO)
+            else:
+                type_idx = sao_ops.SAO_OFF
+        else:
+            type_idx = out[1].type_idx
+        if type_idx == sao_ops.SAO_OFF:
+            out.append(sao_ops.SaoParam())
+            continue
+        mags = []
+        for k in range(4):
+            m = 0
+            while m < 7 and dec.decode_bypass():
+                m += 1
+            mags.append(m)
+        if type_idx == sao_ops.SAO_BO:
+            offs = []
+            for k in range(4):
+                if mags[k]:
+                    neg = dec.decode_bypass()
+                    offs.append(-mags[k] if neg else mags[k])
+                else:
+                    offs.append(0)
+            pos = dec.decode_bypass_bins(5)
+            out.append(sao_ops.SaoParam(type_idx, 0, pos, tuple(offs)))
+        else:
+            ec = (dec.decode_bypass_bins(2) if c < 2
+                  else out[1].eo_class)
+            out.append(sao_ops.SaoParam(type_idx, ec, 0, tuple(mags)))
+    params[i] = out
 
 
 # ---------------------------------------------------------------------------
@@ -233,11 +317,82 @@ class IntraEncoder:
             rec_y, rec_u, rec_v = deblock_ops.deblock_420_np(
                 rec_y, rec_u, rec_v, cfg.qp)
 
-        slice_nal = self._encode_slice(ctus)
+        sao_params = None
+        if cfg.sao:
+            sao_params, (rec_y, rec_u, rec_v) = self._sao_decide_apply(
+                (yv, uv, vv), (rec_y, rec_u, rec_v))
+
+        slice_nal = self._encode_slice(ctus, sao_params)
         sei_nal = self._hash_sei(rec_y, rec_u, rec_v)
         return [slice_nal, sei_nal], (rec_y, rec_u, rec_v)
 
-    def _encode_slice(self, ctus: list[CtuData]) -> bytes:
+    def _sao_decide_apply(self, origs, recs):
+        """Per-CTU SAO decision (luma + jointly-typed chroma) and apply."""
+        import math
+
+        cfg = self.cfg
+        bw, bh = cfg.width // 16, cfg.height // 16
+        lam = 0.57 * 2.0 ** ((cfg.qp - 12) / 3.0)
+        params = [[None] * 3 for _ in range(bw * bh)]
+        outs = [r.copy() for r in recs]
+        for by in range(bh):
+            for bx in range(bw):
+                i = by * bw + bx
+                params[i][0] = sao_ops.decide_ctu(
+                    origs[0], recs[0], bx * 16, by * 16, 16, lam)
+                cb = sao_ops.decide_ctu(
+                    origs[1], recs[1], bx * 8, by * 8, 8, lam)
+                # chroma components share type and EO class (spec sao())
+                if cb.type_idx == sao_ops.SAO_EO:
+                    cr = self._sao_eo_for(origs[2], recs[2], bx * 8, by * 8,
+                                          8, cb.eo_class, lam)
+                elif cb.type_idx == sao_ops.SAO_BO:
+                    cr = self._sao_bo_for(origs[2], recs[2], bx * 8, by * 8,
+                                          8, lam)
+                else:
+                    cr = sao_ops.SaoParam()
+                params[i][1], params[i][2] = cb, cr
+                sao_ops.apply_ctu(recs[0], outs[0], bx * 16, by * 16, 16,
+                                  params[i][0])
+                sao_ops.apply_ctu(recs[1], outs[1], bx * 8, by * 8, 8, cb)
+                sao_ops.apply_ctu(recs[2], outs[2], bx * 8, by * 8, 8, cr)
+        return params, tuple(outs)
+
+    @staticmethod
+    def _sao_eo_for(orig, rec, x0, y0, size, eo_class, lam):
+        count, sums = sao_ops.ctu_stats(orig, rec, x0, y0, size, eo_class)
+        offs = []
+        for cat in (1, 2, 3, 4):
+            o, _ = sao_ops._best_offset(sums[cat], int(count[cat]),
+                                        cat <= 2, lam)
+            offs.append(abs(o))
+        return sao_ops.SaoParam(sao_ops.SAO_EO, eo_class, 0, tuple(offs))
+
+    @staticmethod
+    def _sao_bo_for(orig, rec, x0, y0, size, lam):
+        import numpy as _np
+        region_r = rec[y0:y0 + size, x0:x0 + size].astype(_np.int32)
+        region_d = (orig.astype(_np.int64) - rec)[y0:y0 + size, x0:x0 + size]
+        band = region_r >> 3
+        counts = _np.bincount(band.reshape(-1), minlength=32)
+        sums = _np.bincount(band.reshape(-1), weights=region_d.reshape(-1),
+                            minlength=32)
+        best_pos, best_cost, best_offs = 0, 1e18, (0, 0, 0, 0)
+        for pos in range(29):
+            offs, cost = [], 0.0
+            for k in range(4):
+                op, cp = sao_ops._best_offset(sums[pos + k],
+                                              int(counts[pos + k]), True, lam)
+                on, cn = sao_ops._best_offset(sums[pos + k],
+                                              int(counts[pos + k]), False, lam)
+                o, c = (op, cp) if cp <= cn else (on, cn)
+                offs.append(int(o))
+                cost += c
+            if cost < best_cost:
+                best_pos, best_cost, best_offs = pos, cost, tuple(offs)
+        return sao_ops.SaoParam(sao_ops.SAO_BO, 0, best_pos, best_offs)
+
+    def _encode_slice(self, ctus: list[CtuData], sao_params=None) -> bytes:
         """Serialize the slice; with tiles, one CABAC substream per tile
         in tile-scan order with entry-point offsets in the header."""
         cfg = self.cfg
@@ -251,6 +406,9 @@ class IntraEncoder:
             for by in range(bh):
                 for bx in range(tx0, tx1):
                     ctu = ctus[by * bw + bx]
+                    if sao_params is not None:
+                        encode_sao_ctu(enc, sao_params, by * bw + bx,
+                                       bx, by, bw, tx0)
                     left_mode = ctus[by * bw + bx - 1].mode if bx > tx0 else DC
                     self._encode_ctu(enc, ctu, left_mode)
                     last_ctu = (by == bh - 1 and bx == tx1 - 1)
@@ -320,6 +478,7 @@ class IntraEncoder:
         cfg = self.cfg
         assert cfg.tile_columns == 1, \
             "use parallel.tiles.encode_frame_tiles for tiled streams"
+        assert not cfg.sao, "SAO uses the host path for now"
         bw, bh = cfg.width // 16, cfg.height // 16
         st = encoder_jax.encode_frame_jit(y, u, v, cfg.qp, bw, bh,
                                           deblock=not cfg.deblocking_disabled,
@@ -425,7 +584,8 @@ class IntraDecoder:
 
     def _decode_slice(self, rbsp: bytes, nal_type: int):
         cfg, pps = self.cfg, self.pps
-        info = headers.parse_slice_header(rbsp, nal_type, pps)
+        info = headers.parse_slice_header(rbsp, nal_type, pps,
+                                          sps_sao=cfg.sao)
         qp = info.qp
         qp_c = chroma_qp(qp)
         bw, bh = cfg.width // 16, cfg.height // 16
@@ -444,6 +604,7 @@ class IntraDecoder:
         rec_y = np.zeros((cfg.height, cfg.width), np.int32)
         rec_u = np.zeros((cfg.height // 2, cfg.width // 2), np.int32)
         rec_v = np.zeros_like(rec_u)
+        sao_params = [[None] * 3 for _ in range(bw * bh)]
 
         for t in range(n_tiles):
             tx0, tx1 = edges[t], edges[t + 1]
@@ -453,6 +614,9 @@ class IntraDecoder:
             for by in range(bh):
                 left_mode = DC
                 for bx in range(tx0, tx1):
+                    if cfg.sao:
+                        decode_sao_ctu(dec, sao_params, by * bw + bx,
+                                       bx, by, bw, tx0)
                     mode, lv_y, lv_cb, lv_cr = self._decode_ctu(dec, left_mode)
                     left_mode = mode
                     x, yy = bx * 16, by * 16
@@ -484,6 +648,16 @@ class IntraDecoder:
         if not pps.deblocking_disabled:
             rec_y, rec_u, rec_v = deblock_ops.deblock_420_np(
                 rec_y, rec_u, rec_v, qp)
+        if cfg.sao:
+            outs = [rec_y.copy(), rec_u.copy(), rec_v.copy()]
+            for by in range(bh):
+                for bx in range(bw):
+                    p3 = sao_params[by * bw + bx]
+                    sao_ops.apply_ctu(rec_y, outs[0], bx * 16, by * 16, 16,
+                                      p3[0])
+                    sao_ops.apply_ctu(rec_u, outs[1], bx * 8, by * 8, 8, p3[1])
+                    sao_ops.apply_ctu(rec_v, outs[2], bx * 8, by * 8, 8, p3[2])
+            rec_y, rec_u, rec_v = outs
         return rec_y, rec_u, rec_v
 
     def _decode_ctu(self, dec: cabac.CabacDecoder, left_mode: int):

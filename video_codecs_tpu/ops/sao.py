@@ -1,0 +1,144 @@
+"""Sample Adaptive Offset: statistics, decision, application (spec 8.7.3).
+
+Parity references: hm-16.5rc1/source/Lib/TLibCommon/
+TComSampleAdaptiveOffset.cpp — offsetBlock :313 (EO 4 classes + BO apply),
+TLibEncoder/TEncSampleAdaptiveOffset.cpp — getStatistics :285 (per-CTU
+per-class diff sums), decideBlkParams / deriveModeNewRDO :566.
+
+Classification maps for all four EO classes and the band index are
+computed for the whole picture in a few vector ops; per-CTU statistics are
+box reductions over them.  Application is a gather of per-category offsets.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+SAO_OFF, SAO_BO, SAO_EO = 0, 1, 2
+
+# EO class -> (neighbor offset a, neighbor offset b) as (dy, dx)
+EO_NEIGHBORS = {
+    0: ((0, -1), (0, 1)),     # horizontal
+    1: ((-1, 0), (1, 0)),     # vertical
+    2: ((-1, -1), (1, 1)),    # 135 degrees
+    3: ((-1, 1), (1, -1)),    # 45 degrees
+}
+
+
+@dataclasses.dataclass
+class SaoParam:
+    """Per-CTU per-component SAO parameters."""
+    type_idx: int = SAO_OFF
+    eo_class: int = 0
+    band_position: int = 0
+    offsets: tuple[int, int, int, int] = (0, 0, 0, 0)
+
+    def key(self):
+        return (self.type_idx, self.eo_class, self.band_position,
+                self.offsets)
+
+
+def eo_category_map(rec: np.ndarray, eo_class: int) -> np.ndarray:
+    """Per-sample EO category 0..4 (0 = no offset / invalid border)."""
+    h, w = rec.shape
+    (ady, adx), (bdy, bdx) = EO_NEIGHBORS[eo_class]
+    cat = np.zeros((h, w), np.int32)
+    ys = slice(max(0, -ady, -bdy), h - max(0, ady, bdy))
+    xs = slice(max(0, -adx, -bdx), w - max(0, adx, bdx))
+    c = rec[ys, xs].astype(np.int32)
+    a = rec[ys.start + ady:ys.stop + ady, xs.start + adx:xs.stop + adx]
+    b = rec[ys.start + bdy:ys.stop + bdy, xs.start + bdx:xs.stop + bdx]
+    s = np.sign(c - a) + np.sign(c - b)
+    # spec edgeIdx mapping: -2 -> cat1, -1 -> cat2, 1 -> cat3, 2 -> cat4
+    m = np.zeros_like(s)
+    m[s == -2] = 1
+    m[s == -1] = 2
+    m[s == 1] = 3
+    m[s == 2] = 4
+    cat[ys, xs] = m
+    return cat
+
+
+def ctu_stats(orig: np.ndarray, rec: np.ndarray, x0: int, y0: int,
+              size: int, eo_class: int):
+    """(count[5], diff_sum[5]) for one CTU region and EO class."""
+    cat = eo_category_map(rec, eo_class)[y0:y0 + size, x0:x0 + size]
+    diff = (orig.astype(np.int64) - rec)[y0:y0 + size, x0:x0 + size]
+    count = np.bincount(cat.reshape(-1), minlength=5)
+    sums = np.bincount(cat.reshape(-1), weights=diff.reshape(-1), minlength=5)
+    return count, sums
+
+
+def _best_offset(e: float, n: int, positive: bool, lam: float) -> tuple[int, float]:
+    """argmin over |o| in 0..7 of N*o^2 - 2*o*E + lam*bits (HM estIterOffset)."""
+    best_o, best_c = 0, 0.0
+    sign = 1 if positive else -1
+    for mag in range(8):
+        o = sign * mag
+        cost = n * o * o - 2 * o * e + lam * (mag + (1 if mag else 0))
+        if cost < best_c:
+            best_o, best_c = o, cost
+    return best_o, best_c
+
+
+def decide_ctu(orig: np.ndarray, rec: np.ndarray, x0: int, y0: int,
+               size: int, lam: float) -> SaoParam:
+    """Pick off / BO / best-EO for one CTU region of one component."""
+    best = SaoParam()
+    best_cost = 0.0  # cost of OFF
+    for eo in range(4):
+        count, sums = ctu_stats(orig, rec, x0, y0, size, eo)
+        offs = [0, 0, 0, 0]
+        cost = lam * 3  # type + class bits
+        for cat in (1, 2, 3, 4):
+            o, c = _best_offset(sums[cat], int(count[cat]), cat <= 2, lam)
+            offs[cat - 1] = o
+            cost += c
+        if cost < best_cost:
+            best = SaoParam(SAO_EO, eo, 0,
+                            (abs(offs[0]), abs(offs[1]),
+                             abs(offs[2]), abs(offs[3])))
+            best_cost = cost
+    # band offset: 4 consecutive bands with best total gain
+    region_r = rec[y0:y0 + size, x0:x0 + size].astype(np.int32)
+    region_d = (orig.astype(np.int64) - rec)[y0:y0 + size, x0:x0 + size]
+    band = region_r >> 3
+    counts = np.bincount(band.reshape(-1), minlength=32)
+    sums = np.bincount(band.reshape(-1), weights=region_d.reshape(-1),
+                       minlength=32)
+    band_offs = np.zeros(32, np.int64)
+    band_costs = np.zeros(32)
+    for bnd in range(32):
+        # BO offsets are signed (sign coded); search both signs
+        op, cp = _best_offset(sums[bnd], int(counts[bnd]), True, lam)
+        on, cn = _best_offset(sums[bnd], int(counts[bnd]), False, lam)
+        band_offs[bnd], band_costs[bnd] = (op, cp) if cp <= cn else (on, cn)
+    for pos in range(29):
+        cost = band_costs[pos:pos + 4].sum() + lam * 7  # type + 5-bit pos
+        if cost < best_cost:
+            best = SaoParam(SAO_BO, 0, pos,
+                            tuple(int(o) for o in band_offs[pos:pos + 4]))
+            best_cost = cost
+    return best
+
+
+def apply_ctu(pre: np.ndarray, out: np.ndarray, x0: int, y0: int,
+              size: int, p: SaoParam) -> None:
+    """Apply one CTU's SAO params; reads `pre` (deblocked), writes `out`."""
+    if p.type_idx == SAO_OFF:
+        return
+    region = pre[y0:y0 + size, x0:x0 + size].astype(np.int32)
+    if p.type_idx == SAO_BO:
+        lut = np.zeros(32, np.int32)
+        for k in range(4):
+            lut[(p.band_position + k) & 31] = p.offsets[k]
+        res = region + lut[region >> 3]
+    else:
+        cat = eo_category_map(pre, p.eo_class)[y0:y0 + size, x0:x0 + size]
+        # categories 1,2 add +|o|; 3,4 add -|o| (signs implicit, spec 7.4.9.3)
+        lut = np.array([0, p.offsets[0], p.offsets[1],
+                        -p.offsets[2], -p.offsets[3]], np.int32)
+        res = region + lut[cat]
+    out[y0:y0 + size, x0:x0 + size] = np.clip(res, 0, 255)
