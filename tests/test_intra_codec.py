@@ -144,3 +144,24 @@ def test_sao_conformance(tmp_path):
     assert r.stdout.count("(OK)") == 2 and "ERROR" not in r.stdout, r.stdout
     ry, _, _ = yuv.read_frames(str(tmp_path / "sao.yuv"), w, h)
     np.testing.assert_array_equal(ry[0], recs[True][1][0][0].astype(np.uint8))
+
+
+@pytest.mark.skipif(not os.path.exists(HM_DECODER),
+                    reason="HM reference decoder not built")
+def test_rdoq_lite_conformance(tmp_path):
+    """RDOQ-lite changes levels only (encoder decision): still conformant."""
+    w, h = 64, 48
+    frames = [synth_frame(w, h, s) for s in range(2)]
+    cfg = headers.HevcConfig(width=w, height=h, qp=32, rdoq=True)
+    enc = intra_codec.IntraEncoder(cfg)
+    stream, recons = enc.encode_sequence(frames)
+    dec = intra_codec.IntraDecoder()
+    out = dec.decode(stream)
+    assert dec.hash_status == [True, True]
+    np.testing.assert_array_equal(out[0][0], recons[0][0])
+    bin_path = tmp_path / "rdoq.bin"
+    bin_path.write_bytes(stream)
+    r = subprocess.run([HM_DECODER, "-b", str(bin_path), "-o",
+                        str(tmp_path / "rdoq.yuv")],
+                       capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0 and r.stdout.count("(OK)") == 2, r.stdout

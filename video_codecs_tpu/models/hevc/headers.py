@@ -33,6 +33,7 @@ class HevcConfig:
     sign_data_hiding: bool = False
     tile_columns: int = 1      # uniform tile columns (1 = no tiles)
     sao: bool = False
+    rdoq: bool = False         # soft-decision quantization (encoder-only)
 
     @property
     def tiles_enabled(self) -> bool:

@@ -102,11 +102,16 @@ def chroma_qp(qp: int) -> int:
 
 
 def code_tb_np(orig: np.ndarray, pred: np.ndarray, qp: int, log2: int,
-               dst: bool, sbh: bool = False) -> tuple[np.ndarray, np.ndarray]:
+               dst: bool, sbh: bool = False,
+               rdoq: bool = False) -> tuple[np.ndarray, np.ndarray]:
     """Transform+quant one TB; returns (levels, recon)."""
     res = orig.astype(np.int32) - pred
     coeff = tr_ops.forward_transform_np(res, log2, dst=dst)
-    levels = quant_ops.quantize_np(coeff, qp, log2)
+    if rdoq:
+        levels = quant_ops.rdoq_lite_np(
+            coeff, qp, log2, lam=0.57 * 2.0 ** ((qp - 12) / 3.0))
+    else:
+        levels = quant_ops.quantize_np(coeff, qp, log2)
     if sbh and levels.any():
         levels = quant_ops.apply_sbh_np(levels, log2)
     if not levels.any():
@@ -294,7 +299,8 @@ class IntraEncoder:
                 ref = build_ref_np(rec_y, x, yy, 16, tx0 * 16, tx1 * 16)
                 pred = intra_ops.predict_intra_np(ref, mode, 4)
                 lv, rec = code_tb_np(yv[yy:yy + 16, x:x + 16], pred, cfg.qp, 4,
-                                     dst=False, sbh=cfg.sign_data_hiding)
+                                     dst=False, sbh=cfg.sign_data_hiding,
+                                     rdoq=cfg.rdoq)
                 rec_y[yy:yy + 16, x:x + 16] = rec
                 cx, cy = x // 2, yy // 2
                 out_c = []
@@ -304,7 +310,8 @@ class IntraEncoder:
                                                        is_luma=False)
                     lvc, recc = code_tb_np(plane_o[cy:cy + 8, cx:cx + 8],
                                            predc, qp_c, 3, dst=False,
-                                           sbh=cfg.sign_data_hiding)
+                                           sbh=cfg.sign_data_hiding,
+                                           rdoq=cfg.rdoq)
                     plane_r[cy:cy + 8, cx:cx + 8] = recc
                     out_c.append(lvc)
                 ctus[by * bw + bx] = CtuData(

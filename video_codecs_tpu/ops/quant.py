@@ -57,6 +57,49 @@ def dequantize(level: jnp.ndarray, qp: int, log2_size: int, *,
     return jnp.clip(c, -lim, lim - 1).astype(jnp.int32)
 
 
+def _rate_bits(levels):
+    """Crude per-level rate model (bits x 8 fixed point): sig+sign+Golomb."""
+    import numpy as _n
+    a = _n.abs(levels.astype(_n.float64))
+    return _n.where(a == 0, 0.0, 2.0 + _n.log2(a + 1.0))
+
+
+def rdoq_lite_np(coeff: np.ndarray, qp: int, log2_size: int, *,
+                 lam: float, bit_depth: int = 8) -> np.ndarray:
+    """Soft-decision quantization (RDOQ-lite).
+
+    Parity reference (behavioral): HM xRateDistOptQuant TComTrQuant.cpp:2129.
+    Per coefficient, choose between floor and ceil levels (and zero) by
+    J = D_td + lambda_td * R with exact dequant distortion in the transform
+    domain; lambda scaled by the transform gain 4^(15-bd-log2). Skips the
+    CG/last-position optimization of full RDOQ (roadmap), which keeps it a
+    pure elementwise op.
+    """
+    per, rem = qp // 6, qp % 6
+    q_bits = rom.QUANT_SHIFT + per + transform_shift(log2_size, bit_depth)
+    scale = int(rom.QUANT_SCALES[rem])
+    c = coeff.astype(np.int64)
+    mag = np.abs(c)
+    l_floor = (mag * scale) >> q_bits
+    lam_td = lam * float(4 ** (15 - bit_depth - log2_size))
+
+    best_l = np.zeros_like(l_floor)
+    best_j = None
+    for delta in (0, 1):
+        l = np.clip(l_floor + delta, 0, (1 << 15) - 1)
+        dq = dequantize_np(l.astype(np.int32), qp, log2_size,
+                           bit_depth=bit_depth)
+        d = (mag - dq.astype(np.int64)) ** 2
+        j = d.astype(np.float64) + lam_td * _rate_bits(l)
+        if best_j is None:
+            best_l, best_j = l, j
+        else:
+            take = j < best_j
+            best_l = np.where(take, l, best_l)
+            best_j = np.where(take, j, best_j)
+    return (np.sign(c) * best_l).astype(np.int32)
+
+
 def apply_sbh_np(levels: np.ndarray, log2_size: int) -> np.ndarray:
     """Sign-data-hiding parity fix (encoder side, host twin).
 
