@@ -25,7 +25,7 @@ def test_hm_cfg_files_parse_as_is():
     assert opts["QP"] == "37"  # CLI override wins
     s = config.to_encoder_settings(opts)
     assert (s.width, s.height, s.qp, s.intra_period) == (832, 480, 37, 1)
-    assert "RDOQ" in s.unsupported  # honest about unimplemented tools
+    assert "TransformSkip" in s.unsupported  # honest about unimplemented tools
 
 
 def test_encoder_decoder_apps_roundtrip(tmp_path):

@@ -40,7 +40,7 @@ def main(argv=None) -> None:
         width=s.width, height=s.height, qp=s.qp,
         sign_data_hiding=s.sign_data_hiding,
         deblocking_disabled=s.deblocking_disabled,
-        tile_columns=s.tile_columns)
+        tile_columns=s.tile_columns, sao=s.sao, rdoq=s.rdoq)
 
     rc = None
     if s.target_bitrate:

@@ -52,6 +52,8 @@ class EncoderSettings:
     sign_data_hiding: bool = False
     deblocking_disabled: bool = False
     tile_columns: int = 1
+    sao: bool = False
+    rdoq: bool = False
     target_bitrate: int = 0        # 0 = rate control off
     unsupported: dict[str, str] = dataclasses.field(default_factory=dict)
 
@@ -61,7 +63,7 @@ _SUPPORTED = {
     "FrameRate", "FramesToBeEncoded", "FrameSkip", "QP", "IntraPeriod",
     "GOPSize", "SignHideFlag", "LoopFilterDisable", "NumTileColumnsMinus1",
     "RateControl", "TargetBitrate", "InputBitDepth", "InputChromaFormat",
-    "Profile", "Level",
+    "Profile", "Level", "SAO", "RDOQ",
 }
 
 
@@ -82,6 +84,8 @@ def to_encoder_settings(opts: dict[str, str]) -> EncoderSettings:
     s.sign_data_hiding = g("SignHideFlag", "0") not in ("0", "false")
     s.deblocking_disabled = g("LoopFilterDisable", "0") not in ("0", "false")
     s.tile_columns = int(g("NumTileColumnsMinus1", "0")) + 1
+    s.sao = g("SAO", "0") not in ("0", "false")
+    s.rdoq = g("RDOQ", "0") not in ("0", "false")
     if g("RateControl", "0") not in ("0", "false"):
         s.target_bitrate = int(g("TargetBitrate", "0"))
     if g("InputBitDepth", "8") != "8":
