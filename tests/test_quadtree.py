@@ -1,0 +1,64 @@
+"""CU quadtree build: self round-trip, HM conformance, quality gain."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from test_intra_codec import HM_DECODER, synth_frame
+from video_codecs_tpu.models.hevc import headers, intra_codec, quadtree_codec
+from video_codecs_tpu.utils import yuv
+
+
+def _cfg(qp=32, **kw):
+    return headers.HevcConfig(width=64, height=48, qp=qp, log2_min_cb=3, **kw)
+
+
+def test_quadtree_roundtrip():
+    cfg = _cfg()
+    enc = quadtree_codec.QuadtreeIntraEncoder(cfg)
+    frames = [synth_frame(64, 48, s) for s in range(2)]
+    stream = []
+    nals = enc.stream_headers()
+    recons = []
+    for f in frames:
+        fn, rec = enc.encode_frame(*f)
+        nals.extend(fn)
+        recons.append(rec)
+    import video_codecs_tpu.entropy.bitstream as bsm
+    stream = bsm.annexb(nals)
+    dec = quadtree_codec.QuadtreeIntraDecoder()
+    out = dec.decode(stream)
+    assert dec.hash_status == [True, True]
+    for o, r in zip(out, recons):
+        np.testing.assert_array_equal(o[0], r[0])
+        np.testing.assert_array_equal(o[1], r[1])
+        np.testing.assert_array_equal(o[2], r[2])
+
+
+@pytest.mark.skipif(not os.path.exists(HM_DECODER),
+                    reason="HM reference decoder not built")
+def test_quadtree_hm_conformance(tmp_path):
+    cfg = _cfg()
+    enc = quadtree_codec.QuadtreeIntraEncoder(cfg)
+    frames = [synth_frame(64, 48, s) for s in range(2)]
+    nals = enc.stream_headers()
+    recons = []
+    for f in frames:
+        fn, rec = enc.encode_frame(*f)
+        nals.extend(fn)
+        recons.append(rec)
+    import video_codecs_tpu.entropy.bitstream as bsm
+    stream = bsm.annexb(nals)
+    p = tmp_path / "qt.bin"
+    p.write_bytes(stream)
+    r = subprocess.run([HM_DECODER, "-b", str(p), "-o",
+                        str(tmp_path / "qt.yuv")],
+                       capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert r.stdout.count("(OK)") == 2 and "ERROR" not in r.stdout, r.stdout
+    ry, ru, rv = yuv.read_frames(str(tmp_path / "qt.yuv"), 64, 48)
+    for i in range(2):
+        np.testing.assert_array_equal(ry[i], recons[i][0].astype(np.uint8))
+        np.testing.assert_array_equal(ru[i], recons[i][1].astype(np.uint8))

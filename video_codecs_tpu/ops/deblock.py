@@ -211,9 +211,6 @@ def deblock_420_bs(rec_y, rec_u, rec_v, qp: int,
     h, w = rec_y.shape
     ey = np.arange(block, w, block, dtype=np.int32)
     ex = np.arange(block, h, block, dtype=np.int32)
-    cbk = block // 2
-    cey = np.arange(cbk, w // 2, cbk, dtype=np.int32)
-    cex = np.arange(cbk, h // 2, cbk, dtype=np.int32)
     segs = block // 4
 
     bs_v = jnp.repeat(jnp.asarray(bs_ver), segs, axis=1)   # [E, H//4]
@@ -221,8 +218,14 @@ def deblock_420_bs(rec_y, rec_u, rec_v, qp: int,
     rec_y = _filter_ver_edges_luma(rec_y, ey, qp, bit_depth, bs=bs_v)
     rec_y = _filter_ver_edges_luma(rec_y.T, ex, qp, bit_depth, bs=bs_h).T
 
-    cm_v = jnp.repeat(jnp.asarray(bs_ver) == 2, cbk, axis=1)  # [E, H_c]
-    cm_h = jnp.repeat(jnp.asarray(bs_hor) == 2, cbk, axis=1)
+    # Chroma edges always lie on the 16-luma-sample grid (spec 8.7.2); for
+    # block=8 only every second luma edge has a chroma counterpart.
+    step = 16 // block
+    cey = np.arange(8, w // 2, 8, dtype=np.int32)
+    cex = np.arange(8, h // 2, 8, dtype=np.int32)
+    crep = block // 2   # chroma rows covered by one BS row
+    cm_v = jnp.repeat(jnp.asarray(bs_ver)[step - 1::step] == 2, crep, axis=1)
+    cm_h = jnp.repeat(jnp.asarray(bs_hor)[step - 1::step] == 2, crep, axis=1)
     out_c = []
     for p in (rec_u, rec_v):
         p = _filter_ver_edges_chroma(p, cey, qp, bit_depth, mask=cm_v)
