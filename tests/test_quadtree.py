@@ -11,14 +11,17 @@ from video_codecs_tpu.models.hevc import headers, intra_codec, quadtree_codec
 from video_codecs_tpu.utils import yuv
 
 
-def _cfg(qp=32, **kw):
-    return headers.HevcConfig(width=64, height=48, qp=qp, log2_min_cb=3, **kw)
+def _cfg(qp=32, log2_ctb=4, **kw):
+    return headers.HevcConfig(width=64, height=64 if log2_ctb > 4 else 48,
+                              qp=qp, log2_min_cb=3, log2_ctb=log2_ctb,
+                              log2_max_tb=min(5, log2_ctb), **kw)
 
 
-def test_quadtree_roundtrip():
-    cfg = _cfg()
+@pytest.mark.parametrize("log2_ctb", [4, 5])
+def test_quadtree_roundtrip(log2_ctb):
+    cfg = _cfg(log2_ctb=log2_ctb)
     enc = quadtree_codec.QuadtreeIntraEncoder(cfg)
-    frames = [synth_frame(64, 48, s) for s in range(2)]
+    frames = [synth_frame(cfg.width, cfg.height, s) for s in range(2)]
     stream = []
     nals = enc.stream_headers()
     recons = []
@@ -39,10 +42,11 @@ def test_quadtree_roundtrip():
 
 @pytest.mark.skipif(not os.path.exists(HM_DECODER),
                     reason="HM reference decoder not built")
-def test_quadtree_hm_conformance(tmp_path):
-    cfg = _cfg()
+@pytest.mark.parametrize("log2_ctb", [4, 5])
+def test_quadtree_hm_conformance(tmp_path, log2_ctb):
+    cfg = _cfg(log2_ctb=log2_ctb)
     enc = quadtree_codec.QuadtreeIntraEncoder(cfg)
-    frames = [synth_frame(64, 48, s) for s in range(2)]
+    frames = [synth_frame(cfg.width, cfg.height, s) for s in range(2)]
     nals = enc.stream_headers()
     recons = []
     for f in frames:
@@ -58,7 +62,8 @@ def test_quadtree_hm_conformance(tmp_path):
                        capture_output=True, text=True, timeout=120)
     assert r.returncode == 0, r.stdout + r.stderr
     assert r.stdout.count("(OK)") == 2 and "ERROR" not in r.stdout, r.stdout
-    ry, ru, rv = yuv.read_frames(str(tmp_path / "qt.yuv"), 64, 48)
+    ry, ru, rv = yuv.read_frames(str(tmp_path / "qt.yuv"), cfg.width,
+                                 cfg.height)
     for i in range(2):
         np.testing.assert_array_equal(ry[i], recons[i][0].astype(np.uint8))
         np.testing.assert_array_equal(ru[i], recons[i][1].astype(np.uint8))
