@@ -34,6 +34,7 @@ class HevcConfig:
     tile_columns: int = 1      # uniform tile columns (1 = no tiles)
     sao: bool = False
     rdoq: bool = False         # soft-decision quantization (encoder-only)
+    reorder_pics: int = 0      # DPB reorder depth (1 for hierarchical B)
 
     @property
     def tiles_enabled(self) -> bool:
@@ -90,8 +91,8 @@ def write_vps(cfg: HevcConfig) -> bytes:
     w.write(0xFFFF, 16)  # vps_reserved_0xffff_16bits
     _profile_tier_level(w, cfg)
     w.flag(1)       # vps_sub_layer_ordering_info_present_flag
-    w.ue(1)         # vps_max_dec_pic_buffering_minus1 (>= SPS value)
-    w.ue(0)         # vps_max_num_reorder_pics
+    w.ue(2 + cfg.reorder_pics)  # vps_max_dec_pic_buffering_minus1
+    w.ue(cfg.reorder_pics)      # vps_max_num_reorder_pics
     w.ue(0)         # vps_max_latency_increase_plus1
     w.write(0, 6)   # vps_max_layer_id
     w.ue(0)         # vps_num_layer_sets_minus1
@@ -116,8 +117,8 @@ def write_sps(cfg: HevcConfig) -> bytes:
     w.ue(cfg.bit_depth - 8)
     w.ue(4)         # log2_max_pic_order_cnt_lsb_minus4 -> 8-bit POC lsb
     w.flag(1)       # sps_sub_layer_ordering_info_present_flag
-    w.ue(1)         # sps_max_dec_pic_buffering_minus1 (current + 1 ref)
-    w.ue(0)         # sps_max_num_reorder_pics
+    w.ue(2 + cfg.reorder_pics)  # sps_max_dec_pic_buffering_minus1
+    w.ue(cfg.reorder_pics)      # sps_max_num_reorder_pics
     w.ue(0)         # sps_max_latency_increase_plus1
     w.ue(cfg.log2_min_cb - 3)
     w.ue(cfg.log2_ctb - cfg.log2_min_cb)
