@@ -51,3 +51,31 @@ def test_bframes_hm_conformance(tmp_path):
     for i, (ey, eu, ev) in enumerate(recons):
         np.testing.assert_array_equal(ry[i], ey.astype(np.uint8))
         np.testing.assert_array_equal(ru[i], eu.astype(np.uint8))
+
+
+@pytest.mark.skipif(not os.path.exists(HM_DECODER),
+                    reason="HM reference decoder not built")
+def test_bipred_hm_conformance(tmp_path):
+    """Static + noise content forces PRED_BI blocks; HM must agree."""
+    rng = np.random.default_rng(3)
+    base_y = rng.integers(60, 200, (48, 64)).astype(np.int32)
+    frames = []
+    for f in range(5):
+        y = np.clip(base_y + rng.integers(-9, 10, base_y.shape),
+                    0, 255).astype(np.uint8)
+        u = np.full((24, 32), 120, np.uint8)
+        v = np.full((24, 32), 130, np.uint8)
+        frames.append((y, u, v))
+    cfg = headers.HevcConfig(width=64, height=48, qp=35, reorder_pics=1)
+    enc = bframe_codec.HierarchicalBEncoder(cfg)
+    stream, recons = enc.encode_sequence_rab(frames)
+    p = tmp_path / "bi.bin"
+    rec = tmp_path / "bi.yuv"
+    p.write_bytes(stream)
+    r = subprocess.run([HM_DECODER, "-b", str(p), "-o", str(rec)],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert r.stdout.count("(OK)") == 5 and "ERROR" not in r.stdout, r.stdout
+    ry, _, _ = yuv.read_frames(str(rec), 64, 48)
+    for i, (ey, _, _) in enumerate(recons):
+        np.testing.assert_array_equal(ry[i], ey.astype(np.uint8))

@@ -302,13 +302,19 @@ class HierarchicalBEncoder(pc.LowDelayEncoder):
                 xx, yy = bx * 16, by * 16
                 oy = cur[i]
                 mdir, mmv = derive_merge(info, bx, by, bw, bh)
-                mlx = L0 if (mdir & 1) else L1
-                pred_merge = interp.mc_luma_np(
-                    ref_planes[mlx][0], xx, yy, *mmv[mlx], 16)
+                if mdir == 3:
+                    pred_merge = interp.mc_luma_bi_np(
+                        ref_planes[L0][0], ref_planes[L1][0], xx, yy,
+                        mmv[L0], mmv[L1], 16)
+                else:
+                    mlx = L0 if (mdir & 1) else L1
+                    pred_merge = interp.mc_luma_np(
+                        ref_planes[mlx][0], xx, yy, *mmv[mlx], 16)
                 satd_merge = pc._satd8(oy, pred_merge)
                 cost_merge = satd_merge + round(sl * 2)
 
                 best_uni = None
+                uni = {}
                 for lx in ref_planes:
                     mv = (int(me[lx][0][i]), int(me[lx][1][i]))
                     pred = interp.mc_luma_np(ref_planes[lx][0], xx, yy,
@@ -319,9 +325,18 @@ class HierarchicalBEncoder(pc.LowDelayEncoder):
                     mvds = [(mv[0] - p[0], mv[1] - p[1]) for p in amvp]
                     bits = [pc.mvd_bits_estimate(d) for d in mvds]
                     mi = 0 if bits[0] <= bits[1] else 1
+                    uni[lx] = (mv, mi, mvds[mi], bits[mi])
                     c = satd + round(sl * (7 + bits[mi]))
                     if best_uni is None or c < best_uni[0]:
                         best_uni = (c, lx, mv, mi, mvds[mi], pred)
+                best_bi = None
+                if not is_anchor and len(ref_planes) == 2:
+                    pred_bi = interp.mc_luma_bi_np(
+                        ref_planes[L0][0], ref_planes[L1][0], xx, yy,
+                        uni[L0][0], uni[L1][0], 16)
+                    c_bi = pc._satd8(oy, pred_bi) + round(
+                        sl * (8 + uni[L0][3] + uni[L1][3]))
+                    best_bi = (c_bi, pred_bi)
 
                 left = info[by][bx - 1] if bx else None
                 imode = int(intra_modes[by, bx])
@@ -330,15 +345,25 @@ class HierarchicalBEncoder(pc.LowDelayEncoder):
                 cost_intra = pc._satd8(oy, pred_intra) + round(sl * 9)
 
                 b = BBlock()
-                if cost_intra <= min(cost_merge, best_uni[0]):
+                cost_inter = best_uni[0]
+                if best_bi is not None:
+                    cost_inter = min(cost_inter, best_bi[0])
+                if cost_intra <= min(cost_merge, cost_inter):
                     b.pred_mode = MODE_INTRA
                     b.intra_mode = imode
                     pred = pred_intra
-                elif cost_merge <= best_uni[0]:
+                elif cost_merge <= cost_inter:
                     b.pred_mode = MODE_INTER
                     b.merge = True
                     b.inter_dir, b.mv = mdir, dict(mmv)
                     pred = pred_merge
+                elif best_bi is not None and best_bi[0] < best_uni[0]:
+                    b.pred_mode = MODE_INTER
+                    b.inter_dir = 3
+                    b.mv = {L0: uni[L0][0], L1: uni[L1][0]}
+                    b.mvp_idx = {L0: uni[L0][1], L1: uni[L1][1]}
+                    b.mvd = {L0: uni[L0][2], L1: uni[L1][2]}
+                    pred = best_bi[1]
                 else:
                     _, lx, mv, mi, mvd, pred = best_uni
                     b.pred_mode = MODE_INTER
@@ -357,6 +382,11 @@ class HierarchicalBEncoder(pc.LowDelayEncoder):
                         refc = ic.build_ref_np(pr, cx, cy, 8)
                         predc = intra_ops.predict_intra_np(refc, imode, 3,
                                                            is_luma=False)
+                    elif b.inter_dir == 3:
+                        predc = interp.mc_chroma_bi_np(
+                            ref_planes[L0][1 + comp],
+                            ref_planes[L1][1 + comp], cx, cy,
+                            b.mv[L0], b.mv[L1], 8)
                     else:
                         lx = L0 if 1 & b.inter_dir else L1
                         rp = ref_planes[lx][1 + comp]
@@ -423,11 +453,20 @@ class HierarchicalBEncoder(pc.LowDelayEncoder):
             enc.encode_bin(ctx.off("merge_flag"), 1 if b.merge else 0)
             if not b.merge:
                 if not is_anchor:  # B slice: inter_pred_idc
-                    enc.encode_bin(ctx.off("inter_dir", 0), 0)  # not BI
-                    enc.encode_bin(ctx.off("inter_dir", 4),
-                                   0 if b.inter_dir == 1 else 1)
-                self._encode_mvd(enc, b.mvd)
-                enc.encode_bin(ctx.off("mvp_idx"), b.mvp_idx)
+                    if b.inter_dir == 3:
+                        enc.encode_bin(ctx.off("inter_dir", 0), 1)
+                    else:
+                        enc.encode_bin(ctx.off("inter_dir", 0), 0)
+                        enc.encode_bin(ctx.off("inter_dir", 4),
+                                       0 if b.inter_dir == 1 else 1)
+                if b.inter_dir == 3:
+                    self._encode_mvd(enc, b.mvd[L0])
+                    enc.encode_bin(ctx.off("mvp_idx"), b.mvp_idx[L0])
+                    self._encode_mvd(enc, b.mvd[L1])
+                    enc.encode_bin(ctx.off("mvp_idx"), b.mvp_idx[L1])
+                else:
+                    self._encode_mvd(enc, b.mvd)
+                    enc.encode_bin(ctx.off("mvp_idx"), b.mvp_idx)
             has_res = b.cbf_y or b.cbf_cb or b.cbf_cr
             if not b.merge:
                 enc.encode_bin(ctx.off("qt_root_cbf"), 1 if has_res else 0)
@@ -470,19 +509,21 @@ def _bs_maps_b(info, bw, bh, ref_poc):
     bs_ver = np.zeros((bw - 1, bh), np.int32)
     bs_hor = np.zeros((bh - 1, bw), np.int32)
 
-    def ref_of(b: BBlock):
-        lx = L0 if 1 & b.inter_dir else L1
-        return ref_poc.get(lx), b.mv.get(lx, (0, 0))
-
     def bsv(a: BBlock, b: BBlock) -> int:
         if a.pred_mode == MODE_INTRA or b.pred_mode == MODE_INTRA:
             return 2
         if a.cbf_y or b.cbf_y:
             return 1
-        ra, mva = ref_of(a)
-        rb, mvb = ref_of(b)
-        if ra != rb:
-            return 1
+        if a.inter_dir != b.inter_dir:
+            return 1  # different prediction structure / MV count
+        if a.inter_dir == 3:
+            for ll in (L0, L1):
+                if (abs(a.mv[ll][0] - b.mv[ll][0]) >= 4 or
+                        abs(a.mv[ll][1] - b.mv[ll][1]) >= 4):
+                    return 1
+            return 0
+        lx = L0 if 1 & a.inter_dir else L1
+        mva, mvb = a.mv[lx], b.mv[lx]
         if abs(mva[0] - mvb[0]) >= 4 or abs(mva[1] - mvb[1]) >= 4:
             return 1
         return 0
@@ -576,6 +617,10 @@ class HierarchicalBDecoder(ic.IntraDecoder):
                 if b.pred_mode == MODE_INTRA:
                     ref = ic.build_ref_np(rec_y, xx, yy, 16)
                     pred = intra_ops.predict_intra_np(ref, b.intra_mode, 4)
+                elif b.inter_dir == 3:
+                    pred = interp.mc_luma_bi_np(
+                        ref_planes[L0][0], ref_planes[L1][0], xx, yy,
+                        b.mv[L0], b.mv[L1], 16)
                 else:
                     lx = L0 if 1 & b.inter_dir else L1
                     pred = interp.mc_luma_np(ref_planes[lx][0], xx, yy,
@@ -587,6 +632,11 @@ class HierarchicalBDecoder(ic.IntraDecoder):
                         refc = ic.build_ref_np(pr, cx, cy, 8)
                         predc = intra_ops.predict_intra_np(
                             refc, b.intra_mode, 3, is_luma=False)
+                    elif b.inter_dir == 3:
+                        predc = interp.mc_chroma_bi_np(
+                            ref_planes[L0][1 + comp],
+                            ref_planes[L1][1 + comp], cx, cy,
+                            b.mv[L0], b.mv[L1], 8)
                     else:
                         lx = L0 if 1 & b.inter_dir else L1
                         predc = interp.mc_chroma_np(
@@ -642,17 +692,31 @@ class HierarchicalBDecoder(ic.IntraDecoder):
             if b.merge:
                 b.inter_dir, b.mv = derive_merge(info, bx, by, bw, bh)
             else:
+                bi = False
                 lx = L0
                 if not is_anchor:
-                    bi = dec.decode_bin(ctx.off("inter_dir", 0))
-                    assert bi == 0, "BI prediction not emitted by this build"
-                    lx = L1 if dec.decode_bin(ctx.off("inter_dir", 4)) else L0
-                b.inter_dir = 1 if lx == L0 else 2
-                b.mvd = pc.LowDelayDecoder._decode_mvd(dec)
-                b.mvp_idx = dec.decode_bin(ctx.off("mvp_idx"))
-                amvp = derive_amvp_b(info, bx, by, bw, bh, lx, poc, ref_poc)
-                p = amvp[b.mvp_idx]
-                b.mv = {lx: (p[0] + b.mvd[0], p[1] + b.mvd[1])}
+                    bi = bool(dec.decode_bin(ctx.off("inter_dir", 0)))
+                    if not bi:
+                        lx = (L1 if dec.decode_bin(ctx.off("inter_dir", 4))
+                              else L0)
+                if bi:
+                    b.inter_dir = 3
+                    b.mv = {}
+                    for ll in (L0, L1):
+                        mvd = pc.LowDelayDecoder._decode_mvd(dec)
+                        mpi = dec.decode_bin(ctx.off("mvp_idx"))
+                        amvp = derive_amvp_b(info, bx, by, bw, bh, ll,
+                                             poc, ref_poc)
+                        p = amvp[mpi]
+                        b.mv[ll] = (p[0] + mvd[0], p[1] + mvd[1])
+                else:
+                    b.inter_dir = 1 if lx == L0 else 2
+                    b.mvd = pc.LowDelayDecoder._decode_mvd(dec)
+                    b.mvp_idx = dec.decode_bin(ctx.off("mvp_idx"))
+                    amvp = derive_amvp_b(info, bx, by, bw, bh, lx, poc,
+                                         ref_poc)
+                    p = amvp[b.mvp_idx]
+                    b.mv = {lx: (p[0] + b.mvd[0], p[1] + b.mvd[1])}
             if not b.merge:
                 if not dec.decode_bin(ctx.off("qt_root_cbf")):
                     return b

@@ -140,3 +140,64 @@ def mc_chroma_np(ref: np.ndarray, x0: int, y0: int, mvx: int, mvy: int,
             v = (hor[r:r + 4, c] * fv).sum() >> 6
             out[r, c] = min(max((v + 32) >> 6, 0), 255)
     return out.astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Bi-prediction (spec 8.5.4.2.3.2 default weighted sample prediction):
+# each hypothesis stays in the 14-bit domain; out = (p0 + p1 + 64) >> 7.
+# ---------------------------------------------------------------------------
+
+def _mc_luma14_np(ref, x0, y0, mvx, mvy, n):
+    ix, iy = x0 + (mvx >> 2), y0 + (mvy >> 2)
+    fx, fy = mvx & 3, mvy & 3
+    h, w = ref.shape
+    win = np.zeros((n + 7, n + 7), np.int64)
+    for r in range(n + 7):
+        for c in range(n + 7):
+            win[r, c] = ref[min(max(iy - 3 + r, 0), h - 1),
+                            min(max(ix - 3 + c, 0), w - 1)]
+    fh = LUMA_FILTERS[fx].astype(np.int64)
+    fv = LUMA_FILTERS[fy].astype(np.int64)
+    hor = np.zeros((n + 7, n), np.int64)
+    for r in range(n + 7):
+        for c in range(n):
+            hor[r, c] = (win[r, c:c + 8] * fh).sum()
+    out = np.zeros((n, n), np.int64)
+    for r in range(n):
+        for c in range(n):
+            out[r, c] = (hor[r:r + 8, c] * fv).sum() >> 6
+    return out
+
+
+def _mc_chroma14_np(ref, x0, y0, mvx, mvy, n):
+    ix, iy = x0 + (mvx >> 3), y0 + (mvy >> 3)
+    fx, fy = mvx & 7, mvy & 7
+    h, w = ref.shape
+    win = np.zeros((n + 3, n + 3), np.int64)
+    for r in range(n + 3):
+        for c in range(n + 3):
+            win[r, c] = ref[min(max(iy - 1 + r, 0), h - 1),
+                            min(max(ix - 1 + c, 0), w - 1)]
+    fh = CHROMA_FILTERS[fx].astype(np.int64)
+    fv = CHROMA_FILTERS[fy].astype(np.int64)
+    hor = np.zeros((n + 3, n), np.int64)
+    for r in range(n + 3):
+        for c in range(n):
+            hor[r, c] = (win[r, c:c + 4] * fh).sum()
+    out = np.zeros((n, n), np.int64)
+    for r in range(n):
+        for c in range(n):
+            out[r, c] = (hor[r:r + 4, c] * fv).sum() >> 6
+    return out
+
+
+def mc_luma_bi_np(ref0, ref1, x0, y0, mv0, mv1, n):
+    p0 = _mc_luma14_np(ref0, x0, y0, mv0[0], mv0[1], n)
+    p1 = _mc_luma14_np(ref1, x0, y0, mv1[0], mv1[1], n)
+    return np.clip((p0 + p1 + 64) >> 7, 0, 255).astype(np.int32)
+
+
+def mc_chroma_bi_np(ref0, ref1, x0, y0, mv0, mv1, n):
+    p0 = _mc_chroma14_np(ref0, x0, y0, mv0[0], mv0[1], n)
+    p1 = _mc_chroma14_np(ref1, x0, y0, mv1[0], mv1[1], n)
+    return np.clip((p0 + p1 + 64) >> 7, 0, 255).astype(np.int32)
