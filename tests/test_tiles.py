@@ -65,3 +65,32 @@ def test_tiles_hm_conformance(tmp_path):
     ry, ru, rv = yuv.read_frames(str(rec), 512, 128)
     for i, (ey, eu, ev) in enumerate(recons):
         np.testing.assert_array_equal(ry[i], ey.astype(np.uint8))
+
+
+def test_wpp_roundtrip():
+    cfg = headers.HevcConfig(width=64, height=48, qp=30, wpp=True)
+    enc = intra_codec.IntraEncoder(cfg)
+    frames = [synth_frame(64, 48, s) for s in range(2)]
+    stream, recons = enc.encode_sequence(frames)
+    dec = intra_codec.IntraDecoder()
+    out = dec.decode(stream)
+    assert dec.hash_status == [True, True]
+    np.testing.assert_array_equal(out[0][0], recons[0][0])
+
+
+@pytest.mark.skipif(not os.path.exists(HM_DECODER),
+                    reason="HM reference decoder not built")
+def test_wpp_hm_conformance(tmp_path):
+    cfg = headers.HevcConfig(width=64, height=48, qp=30, wpp=True)
+    enc = intra_codec.IntraEncoder(cfg)
+    frames = [synth_frame(64, 48, s) for s in range(2)]
+    stream, recons = enc.encode_sequence(frames)
+    p = tmp_path / "wpp.bin"
+    rec = tmp_path / "wpp.yuv"
+    p.write_bytes(stream)
+    r = subprocess.run([HM_DECODER, "-b", str(p), "-o", str(rec)],
+                       capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert r.stdout.count("(OK)") == 2 and "ERROR" not in r.stdout, r.stdout
+    ry, _, _ = yuv.read_frames(str(rec), 64, 48)
+    np.testing.assert_array_equal(ry[0], recons[0][0].astype(np.uint8))

@@ -35,6 +35,7 @@ class HevcConfig:
     sao: bool = False
     rdoq: bool = False         # soft-decision quantization (encoder-only)
     reorder_pics: int = 0      # DPB reorder depth (1 for hierarchical B)
+    wpp: bool = False          # entropy_coding_sync (WPP substreams)
 
     @property
     def tiles_enabled(self) -> bool:
@@ -199,7 +200,7 @@ def write_pps(cfg: HevcConfig) -> bytes:
     w.flag(0)       # weighted_bipred_flag
     w.flag(0)       # transquant_bypass_enabled_flag
     w.flag(1 if cfg.tiles_enabled else 0)  # tiles_enabled_flag
-    w.flag(0)       # entropy_coding_sync_enabled_flag
+    w.flag(1 if cfg.wpp else 0)  # entropy_coding_sync_enabled_flag
     if cfg.tiles_enabled:
         w.ue(cfg.tile_columns - 1)  # num_tile_columns_minus1
         w.ue(0)                     # num_tile_rows_minus1
@@ -227,6 +228,7 @@ class PpsInfo:
     init_qp: int = 26
     deblocking_disabled: bool = False
     tile_columns: int = 1
+    wpp: bool = False
 
 
 def parse_pps(rbsp: bytes) -> PpsInfo:
@@ -247,7 +249,7 @@ def parse_pps(rbsp: bytes) -> PpsInfo:
     r.flag(), r.flag()
     assert not r.flag(), "transquant bypass unsupported"
     tiles_on = bool(r.flag())  # tiles_enabled_flag
-    assert not r.flag(), "WPP unsupported"
+    wpp = bool(r.flag())       # entropy_coding_sync_enabled_flag
     tile_columns = 1
     if tiles_on:
         tile_columns = r.ue() + 1
@@ -263,7 +265,7 @@ def parse_pps(rbsp: bytes) -> PpsInfo:
             r.se(), r.se()
     return PpsInfo(sign_data_hiding=sdh, init_qp=init_qp,
                    deblocking_disabled=dbf_disabled,
-                   tile_columns=tile_columns)
+                   tile_columns=tile_columns, wpp=wpp)
 
 
 def write_slice_header(cfg: HevcConfig, nal_type: int,
@@ -285,7 +287,7 @@ def write_slice_header(cfg: HevcConfig, nal_type: int,
         # present when pps_loop_filter_across_slices_enabled_flag &&
         # (SAO on || !slice_deblocking_filter_disabled_flag)
         w.flag(1)   # slice_loop_filter_across_slices_enabled_flag
-    if cfg.tiles_enabled:
+    if cfg.tiles_enabled or cfg.wpp:
         eps = entry_points or []
         w.ue(len(eps))  # num_entry_point_offsets
         if eps:
@@ -321,7 +323,7 @@ def parse_slice_header(rbsp: bytes, nal_type: int, pps: PpsInfo,
     if not pps.deblocking_disabled:
         r.flag()  # slice_loop_filter_across_slices_enabled_flag
     entry_points = []
-    if pps.tile_columns > 1:
+    if pps.tile_columns > 1 or pps.wpp:
         n = r.ue()
         if n:
             nbits = r.ue() + 1

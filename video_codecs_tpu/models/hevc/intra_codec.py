@@ -401,9 +401,13 @@ class IntraEncoder:
 
     def _encode_slice(self, ctus: list[CtuData], sao_params=None) -> bytes:
         """Serialize the slice; with tiles, one CABAC substream per tile
-        in tile-scan order with entry-point offsets in the header."""
+        in tile-scan order with entry-point offsets in the header.  With
+        WPP, one substream per CTU row with CABAC context inheritance from
+        the second CTU of the row above (spec 9.3.1 sync)."""
         cfg = self.cfg
         bw, bh = cfg.width // 16, cfg.height // 16
+        if cfg.wpp:
+            return self._encode_slice_wpp(ctus, sao_params)
         bounds = cfg.tile_col_bounds()
         substreams = []
         for t, (tx0, tx1) in enumerate(bounds):
@@ -462,6 +466,40 @@ class IntraEncoder:
         if ctu.levels_cr is not None:
             residual.encode_residual(enc, ctu.levels_cr, 3, rom.SCAN_DIAG,
                                      False, sign_hiding=sbh)
+
+
+    def _encode_slice_wpp(self, ctus, sao_params=None) -> bytes:
+        """WPP: one byte-aligned substream per CTU row (TEncSlice.cpp:962
+        substream loop; context store/load at :755/:859-862)."""
+        cfg = self.cfg
+        bw, bh = cfg.width // 16, cfg.height // 16
+        assert not cfg.tiles_enabled and bw >= 2
+        substreams = []
+        sync_states = None
+        for by in range(bh):
+            w = bs.BitWriter()
+            states = (ctx.init_states(ctx.I, cfg.qp) if by == 0
+                      else sync_states.copy())
+            enc = cabac.CabacEncoder(w, states)
+            for bx in range(bw):
+                i = by * bw + bx
+                if sao_params is not None:
+                    encode_sao_ctu(enc, sao_params, i, bx, by, bw, 0)
+                left_mode = ctus[i - 1].mode if bx else DC
+                self._encode_ctu(enc, ctus[i], left_mode)
+                if bx == 1:
+                    sync_states = states.copy()
+                last_ctu = by == bh - 1 and bx == bw - 1
+                enc.encode_terminate(1 if last_ctu else 0)
+                if bx == bw - 1 and by != bh - 1:
+                    enc.encode_terminate(1)  # end_of_subset_one_bit
+            enc.finish_slice()
+            substreams.append(w.data())
+        hdr = headers.write_slice_header(
+            cfg, bs.NAL_IDR_W_RADL,
+            entry_points=[len(ss) for ss in substreams[:-1]])
+        return bs.nal_unit(bs.NAL_IDR_W_RADL,
+                           hdr.data() + b"".join(substreams))
 
     def _hash_sei(self, rec_y, rec_u, rec_v) -> bytes:
         w = bs.BitWriter()
@@ -600,6 +638,8 @@ class IntraDecoder:
         # CABAC payload starts at the (byte-aligned) slice data offset;
         # tiles split it into independent substreams at the entry points.
         data = rbsp[info.data_offset_bits // 8:]
+        if pps.wpp:
+            return self._decode_slice_wpp(data, info, qp, qp_c)
         n_tiles = pps.tile_columns
         edges = [(i * bw) // n_tiles for i in range(n_tiles + 1)]
         offs = [0]
@@ -652,6 +692,75 @@ class IntraDecoder:
                     is_last = (by == bh - 1 and bx == tx1 - 1 and last_tile)
                     assert end == (1 if is_last else 0), \
                         f"end_of_slice mismatch at CTU ({bx},{by})"
+        if not pps.deblocking_disabled:
+            rec_y, rec_u, rec_v = deblock_ops.deblock_420_np(
+                rec_y, rec_u, rec_v, qp)
+        if cfg.sao:
+            outs = [rec_y.copy(), rec_u.copy(), rec_v.copy()]
+            for by in range(bh):
+                for bx in range(bw):
+                    p3 = sao_params[by * bw + bx]
+                    sao_ops.apply_ctu(rec_y, outs[0], bx * 16, by * 16, 16,
+                                      p3[0])
+                    sao_ops.apply_ctu(rec_u, outs[1], bx * 8, by * 8, 8, p3[1])
+                    sao_ops.apply_ctu(rec_v, outs[2], bx * 8, by * 8, 8, p3[2])
+            rec_y, rec_u, rec_v = outs
+        return rec_y, rec_u, rec_v
+
+
+    def _decode_slice_wpp(self, data, info, qp, qp_c):
+        """WPP decode: per-row substreams with context sync (TDecSlice)."""
+        cfg, pps = self.cfg, self.pps
+        bw, bh = cfg.width // 16, cfg.height // 16
+        offs = [0]
+        for e in info.entry_points:
+            offs.append(offs[-1] + e)
+        offs.append(len(data))
+        assert len(offs) == bh + 1, "WPP entry points != row count"
+        rec_y = np.zeros((cfg.height, cfg.width), np.int32)
+        rec_u = np.zeros((cfg.height // 2, cfg.width // 2), np.int32)
+        rec_v = np.zeros_like(rec_u)
+        sao_params = [[None] * 3 for _ in range(bw * bh)]
+        sync_states = None
+        for by in range(bh):
+            states = (ctx.init_states(ctx.I, qp) if by == 0
+                      else sync_states.copy())
+            dec = cabac.CabacDecoder(bs.BitReader(data[offs[by]:offs[by + 1]]),
+                                     states)
+            left_mode = DC
+            for bx in range(bw):
+                if cfg.sao:
+                    decode_sao_ctu(dec, sao_params, by * bw + bx, bx, by,
+                                   bw, 0)
+                mode, lv_y, lv_cb, lv_cr = self._decode_ctu(dec, left_mode)
+                left_mode = mode
+                if bx == 1:
+                    sync_states = states.copy()
+                x, yy = bx * 16, by * 16
+                ref = build_ref_np(rec_y, x, yy, 16)
+                pred = intra_ops.predict_intra_np(ref, mode, 4)
+                if lv_y is not None:
+                    dq = quant_ops.dequantize_np(lv_y, qp, 4)
+                    r2 = tr_ops.inverse_transform_np(dq, 4)
+                    rec = np.clip(pred + r2, 0, 255)
+                else:
+                    rec = pred
+                rec_y[yy:yy + 16, x:x + 16] = rec
+                cx, cy = x // 2, yy // 2
+                for lv_c, plane in ((lv_cb, rec_u), (lv_cr, rec_v)):
+                    refc = build_ref_np(plane, cx, cy, 8)
+                    predc = intra_ops.predict_intra_np(refc, mode, 3,
+                                                       is_luma=False)
+                    if lv_c is not None:
+                        dq = quant_ops.dequantize_np(lv_c, qp_c, 3)
+                        r2 = tr_ops.inverse_transform_np(dq, 3)
+                        recc = np.clip(predc + r2, 0, 255)
+                    else:
+                        recc = predc
+                    plane[cy:cy + 8, cx:cx + 8] = recc
+                end = dec.decode_terminate()
+                last = by == bh - 1 and bx == bw - 1
+                assert end == (1 if last else 0)
         if not pps.deblocking_disabled:
             rec_y, rec_u, rec_v = deblock_ops.deblock_420_np(
                 rec_y, rec_u, rec_v, qp)
