@@ -70,3 +70,45 @@ def test_h264_jm_conformance(tmp_path):
         np.testing.assert_array_equal(ry[i], ey.astype(np.uint8))
         np.testing.assert_array_equal(ru[i], eu.astype(np.uint8))
         np.testing.assert_array_equal(rv[i], ev.astype(np.uint8))
+
+
+@pytest.mark.skipif(not os.path.exists(JM_DECODER),
+                    reason="JM reference decoder not built")
+def test_h264_i4x4_jm_conformance(tmp_path):
+    """All-I_4x4 stream (9-mode 4x4 intra, CBP me(v)) decodes in JM."""
+    w, h = 64, 48
+    enc = h264.H264IntraEncoder(w, h, qp=28)
+    enc.force_i4 = True  # exercise the I_4x4 path on every MB
+    frames = [synth_frame(w, h, s) for s in range(2)]
+    stream, recons = enc.encode_sequence(frames)
+    assert int(enc._is_i4.sum()) == enc._is_i4.size
+    dec = h264.H264IntraDecoder()
+    out = dec.decode(stream)
+    for i in range(2):
+        for j in range(3):
+            np.testing.assert_array_equal(out[i][j], recons[i][j])
+    p = tmp_path / "i4.264"
+    p.write_bytes(stream)
+    r = subprocess.run([JM_DECODER, "-i", str(p), "-o",
+                        str(tmp_path / "i4.yuv")],
+                       capture_output=True, text=True, timeout=120,
+                       cwd=tmp_path)
+    assert r.returncode == 0 and "2 frames are decoded" in r.stdout, r.stdout
+    ry, ru, rv = yuv.read_frames(str(tmp_path / "i4.yuv"), w, h)
+    for i in range(2):
+        np.testing.assert_array_equal(ry[i], recons[i][0].astype(np.uint8))
+        np.testing.assert_array_equal(ru[i], recons[i][1].astype(np.uint8))
+
+
+def test_h264_mixed_mb_types():
+    """Natural decision mixes I_4x4 and I_16x16 on detailed content."""
+    rng = np.random.default_rng(17)
+    w, h = 64, 48
+    y = rng.integers(0, 256, (h, w)).astype(np.uint8)   # pure noise: I4 wins
+    u = np.full((h // 2, w // 2), 100, np.uint8)
+    v = np.full((h // 2, w // 2), 140, np.uint8)
+    enc = h264.H264IntraEncoder(w, h, qp=20)
+    stream, recons = enc.encode_sequence([(y, u, v)])
+    dec = h264.H264IntraDecoder()
+    out = dec.decode(stream)
+    np.testing.assert_array_equal(out[0][0], recons[0][0])

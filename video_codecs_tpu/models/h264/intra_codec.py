@@ -213,6 +213,169 @@ def pred_chroma8(rec: np.ndarray, x: int, y: int, mode: int) -> np.ndarray:
     return np.clip(out, 0, 255).astype(np.int32)
 
 
+
+# CBP <-> codeNum mapping for 4:2:0 intra (JM vlc.c:32 NCBP[1][cbp][0]).
+_NCBP_INTRA_420 = [3, 29, 30, 17, 31, 18, 37, 8, 32, 38, 19, 9,
+                   20, 10, 11, 2, 16, 33, 34, 21, 35, 22, 39, 4,
+                   36, 40, 23, 5, 24, 6, 7, 1, 41, 42, 43, 25,
+                   44, 26, 46, 12, 45, 47, 27, 13, 28, 14, 15, 0]
+_CBP_FROM_CODE_INTRA_420 = [0] * 48
+for _cbp, _cn in enumerate(_NCBP_INTRA_420):
+    _CBP_FROM_CODE_INTRA_420[_cn] = _cbp
+
+# inverse of the 4x4 block order (x4, y4) -> luma4x4BlkIdx
+_BLK_IDX = {}
+for _i in range(16):
+    _BLK_IDX[(_BLK_X[_i], _BLK_Y[_i])] = _i
+
+
+def _decoded_before(gx4, gy4, cur_gx4, cur_gy4, mb_w):
+    """Is 4x4 block (gx4, gy4) decoded before (cur_gx4, cur_gy4)?
+    (MB raster order, _BLK order within the MB — spec 6.4.8/6.4.10.4.)"""
+    mb_a = (gy4 // 4) * mb_w + (gx4 // 4)
+    mb_b = (cur_gy4 // 4) * mb_w + (cur_gx4 // 4)
+    if mb_a != mb_b:
+        return mb_a < mb_b
+    return _BLK_IDX[(gx4 % 4, gy4 % 4)] < _BLK_IDX[(cur_gx4 % 4,
+                                                    cur_gy4 % 4)]
+
+
+def gather_ref4(rec, x, y, mb_w):
+    """Neighbor samples for a 4x4 intra block (spec 8.3.1.2): returns
+    (l[4], t[8], c, avail dict).  Unavailable top-right replicated from
+    t[3] when the top itself is available."""
+    h, w = rec.shape
+    gx4, gy4 = x // 4, y // 4
+
+    def blk_ok(sx, sy):
+        if sx < 0 or sy < 0 or sx >= w or sy >= h:
+            return False
+        return _decoded_before(sx // 4, sy // 4, gx4, gy4, mb_w)
+
+    avail = {
+        "l": blk_ok(x - 1, y),
+        "t": blk_ok(x, y - 1),
+        "tl": blk_ok(x - 1, y - 1),
+        "tr": blk_ok(x + 4, y - 1),
+    }
+    l = np.array([rec[min(y + i, h - 1), x - 1] if avail["l"] else 0
+                  for i in range(4)], np.int32)
+    t = np.zeros(8, np.int32)
+    if avail["t"]:
+        t[:4] = rec[y - 1, x:x + 4]
+        if avail["tr"]:
+            t[4:] = rec[y - 1, x + 4:x + 8]
+        else:
+            t[4:] = t[3]
+    c = rec[y - 1, x - 1] if avail["tl"] else 0
+    return l, t, int(c), avail
+
+
+def pred_luma4(l, t, c, avail, mode):
+    """9-mode 4x4 intra prediction (spec 8.3.1.2.1-9)."""
+    out = np.zeros((4, 4), np.int64)
+    tt = np.zeros(9, np.int64)       # tt[0] = corner, tt[1+i] = t[i]
+    tt[0] = c
+    tt[1:] = t
+    ll = np.zeros(5, np.int64)
+    ll[0] = c
+    ll[1:] = l
+    if mode == 0:                    # vertical
+        out[:, :] = t[:4]
+    elif mode == 1:                  # horizontal
+        out[:, :] = l[:, None]
+    elif mode == 2:                  # DC
+        if avail["t"] and avail["l"]:
+            dc = (int(t[:4].sum()) + int(l.sum()) + 4) >> 3
+        elif avail["t"]:
+            dc = (int(t[:4].sum()) + 2) >> 2
+        elif avail["l"]:
+            dc = (int(l.sum()) + 2) >> 2
+        else:
+            dc = 128
+        out[:, :] = dc
+    elif mode == 3:                  # diagonal down-left
+        for y in range(4):
+            for x in range(4):
+                if x == 3 and y == 3:
+                    out[y, x] = (t[6] + 3 * t[7] + 2) >> 2
+                else:
+                    out[y, x] = (t[x + y] + 2 * t[x + y + 1] +
+                                 t[x + y + 2] + 2) >> 2
+    elif mode == 4:                  # diagonal down-right
+        for y in range(4):
+            for x in range(4):
+                if x > y:
+                    out[y, x] = (tt[x - y - 1] + 2 * tt[x - y] +
+                                 tt[x - y + 1] + 2) >> 2
+                elif x < y:
+                    out[y, x] = (ll[y - x - 1] + 2 * ll[y - x] +
+                                 ll[y - x + 1] + 2) >> 2
+                else:
+                    out[y, x] = (t[0] + 2 * c + l[0] + 2) >> 2
+    elif mode == 5:                  # vertical-right
+        for y in range(4):
+            for x in range(4):
+                z = 2 * x - y
+                if z >= 0 and z % 2 == 0:
+                    i = x - (y >> 1)
+                    out[y, x] = (tt[i] + tt[i + 1] + 1) >> 1
+                elif z >= 0:
+                    i = x - (y >> 1)
+                    out[y, x] = (tt[i - 1] + 2 * tt[i] + tt[i + 1] + 2) >> 2
+                elif z == -1:
+                    out[y, x] = (l[0] + 2 * c + t[0] + 2) >> 2
+                else:
+                    out[y, x] = (ll[y] + 2 * ll[y - 1] + ll[y - 2] + 2) >> 2
+    elif mode == 6:                  # horizontal-down
+        for y in range(4):
+            for x in range(4):
+                z = 2 * y - x
+                if z >= 0 and z % 2 == 0:
+                    i = y - (x >> 1)
+                    out[y, x] = (ll[i] + ll[i + 1] + 1) >> 1
+                elif z >= 0:
+                    i = y - (x >> 1)
+                    out[y, x] = (ll[i - 1] + 2 * ll[i] + ll[i + 1] + 2) >> 2
+                elif z == -1:
+                    out[y, x] = (l[0] + 2 * c + t[0] + 2) >> 2
+                else:
+                    out[y, x] = (tt[x] + 2 * tt[x - 1] + tt[x - 2] + 2) >> 2
+    elif mode == 7:                  # vertical-left
+        for y in range(4):
+            for x in range(4):
+                i = x + (y >> 1)
+                if y % 2 == 0:
+                    out[y, x] = (t[i] + t[i + 1] + 1) >> 1
+                else:
+                    out[y, x] = (t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2
+    else:                            # 8: horizontal-up (spec 8.3.1.2.9)
+        for y in range(4):
+            for x in range(4):
+                z = x + 2 * y
+                if z in (0, 2, 4):
+                    i = y + (x >> 1)
+                    out[y, x] = (l[i] + l[i + 1] + 1) >> 1
+                elif z in (1, 3):
+                    i = y + (x >> 1)
+                    out[y, x] = (l[i] + 2 * l[i + 1] + l[i + 2] + 2) >> 2
+                elif z == 5:
+                    out[y, x] = (l[2] + 3 * l[3] + 2) >> 2
+                else:
+                    out[y, x] = l[3]
+    return np.clip(out, 0, 255)
+
+
+def allowed_modes4(avail):
+    modes = [2]
+    if avail["t"]:
+        modes += [0, 3, 7]
+    if avail["l"]:
+        modes += [1, 8]
+    if avail["t"] and avail["l"] and avail["tl"]:
+        modes += [4, 5, 6]
+    return modes
+
 # ---------------------------------------------------------------------------
 # nC bookkeeping
 # ---------------------------------------------------------------------------
@@ -268,6 +431,8 @@ class H264IntraEncoder:
         nc_y = NcGrid(mbw * 4, mbh * 4)
         nc_u = NcGrid(mbw * 2, mbh * 2)
         nc_v = NcGrid(mbw * 2, mbh * 2)
+        self._mode4 = np.full((mbh * 4, mbw * 4), 2, np.int32)
+        self._is_i4 = np.zeros((mbh, mbw), bool)
 
         w = BitWriter()
         # slice header (IDR, I slice)
@@ -292,28 +457,78 @@ class H264IntraEncoder:
                    nc_y, nc_u, nc_v, mbx, mby, qp, qpc):
         x, y = mbx * 16, mby * 16
         cx, cy = mbx * 8, mby * 8
+        mbw = self.w // 16
         avail_t, avail_l = mby > 0, mbx > 0
-
-        # ---- luma mode decision + transform ----
-        modes = [2] + ([0] if avail_t else []) + ([1] if avail_l else []) + \
-                ([3] if (avail_t and avail_l) else [])
+        lam = 0.85 * 2.0 ** ((qp - 12) / 3.0)
         orig = yv[y:y + 16, x:x + 16]
-        best_mode, best_sad, best_pred = None, None, None
-        for m in modes:
+
+        # ---- I_16x16 candidate ----
+        modes16 = [2] + ([0] if avail_t else []) + ([1] if avail_l else []) + \
+                  ([3] if (avail_t and avail_l) else [])
+        best16 = None
+        for m in modes16:
             p = pred_luma16(rec_y, x, y, m)
             sad = int(np.abs(orig - p).sum())
-            if best_sad is None or sad < best_sad:
-                best_mode, best_sad, best_pred = m, sad, p
-        res = orig - best_pred
-        blk = res.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3)  # [y4][x4][4][4]
+            if best16 is None or sad < best16[0]:
+                best16 = (sad, m, p)
+        _, mode16, pred16 = best16
+        res = orig - pred16
+        blk = res.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3)
         wt = ht.forward4x4(blk)
         dc = wt[:, :, 0, 0].copy()
         dc_q = ht.quant_luma_dc(ht.fwd_hadamard4x4_dc(dc), qp)
         ac_q = ht.quant_ac(wt, qp)
         ac_q[:, :, 0, 0] = 0
-        cbp_luma = 15 if ac_q.any() else 0
+        cbp_luma16 = 15 if ac_q.any() else 0
+        dc_deq = ht.dequant_luma_dc(dc_q, qp)
+        d = ht.dequant_ac(ac_q if cbp_luma16 else np.zeros_like(ac_q), qp)
+        d[:, :, 0, 0] = dc_deq
+        rec16 = np.clip(pred16 + ht.inverse4x4(d)
+                        .transpose(0, 2, 1, 3).reshape(16, 16), 0, 255)
+        cost16 = int(np.abs(rec16 - orig).sum()) + round(lam * 8)
 
-        # ---- chroma ----
+        # ---- I_4x4 candidate (trial recon on a scratch copy) ----
+        rec_trial = rec_y.copy()
+        modes4 = []
+        levels4 = []
+        cost4_bits = 4
+        for idx in range(16):
+            x4, y4 = _BLK_X[idx], _BLK_Y[idx]
+            px, py = x + x4 * 4, y + y4 * 4
+            l, t, c, av = gather_ref4(rec_trial, px, py, mbw)
+            pm = self._pred_mode4(mbx * 4 + x4, mby * 4 + y4)
+            ob = yv[py:py + 4, px:px + 4]
+            bestb = None
+            for m in allowed_modes4(av):
+                pb = pred_luma4(l, t, c, av, m)
+                sad = int(np.abs(ob - pb).sum()) + \
+                    round(lam * (1 if m == pm else 4))
+                if bestb is None or sad < bestb[0]:
+                    bestb = (sad, m, pb)
+            _, m4, pb = bestb
+            wt4 = ht.forward4x4(ob - pb)
+            lv4 = ht.quant_ac(wt4, qp)
+            d4 = ht.dequant_ac(lv4, qp)
+            recb = np.clip(pb + ht.inverse4x4(d4), 0, 255)
+            rec_trial[py:py + 4, px:px + 4] = recb
+            modes4.append(int(m4))
+            levels4.append(lv4)
+            self._mode4[mby * 4 + y4, mbx * 4 + x4] = m4  # trial; fixed below
+            cost4_bits += 1 if m4 == pm else 4
+        cost4 = int(np.abs(rec_trial[y:y + 16, x:x + 16] - orig).sum()) + \
+            round(lam * cost4_bits)
+        use_i4 = cost4 < cost16 or getattr(self, 'force_i4', False)
+        self._is_i4[mby, mbx] = use_i4
+        if not use_i4:
+            self._mode4[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 2
+            # re-derive I4 trial side effects away; I16 recon applies
+        cbp_luma4 = 0
+        if use_i4:
+            for i8 in range(4):
+                if any(levels4[4 * i8 + k].any() for k in range(4)):
+                    cbp_luma4 |= 1 << i8
+
+        # ---- chroma (shared) ----
         cmodes = [0] + ([1] if avail_l else []) + ([2] if avail_t else []) + \
                  ([3] if (avail_t and avail_l) else [])
         co = {0: uv[cy:cy + 8, cx:cx + 8], 1: vv[cy:cy + 8, cx:cx + 8]}
@@ -338,55 +553,77 @@ class H264IntraEncoder:
         any_cac = any(q.any() for q in c_ac_q)
         cbp_chroma = 2 if any_cac else (1 if any_cdc else 0)
 
-        # ---- syntax ----
-        mb_type = 1 + best_mode + 4 * cbp_chroma + 12 * (1 if cbp_luma else 0)
-        w.ue(mb_type)
-        w.ue(best_cm)        # intra_chroma_pred_mode
-        w.se(0)              # mb_qp_delta
-        # Intra16x16DCLevel: nC of luma block 0
         zz = cavlc.ZIGZAG_4x4
-        # DC levels are the quantized Hadamard coefficients in zig-zag order
-        dc_list = [int(dc_q.reshape(16)[zz[i]]) for i in range(16)]
-        cavlc.encode_block(w, dc_list, nc_y.nc(mbx * 4, mby * 4), 16)
-        # AC blocks
-        for idx in range(16):
-            x4, y4 = _BLK_X[idx], _BLK_Y[idx]
-            gx, gy = mbx * 4 + x4, mby * 4 + y4
-            if cbp_luma:
-                coeffs = ac_q[y4, x4].reshape(16)[zz][1:]
-                total = cavlc.encode_block(w, [int(c) for c in coeffs],
-                                           nc_y.nc(gx, gy), 15)
-            else:
-                total = 0
-            nc_y.set(gx, gy, total)
-        # chroma DC
+        if use_i4:
+            # ---- I_4x4 syntax (spec 7.3.5.1) ----
+            cbp = cbp_luma4 | (cbp_chroma << 4)
+            w.ue(0)                  # mb_type I_4x4
+            for idx in range(16):
+                x4, y4 = _BLK_X[idx], _BLK_Y[idx]
+                pm = self._pred_mode4(mbx * 4 + x4, mby * 4 + y4,
+                                      upto=idx, mbx=mbx, mby=mby)
+                m = modes4[idx]
+                if m == pm:
+                    w.flag(1)
+                else:
+                    w.flag(0)
+                    w.write(m if m < pm else m - 1, 3)
+            w.ue(best_cm)
+            w.ue(_NCBP_INTRA_420[cbp])   # coded_block_pattern me(v)
+            if cbp:
+                w.se(0)              # mb_qp_delta
+            for i8 in range(4):
+                for k in range(4):
+                    idx = 4 * i8 + k
+                    x4, y4 = _BLK_X[idx], _BLK_Y[idx]
+                    gx, gy = mbx * 4 + x4, mby * 4 + y4
+                    if cbp_luma4 & (1 << i8):
+                        coeffs = levels4[idx].reshape(16)[zz]
+                        total = cavlc.encode_block(
+                            w, [int(cc) for cc in coeffs], nc_y.nc(gx, gy), 16)
+                    else:
+                        total = 0
+                    nc_y.set(gx, gy, total)
+            rec_y[y:y + 16, x:x + 16] = rec_trial[y:y + 16, x:x + 16]
+        else:
+            mb_type = 1 + mode16 + 4 * cbp_chroma + \
+                12 * (1 if cbp_luma16 else 0)
+            w.ue(mb_type)
+            w.ue(best_cm)
+            w.se(0)
+            dc_list = [int(dc_q.reshape(16)[zz[i]]) for i in range(16)]
+            cavlc.encode_block(w, dc_list, nc_y.nc(mbx * 4, mby * 4), 16)
+            for idx in range(16):
+                x4, y4 = _BLK_X[idx], _BLK_Y[idx]
+                gx, gy = mbx * 4 + x4, mby * 4 + y4
+                if cbp_luma16:
+                    coeffs = ac_q[y4, x4].reshape(16)[zz][1:]
+                    total = cavlc.encode_block(w, [int(cc) for cc in coeffs],
+                                               nc_y.nc(gx, gy), 15)
+                else:
+                    total = 0
+                nc_y.set(gx, gy, total)
+            rec_y[y:y + 16, x:x + 16] = rec16
+        # chroma DC / AC syntax (shared between MB types)
         if cbp_chroma:
             for comp in (0, 1):
                 dcs = c_dc_q[comp]
                 lst = [int(dcs[0, 0]), int(dcs[0, 1]),
                        int(dcs[1, 0]), int(dcs[1, 1])]
                 cavlc.encode_block(w, lst, -1, 4)
-        # chroma AC
         for comp, grid in ((0, nc_u), (1, nc_v)):
             for idx in range(4):
                 x4, y4 = idx & 1, idx >> 1
                 gx, gy = mbx * 2 + x4, mby * 2 + y4
                 if cbp_chroma == 2:
                     coeffs = c_ac_q[comp][y4, x4].reshape(16)[zz][1:]
-                    total = cavlc.encode_block(w, [int(c) for c in coeffs],
+                    total = cavlc.encode_block(w, [int(cc) for cc in coeffs],
                                                grid.nc(gx, gy), 15)
                 else:
                     total = 0
                 grid.set(gx, gy, total)
 
-        # ---- reconstruction (decoder-identical) ----
-        dc_deq = ht.dequant_luma_dc(dc_q, qp)
-        d = ht.dequant_ac(ac_q if cbp_luma else np.zeros_like(ac_q), qp)
-        d[:, :, 0, 0] = dc_deq
-        r = ht.inverse4x4(d)
-        rec = np.clip(best_pred +
-                      r.transpose(0, 2, 1, 3).reshape(16, 16), 0, 255)
-        rec_y[y:y + 16, x:x + 16] = rec
+        # ---- chroma reconstruction ----
         for comp, (plane, pred) in enumerate((
                 (rec_u, best_cpred[0]), (rec_v, best_cpred[1]))):
             if cbp_chroma:
@@ -401,6 +638,32 @@ class H264IntraEncoder:
             crec = np.clip(pred + cr.transpose(0, 2, 1, 3).reshape(8, 8),
                            0, 255)
             plane[cy:cy + 8, cx:cx + 8] = crec
+
+    def _pred_mode4(self, gx4, gy4, upto=None, mbx=None, mby=None):
+        """predIntra4x4PredMode = min(modeA, modeB) (spec 8.3.1.1)."""
+        mbw = self.w // 16
+
+        def nbr(sx4, sy4):
+            if sx4 < 0 or sy4 < 0 or sx4 >= mbw * 4 or \
+                    sy4 >= (self.h // 16) * 4:
+                return None
+            if not _decoded_before(sx4, sy4, gx4, gy4, mbw):
+                return None
+            nmbx, nmby = sx4 // 4, sy4 // 4
+            same_mb = (mbx is not None and nmbx == mbx and nmby == mby)
+            if same_mb and upto is not None:
+                # within the current (partially coded) MB the mode grid is
+                # being filled in block order; earlier blocks are valid
+                pass
+            if not same_mb and not self._is_i4[nmby, nmbx]:
+                return 2
+            return int(self._mode4[sy4, sx4])
+
+        a = nbr(gx4 - 1, gy4)
+        b = nbr(gx4, gy4 - 1)
+        if a is None or b is None:
+            return 2
+        return min(a, b)
 
 
 # ---------------------------------------------------------------------------
@@ -448,12 +711,35 @@ class H264IntraDecoder:
         nc_v = NcGrid(mbw * 2, mbh * 2)
         zz = cavlc.ZIGZAG_4x4
 
+        mode4 = np.full((mbh * 4, mbw * 4), 2, np.int32)
+        is_i4 = np.zeros((mbh, mbw), bool)
+
+        def pred_mode4(gx4, gy4):
+            def nbr(sx4, sy4):
+                if sx4 < 0 or sy4 < 0 or sx4 >= mbw * 4 or sy4 >= mbh * 4:
+                    return None
+                if not _decoded_before(sx4, sy4, gx4, gy4, mbw):
+                    return None
+                if not is_i4[sy4 // 4, sx4 // 4]:
+                    return 2
+                return int(mode4[sy4, sx4])
+            a = nbr(gx4 - 1, gy4)
+            b = nbr(gx4, gy4 - 1)
+            if a is None or b is None:
+                return 2
+            return min(a, b)
+
         for mby in range(mbh):
             for mbx in range(mbw):
                 x, y = mbx * 16, mby * 16
                 cx, cy = mbx * 8, mby * 8
                 mb_type = r.ue()
-                assert 1 <= mb_type <= 24, f"only I_16x16 supported, got {mb_type}"
+                assert 0 <= mb_type <= 24, f"unsupported mb_type {mb_type}"
+                if mb_type == 0:
+                    self._decode_i4_mb(r, yv_none := None, rec_y, rec_u,
+                                       rec_v, nc_y, nc_u, nc_v, mbx, mby,
+                                       qp, qpc, mode4, is_i4, pred_mode4)
+                    continue
                 lmode = (mb_type - 1) % 4
                 cbp_chroma = ((mb_type - 1) // 4) % 3
                 cbp_luma = 15 if (mb_type - 1) >= 12 else 0
@@ -514,3 +800,79 @@ class H264IntraDecoder:
                     plane[cy:cy + 8, cx:cx + 8] = np.clip(
                         cpred + cr.transpose(0, 2, 1, 3).reshape(8, 8), 0, 255)
         return rec_y, rec_u, rec_v
+
+
+    def _decode_i4_mb(self, r, _unused, rec_y, rec_u, rec_v, nc_y, nc_u,
+                      nc_v, mbx, mby, qp, qpc, mode4, is_i4, pred_mode4):
+        import numpy as np
+        mbw = rec_y.shape[1] // 16
+        x, y = mbx * 16, mby * 16
+        cx, cy = mbx * 8, mby * 8
+        zz = cavlc.ZIGZAG_4x4
+        is_i4[mby, mbx] = True
+        modes = []
+        for idx in range(16):
+            x4, y4 = _BLK_X[idx], _BLK_Y[idx]
+            pm = pred_mode4(mbx * 4 + x4, mby * 4 + y4)
+            if r.flag():
+                m = pm
+            else:
+                rem = r.read(3)
+                m = rem if rem < pm else rem + 1
+            modes.append(m)
+            mode4[mby * 4 + y4, mbx * 4 + x4] = m
+        cmode = r.ue()
+        cbp = _CBP_FROM_CODE_INTRA_420[r.ue()]
+        if cbp:
+            dqp = r.se()
+            assert dqp == 0
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        # luma blocks: parse + recon sequentially
+        for i8 in range(4):
+            for k in range(4):
+                idx = 4 * i8 + k
+                x4, y4 = _BLK_X[idx], _BLK_Y[idx]
+                gx, gy = mbx * 4 + x4, mby * 4 + y4
+                px, py = x + x4 * 4, y + y4 * 4
+                lv = np.zeros((4, 4), np.int64)
+                if cbp_luma & (1 << i8):
+                    coeffs = cavlc.decode_block(r, nc_y.nc(gx, gy), 16)
+                    flat = np.zeros(16, np.int64)
+                    flat[zz] = coeffs
+                    lv = flat.reshape(4, 4)
+                    nc_y.set(gx, gy, sum(1 for cc in coeffs if cc))
+                else:
+                    nc_y.set(gx, gy, 0)
+                l, t, c, av = gather_ref4(rec_y, px, py, mbw)
+                pb = pred_luma4(l, t, c, av, modes[idx])
+                d4 = ht.dequant_ac(lv, qp)
+                rec_y[py:py + 4, px:px + 4] = np.clip(
+                    pb + ht.inverse4x4(d4), 0, 255)
+        # chroma (same structure as I_16x16 path)
+        c_dc_q = [np.zeros((2, 2), np.int64) for _ in range(2)]
+        c_ac_q = [np.zeros((2, 2, 4, 4), np.int64) for _ in range(2)]
+        if cbp_chroma:
+            for comp in (0, 1):
+                lst = cavlc.decode_block(r, -1, 4)
+                c_dc_q[comp][0, 0], c_dc_q[comp][0, 1] = lst[0], lst[1]
+                c_dc_q[comp][1, 0], c_dc_q[comp][1, 1] = lst[2], lst[3]
+        for comp, grid in ((0, nc_u), (1, nc_v)):
+            for idx in range(4):
+                x4, y4 = idx & 1, idx >> 1
+                gx, gy = mbx * 2 + x4, mby * 2 + y4
+                if cbp_chroma == 2:
+                    coeffs = cavlc.decode_block(r, grid.nc(gx, gy), 15)
+                    flat = np.zeros(16, np.int64)
+                    flat[zz[1:]] = coeffs
+                    c_ac_q[comp][y4, x4] = flat.reshape(4, 4)
+                    grid.set(gx, gy, sum(1 for cc in coeffs if cc))
+                else:
+                    grid.set(gx, gy, 0)
+        for comp, plane in ((0, rec_u), (1, rec_v)):
+            cpred = pred_chroma8(plane, cx, cy, cmode)
+            cdc_deq = ht.dequant_chroma_dc(c_dc_q[comp], qpc)
+            cd = ht.dequant_ac(c_ac_q[comp], qpc)
+            cd[:, :, 0, 0] = cdc_deq
+            cr2 = ht.inverse4x4(cd)
+            plane[cy:cy + 8, cx:cx + 8] = np.clip(
+                cpred + cr2.transpose(0, 2, 1, 3).reshape(8, 8), 0, 255)
