@@ -112,3 +112,75 @@ def test_h264_mixed_mb_types():
     dec = h264.H264IntraDecoder()
     out = dec.decode(stream)
     np.testing.assert_array_equal(out[0][0], recons[0][0])
+
+
+@pytest.mark.skipif(not os.path.exists(JM_DECODER),
+                    reason="JM reference decoder not built")
+def test_h264_deblock_jm_conformance_qp40(tmp_path):
+    """High QP drives the bS=4 strong filter hard; recon must match ldecod."""
+    w, h = 64, 48
+    frames = [synth_frame(w, h, s) for s in range(2)]
+    enc = h264.H264IntraEncoder(w, h, qp=40)
+    stream, recons = enc.encode_sequence(frames)
+    raw = h264.H264IntraEncoder(w, h, qp=40, deblock=False)
+    _, recons_raw = raw.encode_sequence(frames)
+    # the filter must actually change samples at this QP
+    assert (recons[0][0] != recons_raw[0][0]).any()
+    dec = h264.H264IntraDecoder()
+    out = dec.decode(stream)
+    for i in range(2):
+        for j in range(3):
+            np.testing.assert_array_equal(out[i][j], recons[i][j])
+    p = tmp_path / "db40.264"
+    p.write_bytes(stream)
+    r = subprocess.run([JM_DECODER, "-i", str(p), "-o",
+                        str(tmp_path / "db40.yuv")],
+                       capture_output=True, text=True, timeout=120,
+                       cwd=tmp_path)
+    assert r.returncode == 0 and "2 frames are decoded" in r.stdout, r.stdout
+    ry, ru, rv = yuv.read_frames(str(tmp_path / "db40.yuv"), w, h)
+    for i in range(2):
+        np.testing.assert_array_equal(ry[i], recons[i][0].astype(np.uint8))
+        np.testing.assert_array_equal(ru[i], recons[i][1].astype(np.uint8))
+        np.testing.assert_array_equal(rv[i], recons[i][2].astype(np.uint8))
+
+
+def test_h264_deblock_off_roundtrip():
+    w, h = 64, 48
+    enc = h264.H264IntraEncoder(w, h, qp=32, deblock=False)
+    frames = [synth_frame(w, h, 0)]
+    stream, recons = enc.encode_sequence(frames)
+    out = h264.H264IntraDecoder().decode(stream)
+    for j in range(3):
+        np.testing.assert_array_equal(out[0][j], recons[0][j])
+
+
+JM_ENCODER = "/root/repo/.refbuild/jm18.5/bin/lencod.exe"
+
+
+@pytest.mark.skipif(not (os.path.exists(JM_ENCODER)
+                         and os.path.exists("/root/reference/jm18.5/bin/foreman_part_qcif.yuv")),
+                    reason="JM reference encoder not built")
+def test_h264_decode_jm_encoded_stream(tmp_path):
+    """Our decoder bit-exactly reproduces a JM-ENCODED all-intra stream,
+    including the implicit-deblocking case (dbf_control_present=0)."""
+    cfg = "/root/repo/.refbuild/jm18.5/bin/encoder_baseline.cfg"
+    r = subprocess.run(
+        [JM_ENCODER, "-d", cfg,
+         "-p", "InputFile=/root/reference/jm18.5/bin/foreman_part_qcif.yuv",
+         "-p", "SourceWidth=176", "-p", "SourceHeight=144",
+         "-p", "FramesToBeEncoded=2", "-p", "IntraPeriod=1",
+         "-p", "IDRPeriod=1", "-p", "ProfileIDC=66", "-p", "SymbolMode=0",
+         "-p", "QPISlice=32", "-p", "OutFileMode=0",
+         "-p", "OutputFile=jm.264", "-p", "ReconFile=jm_rec.yuv",
+         "-p", "Transform8x8Mode=0", "-p", "PicOrderCntType=2",
+         "-p", "Log2MaxFNumMinus4=4", "-p", "RDOptimization=0"],
+        capture_output=True, text=True, timeout=300, cwd=tmp_path)
+    assert (tmp_path / "jm.264").exists(), r.stdout + r.stderr
+    from video_codecs_tpu.models.h264.intra_codec import H264IntraDecoder
+    out = H264IntraDecoder().decode((tmp_path / "jm.264").read_bytes())
+    assert len(out) == 2
+    ry, ru, rv = yuv.read_frames(str(tmp_path / "jm_rec.yuv"), 176, 144)
+    for i in range(2):
+        for ours, ref in zip(out[i], (ry[i], ru[i], rv[i])):
+            np.testing.assert_array_equal(ours.astype(np.uint8), ref)

@@ -406,9 +406,11 @@ class NcGrid:
 # ---------------------------------------------------------------------------
 
 class H264IntraEncoder:
-    def __init__(self, width: int, height: int, qp: int = 28) -> None:
+    def __init__(self, width: int, height: int, qp: int = 28,
+                 deblock: bool = True) -> None:
         assert width % 16 == 0 and height % 16 == 0
         self.w, self.h, self.qp = width, height, qp
+        self.deblock = deblock
 
     def encode_sequence(self, frames) -> tuple[bytes, list]:
         nals = [nal_unit(NAL_SPS, write_sps(self.w // 16, self.h // 16)),
@@ -444,13 +446,24 @@ class H264IntraEncoder:
         w.flag(0)            # dec_ref_pic_marking: no_output_of_prior_pics
         w.flag(0)            # long_term_reference_flag
         w.se(qp - 26)        # slice_qp_delta
-        w.ue(1)              # disable_deblocking_filter_idc = 1 (off)
+        if self.deblock:
+            w.ue(0)          # disable_deblocking_filter_idc = 0 (on)
+            w.se(0)          # slice_alpha_c0_offset_div2
+            w.se(0)          # slice_beta_offset_div2
+        else:
+            w.ue(1)          # disable_deblocking_filter_idc = 1 (off)
 
         for mby in range(mbh):
             for mbx in range(mbw):
                 self._encode_mb(w, yv, uv, vv, rec_y, rec_u, rec_v,
                                 nc_y, nc_u, nc_v, mbx, mby, qp, qpc)
         w.rbsp_trailing_bits()
+        if self.deblock:
+            # intra pred above used the unfiltered recon (spec 8.3); the
+            # output picture is the deblocked one (spec 8.7).
+            from video_codecs_tpu.ops.h264_deblock import deblock_frame_intra
+            rec_y, rec_u, rec_v = deblock_frame_intra(
+                rec_y, rec_u, rec_v, qp, qpc)
         return w.data(), (rec_y, rec_u, rec_v)
 
     def _encode_mb(self, w, yv, uv, vv, rec_y, rec_u, rec_v,
@@ -699,8 +712,14 @@ class H264IntraDecoder:
         r.ue()               # idr_pic_id
         r.flag(), r.flag()   # dec_ref_pic_marking (IDR)
         qp = 26 + r.se()
+        # when deblocking_filter_control_present_flag is 0 the filter is
+        # implicitly enabled with zero offsets (spec 7.4.3 inference)
+        dbf_idc, aoff, boff = 0, 0, 0
         if self.dbf_present:
-            assert r.ue() == 1, "deblocking must be disabled in this build"
+            dbf_idc = r.ue()
+            if dbf_idc != 1:
+                aoff = 2 * r.se()    # FilterOffsetA
+                boff = 2 * r.se()    # FilterOffsetB
         qpc = int(ht.CHROMA_QP[min(max(qp, 0), 51)])
 
         rec_y = np.zeros((mbh * 16, mbw * 16), np.int32)
@@ -799,6 +818,10 @@ class H264IntraDecoder:
                     cr = ht.inverse4x4(cd)
                     plane[cy:cy + 8, cx:cx + 8] = np.clip(
                         cpred + cr.transpose(0, 2, 1, 3).reshape(8, 8), 0, 255)
+        if dbf_idc != 1:
+            from video_codecs_tpu.ops.h264_deblock import deblock_frame_intra
+            rec_y, rec_u, rec_v = deblock_frame_intra(
+                rec_y, rec_u, rec_v, qp, qpc, aoff, boff)
         return rec_y, rec_u, rec_v
 
 
