@@ -1,0 +1,124 @@
+"""H.264 P slices (IPPP): self round-trip, skip behavior, JM conformance
+in both directions."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from video_codecs_tpu.models.h264.inter_codec import H264Decoder, H264Encoder
+from video_codecs_tpu.utils import yuv
+
+JM_DECODER = "/root/repo/.refbuild/jm18.5/bin/ldecod.exe"
+JM_ENCODER = "/root/repo/.refbuild/jm18.5/bin/lencod.exe"
+FOREMAN = "/root/reference/jm18.5/bin/foreman_part_qcif.yuv"
+
+
+def translating_frames(n=4, w=64, h=48, seed=3):
+    rng = np.random.default_rng(seed)
+    by = rng.integers(0, 256, (h + 16, w + 16)).astype(np.uint8)
+    bu = rng.integers(0, 256, (h // 2 + 8, w // 2 + 8)).astype(np.uint8)
+    bv = rng.integers(0, 256, (h // 2 + 8, w // 2 + 8)).astype(np.uint8)
+    out = []
+    for t in range(n):
+        dx, dy = t * 2, t
+        out.append((by[dy:dy + h, dx:dx + w],
+                    bu[dy // 2:dy // 2 + h // 2, dx // 2:dx // 2 + w // 2],
+                    bv[dy // 2:dy // 2 + h // 2, dx // 2:dx // 2 + w // 2]))
+    return out
+
+
+def roundtrip(enc, frames):
+    stream, recons = enc.encode_sequence(frames)
+    out = H264Decoder().decode(stream)
+    assert len(out) == len(frames)
+    for i in range(len(frames)):
+        for j in range(3):
+            np.testing.assert_array_equal(out[i][j], recons[i][j])
+    return stream, recons
+
+
+def test_p_self_roundtrip_translation():
+    frames = translating_frames()
+    stream, recons = roundtrip(H264Encoder(64, 48, qp=30), frames)
+    p = yuv.psnr(np.stack([r[0] for r in recons]),
+                 np.stack([f[0] for f in frames]))
+    assert p > 30, p
+
+
+def test_p_static_scene_mostly_skip():
+    rng = np.random.default_rng(9)
+    y = rng.integers(0, 256, (48, 64)).astype(np.uint8)
+    u = rng.integers(0, 256, (24, 32)).astype(np.uint8)
+    v = rng.integers(0, 256, (24, 32)).astype(np.uint8)
+    frames = [(y, u, v)] * 3
+    stream, recons = roundtrip(H264Encoder(64, 48, qp=30), frames)
+    # Once the deblocked recon settles, a static P frame is all skip runs:
+    # the second P slice is a handful of bytes. The first P still codes a
+    # few MBs because its reference (the deblocked IDR) differs from the
+    # source.
+    nals = stream.split(b"\x00\x00\x00\x01")
+    p_slices = [n for n in nals if n and (n[0] & 0x1F) == 1]
+    idr = [n for n in nals if n and (n[0] & 0x1F) == 5][0]
+    assert len(p_slices) == 2
+    assert len(p_slices[0]) < len(idr) // 10, (len(p_slices[0]), len(idr))
+    assert len(p_slices[1]) < 12, len(p_slices[1])
+    # (recons still drift slightly frame to frame: the in-loop filter is
+    # reapplied to the copied picture each frame)
+
+
+def test_p_gop_idr_refresh():
+    frames = translating_frames(n=4)
+    roundtrip(H264Encoder(64, 48, qp=30, gop=2), frames)
+
+
+@pytest.mark.skipif(not os.path.exists(JM_DECODER),
+                    reason="JM reference decoder not built")
+def test_p_jm_ldecod_conformance(tmp_path):
+    ys, us, vs = yuv.read_frames(FOREMAN, 176, 144)
+    frames = [(ys[i], us[i], vs[i]) for i in range(len(ys))]
+    enc = H264Encoder(176, 144, qp=30)
+    stream, recons = roundtrip(enc, frames)
+    (tmp_path / "p.264").write_bytes(stream)
+    r = subprocess.run([JM_DECODER, "-i", "p.264", "-o", "jm.yuv"],
+                       capture_output=True, text=True, timeout=120,
+                       cwd=tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert f"{len(frames)} frames are decoded" in r.stdout, r.stdout
+    ry, ru, rv = yuv.read_frames(str(tmp_path / "jm.yuv"), 176, 144)
+    for i in range(len(frames)):
+        for ours, ref in zip(recons[i], (ry[i], ru[i], rv[i])):
+            np.testing.assert_array_equal(ref, ours.astype(np.uint8))
+
+
+@pytest.mark.skipif(not (os.path.exists(JM_ENCODER)
+                         and os.path.exists(FOREMAN)),
+                    reason="JM reference encoder not built")
+def test_p_decode_jm_encoded_stream(tmp_path):
+    """Our decoder reproduces a JM-ENCODED IPPP stream bit-exactly
+    (16x16 partitions, one reference)."""
+    cfg = "/root/repo/.refbuild/jm18.5/bin/encoder_baseline.cfg"
+    r = subprocess.run(
+        [JM_ENCODER, "-d", cfg,
+         "-p", f"InputFile={FOREMAN}",
+         "-p", "SourceWidth=176", "-p", "SourceHeight=144",
+         "-p", "FramesToBeEncoded=3", "-p", "IntraPeriod=0",
+         "-p", "IDRPeriod=0", "-p", "ProfileIDC=66", "-p", "SymbolMode=0",
+         "-p", "QPISlice=30", "-p", "QPPSlice=30", "-p", "OutFileMode=0",
+         "-p", "OutputFile=jm.264", "-p", "ReconFile=jm_rec.yuv",
+         "-p", "Transform8x8Mode=0", "-p", "PicOrderCntType=2",
+         "-p", "Log2MaxFNumMinus4=4", "-p", "RDOptimization=0",
+         "-p", "PSliceSearch16x16=1", "-p", "PSliceSearch16x8=0",
+         "-p", "PSliceSearch8x16=0", "-p", "PSliceSearch8x8=0",
+         "-p", "PSliceSearch8x4=0", "-p", "PSliceSearch4x8=0",
+         "-p", "PSliceSearch4x4=0", "-p", "SearchRange=16",
+         "-p", "NumberReferenceFrames=1"],
+        capture_output=True, text=True, timeout=300, cwd=tmp_path)
+    assert (tmp_path / "jm.264").exists(), r.stdout + r.stderr
+    out = H264Decoder().decode((tmp_path / "jm.264").read_bytes())
+    assert len(out) == 3
+    ry, ru, rv = yuv.read_frames(str(tmp_path / "jm_rec.yuv"), 176, 144)
+    for i in range(3):
+        for ours, ref in zip(out[i], (ry[i], ru[i], rv[i])):
+            np.testing.assert_array_equal(ours.astype(np.uint8), ref)

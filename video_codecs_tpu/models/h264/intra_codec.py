@@ -467,7 +467,10 @@ class H264IntraEncoder:
         return w.data(), (rec_y, rec_u, rec_v)
 
     def _encode_mb(self, w, yv, uv, vv, rec_y, rec_u, rec_v,
-                   nc_y, nc_u, nc_v, mbx, mby, qp, qpc):
+                   nc_y, nc_u, nc_v, mbx, mby, qp, qpc,
+                   mb_type_offset=0):
+        # mb_type_offset=5 encodes this intra MB inside a P slice
+        # (spec Table 7-13: intra mb_types follow the 5 inter ones)
         x, y = mbx * 16, mby * 16
         cx, cy = mbx * 8, mby * 8
         mbw = self.w // 16
@@ -570,7 +573,7 @@ class H264IntraEncoder:
         if use_i4:
             # ---- I_4x4 syntax (spec 7.3.5.1) ----
             cbp = cbp_luma4 | (cbp_chroma << 4)
-            w.ue(0)                  # mb_type I_4x4
+            w.ue(0 + mb_type_offset)     # mb_type I_4x4
             for idx in range(16):
                 x4, y4 = _BLK_X[idx], _BLK_Y[idx]
                 pm = self._pred_mode4(mbx * 4 + x4, mby * 4 + y4,
@@ -601,7 +604,7 @@ class H264IntraEncoder:
         else:
             mb_type = 1 + mode16 + 4 * cbp_chroma + \
                 12 * (1 if cbp_luma16 else 0)
-            w.ue(mb_type)
+            w.ue(mb_type + mb_type_offset)
             w.ue(best_cm)
             w.se(0)
             dc_list = [int(dc_q.reshape(16)[zz[i]]) for i in range(16)]
@@ -759,70 +762,80 @@ class H264IntraDecoder:
                                        rec_v, nc_y, nc_u, nc_v, mbx, mby,
                                        qp, qpc, mode4, is_i4, pred_mode4)
                     continue
-                lmode = (mb_type - 1) % 4
-                cbp_chroma = ((mb_type - 1) // 4) % 3
-                cbp_luma = 15 if (mb_type - 1) >= 12 else 0
-                cmode = r.ue()
-                dqp = r.se()
-                assert dqp == 0
-                # luma DC
-                dc_list = cavlc.decode_block(r, nc_y.nc(mbx * 4, mby * 4), 16)
-                dc_q = np.zeros(16, np.int64)
-                dc_q[zz] = dc_list
-                dc_q = dc_q.reshape(4, 4)
-                ac_q = np.zeros((4, 4, 4, 4), np.int64)
-                for idx in range(16):
-                    x4, y4 = _BLK_X[idx], _BLK_Y[idx]
-                    gx, gy = mbx * 4 + x4, mby * 4 + y4
-                    if cbp_luma:
-                        coeffs = cavlc.decode_block(r, nc_y.nc(gx, gy), 15)
-                        flat = np.zeros(16, np.int64)
-                        flat[zz[1:]] = coeffs
-                        ac_q[y4, x4] = flat.reshape(4, 4)
-                        nc_y.set(gx, gy, sum(1 for c in coeffs if c))
-                    else:
-                        nc_y.set(gx, gy, 0)
-                c_dc_q = [np.zeros((2, 2), np.int64) for _ in range(2)]
-                c_ac_q = [np.zeros((2, 2, 4, 4), np.int64) for _ in range(2)]
-                if cbp_chroma:
-                    for comp in (0, 1):
-                        lst = cavlc.decode_block(r, -1, 4)
-                        c_dc_q[comp][0, 0], c_dc_q[comp][0, 1] = lst[0], lst[1]
-                        c_dc_q[comp][1, 0], c_dc_q[comp][1, 1] = lst[2], lst[3]
-                for comp, grid in ((0, nc_u), (1, nc_v)):
-                    for idx in range(4):
-                        x4, y4 = idx & 1, idx >> 1
-                        gx, gy = mbx * 2 + x4, mby * 2 + y4
-                        if cbp_chroma == 2:
-                            coeffs = cavlc.decode_block(r, grid.nc(gx, gy), 15)
-                            flat = np.zeros(16, np.int64)
-                            flat[zz[1:]] = coeffs
-                            c_ac_q[comp][y4, x4] = flat.reshape(4, 4)
-                            grid.set(gx, gy, sum(1 for c in coeffs if c))
-                        else:
-                            grid.set(gx, gy, 0)
-
-                # recon
-                pred = pred_luma16(rec_y, x, y, lmode)
-                dc_deq = ht.dequant_luma_dc(dc_q, qp)
-                d = ht.dequant_ac(ac_q, qp)
-                d[:, :, 0, 0] = dc_deq
-                rr = ht.inverse4x4(d)
-                rec_y[y:y + 16, x:x + 16] = np.clip(
-                    pred + rr.transpose(0, 2, 1, 3).reshape(16, 16), 0, 255)
-                for comp, plane in ((0, rec_u), (1, rec_v)):
-                    cpred = pred_chroma8(plane, cx, cy, cmode)
-                    cdc_deq = ht.dequant_chroma_dc(c_dc_q[comp], qpc)
-                    cd = ht.dequant_ac(c_ac_q[comp], qpc)
-                    cd[:, :, 0, 0] = cdc_deq
-                    cr = ht.inverse4x4(cd)
-                    plane[cy:cy + 8, cx:cx + 8] = np.clip(
-                        cpred + cr.transpose(0, 2, 1, 3).reshape(8, 8), 0, 255)
+                self._decode_i16_mb(r, mb_type - 1, rec_y, rec_u, rec_v,
+                                    nc_y, nc_u, nc_v, mbx, mby, qp, qpc)
         if dbf_idc != 1:
             from video_codecs_tpu.ops.h264_deblock import deblock_frame_intra
             rec_y, rec_u, rec_v = deblock_frame_intra(
                 rec_y, rec_u, rec_v, qp, qpc, aoff, boff)
         return rec_y, rec_u, rec_v
+
+    def _decode_i16_mb(self, r, code, rec_y, rec_u, rec_v, nc_y, nc_u,
+                       nc_v, mbx, mby, qp, qpc):
+        """Parse + recon one I_16x16 MB; code = mb_type - 1 (I-slice
+        numbering, spec Table 7-11)."""
+        x, y = mbx * 16, mby * 16
+        cx, cy = mbx * 8, mby * 8
+        zz = cavlc.ZIGZAG_4x4
+        lmode = code % 4
+        cbp_chroma = (code // 4) % 3
+        cbp_luma = 15 if code >= 12 else 0
+        cmode = r.ue()
+        dqp = r.se()
+        assert dqp == 0
+        # luma DC
+        dc_list = cavlc.decode_block(r, nc_y.nc(mbx * 4, mby * 4), 16)
+        dc_q = np.zeros(16, np.int64)
+        dc_q[zz] = dc_list
+        dc_q = dc_q.reshape(4, 4)
+        ac_q = np.zeros((4, 4, 4, 4), np.int64)
+        for idx in range(16):
+            x4, y4 = _BLK_X[idx], _BLK_Y[idx]
+            gx, gy = mbx * 4 + x4, mby * 4 + y4
+            if cbp_luma:
+                coeffs = cavlc.decode_block(r, nc_y.nc(gx, gy), 15)
+                flat = np.zeros(16, np.int64)
+                flat[zz[1:]] = coeffs
+                ac_q[y4, x4] = flat.reshape(4, 4)
+                nc_y.set(gx, gy, sum(1 for c in coeffs if c))
+            else:
+                nc_y.set(gx, gy, 0)
+        c_dc_q = [np.zeros((2, 2), np.int64) for _ in range(2)]
+        c_ac_q = [np.zeros((2, 2, 4, 4), np.int64) for _ in range(2)]
+        if cbp_chroma:
+            for comp in (0, 1):
+                lst = cavlc.decode_block(r, -1, 4)
+                c_dc_q[comp][0, 0], c_dc_q[comp][0, 1] = lst[0], lst[1]
+                c_dc_q[comp][1, 0], c_dc_q[comp][1, 1] = lst[2], lst[3]
+        for comp, grid in ((0, nc_u), (1, nc_v)):
+            for idx in range(4):
+                x4, y4 = idx & 1, idx >> 1
+                gx, gy = mbx * 2 + x4, mby * 2 + y4
+                if cbp_chroma == 2:
+                    coeffs = cavlc.decode_block(r, grid.nc(gx, gy), 15)
+                    flat = np.zeros(16, np.int64)
+                    flat[zz[1:]] = coeffs
+                    c_ac_q[comp][y4, x4] = flat.reshape(4, 4)
+                    grid.set(gx, gy, sum(1 for c in coeffs if c))
+                else:
+                    grid.set(gx, gy, 0)
+
+        # recon
+        pred = pred_luma16(rec_y, x, y, lmode)
+        dc_deq = ht.dequant_luma_dc(dc_q, qp)
+        d = ht.dequant_ac(ac_q, qp)
+        d[:, :, 0, 0] = dc_deq
+        rr = ht.inverse4x4(d)
+        rec_y[y:y + 16, x:x + 16] = np.clip(
+            pred + rr.transpose(0, 2, 1, 3).reshape(16, 16), 0, 255)
+        for comp, plane in ((0, rec_u), (1, rec_v)):
+            cpred = pred_chroma8(plane, cx, cy, cmode)
+            cdc_deq = ht.dequant_chroma_dc(c_dc_q[comp], qpc)
+            cd = ht.dequant_ac(c_ac_q[comp], qpc)
+            cd[:, :, 0, 0] = cdc_deq
+            cr = ht.inverse4x4(cd)
+            plane[cy:cy + 8, cx:cx + 8] = np.clip(
+                cpred + cr.transpose(0, 2, 1, 3).reshape(8, 8), 0, 255)
 
 
     def _decode_i4_mb(self, r, _unused, rec_y, rec_u, rec_v, nc_y, nc_u,

@@ -47,69 +47,81 @@ CLIP_TAB[16:] = [
 ]
 
 
-def _edge_luma(win: np.ndarray, bs: int, alpha: int, beta: int,
-               tc0: int) -> np.ndarray:
-    """Filter one luma edge. win is (N, 8) = [p3 p2 p1 p0 q0 q1 q2 q3]."""
+def _edge_luma(win: np.ndarray, bs: np.ndarray, alpha: int, beta: int,
+               tc0: np.ndarray) -> np.ndarray:
+    """Filter one luma edge. win is (N, 8) = [p3 p2 p1 p0 q0 q1 q2 q3];
+    bs and tc0 are per-row (N,) arrays (bS 0 rows pass through)."""
     w = win.astype(np.int32)
+    bs = np.asarray(bs, np.int32)
+    tc0 = np.asarray(tc0, np.int32)
     p3, p2, p1, p0, q0, q1, q2, q3 = (w[:, i] for i in range(8))
     filt = ((np.abs(p0 - q0) < alpha) & (np.abs(p1 - p0) < beta)
-            & (np.abs(q1 - q0) < beta))
+            & (np.abs(q1 - q0) < beta) & (bs > 0))
     ap = np.abs(p2 - p0) < beta
     aq = np.abs(q2 - q0) < beta
     out = w.copy()
-    if bs == 4:
-        small = np.abs(p0 - q0) < ((alpha >> 2) + 2)
-        weak_p = (2 * p1 + p0 + q1 + 2) >> 2
-        weak_q = (2 * q1 + q0 + p1 + 2) >> 2
-        sp = filt & small & ap
-        sq = filt & small & aq
-        out[:, 3] = np.where(sp, (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3,
-                             np.where(filt, weak_p, p0))
-        out[:, 2] = np.where(sp, (p2 + p1 + p0 + q0 + 2) >> 2, p1)
-        out[:, 1] = np.where(sp, (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3, p2)
-        out[:, 4] = np.where(sq, (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3,
-                             np.where(filt, weak_q, q0))
-        out[:, 5] = np.where(sq, (q2 + q1 + q0 + p0 + 2) >> 2, q1)
-        out[:, 6] = np.where(sq, (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3, q2)
-    else:
-        tc = tc0 + ap.astype(np.int32) + aq.astype(np.int32)
-        dif = np.clip((4 * (q0 - p0) + (p1 - q1) + 4) >> 3, -tc, tc)
-        mid = (p0 + q0 + 1) >> 1
-        out[:, 3] = np.where(filt, np.clip(p0 + dif, 0, 255), p0)
-        out[:, 4] = np.where(filt, np.clip(q0 - dif, 0, 255), q0)
-        dp1 = np.clip((p2 + mid - 2 * p1) >> 1, -tc0, tc0)
-        dq1 = np.clip((q2 + mid - 2 * q1) >> 1, -tc0, tc0)
-        out[:, 2] = np.where(filt & ap, p1 + dp1, p1)
-        out[:, 5] = np.where(filt & aq, q1 + dq1, q1)
+    f4 = filt & (bs == 4)
+    fn = filt & (bs < 4)
+    # --- bS==4 strong / weak ---
+    small = np.abs(p0 - q0) < ((alpha >> 2) + 2)
+    weak_p = (2 * p1 + p0 + q1 + 2) >> 2
+    weak_q = (2 * q1 + q0 + p1 + 2) >> 2
+    sp = f4 & small & ap
+    sq = f4 & small & aq
+    # --- bS 1..3 normal ---
+    tc = tc0 + ap.astype(np.int32) + aq.astype(np.int32)
+    dif = np.clip((4 * (q0 - p0) + (p1 - q1) + 4) >> 3, -tc, tc)
+    mid = (p0 + q0 + 1) >> 1
+    dp1 = np.clip((p2 + mid - 2 * p1) >> 1, -tc0, tc0)
+    dq1 = np.clip((q2 + mid - 2 * q1) >> 1, -tc0, tc0)
+
+    out[:, 3] = np.where(sp, (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3,
+                         np.where(f4, weak_p,
+                                  np.where(fn, np.clip(p0 + dif, 0, 255), p0)))
+    out[:, 2] = np.where(sp, (p2 + p1 + p0 + q0 + 2) >> 2,
+                         np.where(fn & ap, p1 + dp1, p1))
+    out[:, 1] = np.where(sp, (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3, p2)
+    out[:, 4] = np.where(sq, (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3,
+                         np.where(f4, weak_q,
+                                  np.where(fn, np.clip(q0 - dif, 0, 255), q0)))
+    out[:, 5] = np.where(sq, (q2 + q1 + q0 + p0 + 2) >> 2,
+                         np.where(fn & aq, q1 + dq1, q1))
+    out[:, 6] = np.where(sq, (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3, q2)
     return out
 
 
-def _edge_chroma(win: np.ndarray, bs: int, alpha: int, beta: int,
-                 tc0: int) -> np.ndarray:
-    """Filter one chroma edge. win is (N, 4) = [p1 p0 q0 q1]."""
+def _edge_chroma(win: np.ndarray, bs: np.ndarray, alpha: int, beta: int,
+                 tc0: np.ndarray) -> np.ndarray:
+    """Filter one chroma edge. win is (N, 4) = [p1 p0 q0 q1]; bs/tc0 per row."""
     w = win.astype(np.int32)
+    bs = np.asarray(bs, np.int32)
+    tc0 = np.asarray(tc0, np.int32)
     p1, p0, q0, q1 = (w[:, i] for i in range(4))
     filt = ((np.abs(p0 - q0) < alpha) & (np.abs(p1 - p0) < beta)
-            & (np.abs(q1 - q0) < beta))
+            & (np.abs(q1 - q0) < beta) & (bs > 0))
     out = w.copy()
-    if bs == 4:
-        out[:, 1] = np.where(filt, (2 * p1 + p0 + q1 + 2) >> 2, p0)
-        out[:, 2] = np.where(filt, (2 * q1 + q0 + p1 + 2) >> 2, q0)
-    else:
-        tc = tc0 + 1
-        dif = np.clip((4 * (q0 - p0) + (p1 - q1) + 4) >> 3, -tc, tc)
-        out[:, 1] = np.where(filt, np.clip(p0 + dif, 0, 255), p0)
-        out[:, 2] = np.where(filt, np.clip(q0 - dif, 0, 255), q0)
+    f4 = filt & (bs == 4)
+    fn = filt & (bs < 4)
+    tc = tc0 + 1
+    dif = np.clip((4 * (q0 - p0) + (p1 - q1) + 4) >> 3, -tc, tc)
+    out[:, 1] = np.where(f4, (2 * p1 + p0 + q1 + 2) >> 2,
+                         np.where(fn, np.clip(p0 + dif, 0, 255), p0))
+    out[:, 2] = np.where(f4, (2 * q1 + q0 + p1 + 2) >> 2,
+                         np.where(fn, np.clip(q0 - dif, 0, 255), q0))
     return out
 
 
-def deblock_frame_intra(y: np.ndarray, u: np.ndarray, v: np.ndarray,
-                        qp: int, qpc: int, alpha_off: int = 0,
-                        beta_off: int = 0):
-    """Deblock a reconstructed all-intra 4:2:0 frame; returns new planes.
+def deblock_frame(y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                  qp: int, qpc: int,
+                  bs_ver: np.ndarray, bs_hor: np.ndarray,
+                  alpha_off: int = 0, beta_off: int = 0):
+    """Deblock a reconstructed 4:2:0 frame with explicit bS maps.
 
-    qp/qpc are the (uniform) luma and chroma QPs of the frame; alpha_off/
-    beta_off are FilterOffsetA/B (slice_alpha_c0_offset_div2*2 etc.).
+    bs_ver[by, bx] is the strength of the vertical edge at x = 4*bx for
+    luma rows [4*by, 4*by+4); bs_hor[by, bx] the horizontal edge at
+    y = 4*by for columns [4*bx, 4*bx+4). Column/row 0 entries are the
+    picture border and ignored. qp/qpc are the (uniform) luma and chroma
+    QPs; alpha_off/beta_off are FilterOffsetA/B.
     """
     Y = y.astype(np.int32).copy()
     U = u.astype(np.int32).copy()
@@ -119,37 +131,44 @@ def deblock_frame_intra(y: np.ndarray, u: np.ndarray, v: np.ndarray,
     ia = min(max(qp + alpha_off, 0), 51)
     ib = min(max(qp + beta_off, 0), 51)
     al, bl = int(ALPHA_TABLE[ia]), int(BETA_TABLE[ib])
-    tc0_l = [0, int(CLIP_TAB[ia, 3]), 0]       # index by bS==3 slot below
     iac = min(max(qpc + alpha_off, 0), 51)
     ibc = min(max(qpc + beta_off, 0), 51)
     ac, bc = int(ALPHA_TABLE[iac]), int(BETA_TABLE[ibc])
-    tc0_c3 = int(CLIP_TAB[iac, 3])
+    tcl = CLIP_TAB[ia]
+    tcc = CLIP_TAB[iac]
 
-    def luma_ver(x, y0, bs):
-        if al == 0 and bl == 0:
+    def luma_ver(x, y0):
+        bs = np.repeat(bs_ver[y0 // 4:y0 // 4 + 4, x // 4], 4)
+        if (al | bl) == 0 or not bs.any():
             return
         Y[y0:y0 + 16, x - 4:x + 4] = _edge_luma(
-            Y[y0:y0 + 16, x - 4:x + 4], bs, al, bl, tc0_l[1])
+            Y[y0:y0 + 16, x - 4:x + 4], bs, al, bl, tcl[np.minimum(bs, 3)])
 
-    def luma_hor(x0, yy, bs):
-        if al == 0 and bl == 0:
+    def luma_hor(x0, yy):
+        bs = np.repeat(bs_hor[yy // 4, x0 // 4:x0 // 4 + 4], 4)
+        if (al | bl) == 0 or not bs.any():
             return
         win = Y[yy - 4:yy + 4, x0:x0 + 16].T
         Y[yy - 4:yy + 4, x0:x0 + 16] = _edge_luma(
-            win, bs, al, bl, tc0_l[1]).T
+            win, bs, al, bl, tcl[np.minimum(bs, 3)]).T
 
-    def chroma_ver(P, cx, cy0, bs):
-        if ac == 0 and bc == 0:
+    def chroma_ver(P, cx, cy0):
+        rows = np.arange(cy0, cy0 + 8)
+        bs = bs_ver[(2 * rows) // 4, (2 * cx) // 4]
+        if (ac | bc) == 0 or not bs.any():
             return
         P[cy0:cy0 + 8, cx - 2:cx + 2] = _edge_chroma(
-            P[cy0:cy0 + 8, cx - 2:cx + 2], bs, ac, bc, tc0_c3)
+            P[cy0:cy0 + 8, cx - 2:cx + 2], bs, ac, bc,
+            tcc[np.minimum(bs, 3)])
 
-    def chroma_hor(P, cx0, cy, bs):
-        if ac == 0 and bc == 0:
+    def chroma_hor(P, cx0, cy):
+        cols = np.arange(cx0, cx0 + 8)
+        bs = bs_hor[(2 * cy) // 4, (2 * cols) // 4]
+        if (ac | bc) == 0 or not bs.any():
             return
         win = P[cy - 2:cy + 2, cx0:cx0 + 8].T
         P[cy - 2:cy + 2, cx0:cx0 + 8] = _edge_chroma(
-            win, bs, ac, bc, tc0_c3).T
+            win, bs, ac, bc, tcc[np.minimum(bs, 3)]).T
 
     for mby in range(h // 16):
         for mbx in range(w // 16):
@@ -159,18 +178,36 @@ def deblock_frame_intra(y: np.ndarray, u: np.ndarray, v: np.ndarray,
             for e in range(4):
                 if e == 0 and mbx == 0:
                     continue
-                bs = 4 if e == 0 else 3
-                luma_ver(x0 + 4 * e, y0, bs)
+                luma_ver(x0 + 4 * e, y0)
                 if e in (0, 2):        # chroma_edge[0][e][YUV420]
                     for P in (U, V):
-                        chroma_ver(P, cx0 + 2 * e, cy0, bs)
+                        chroma_ver(P, cx0 + 2 * e, cy0)
             # horizontal edges, top to bottom
             for e in range(4):
                 if e == 0 and mby == 0:
                     continue
-                bs = 4 if e == 0 else 3
-                luma_hor(x0, y0 + 4 * e, bs)
+                luma_hor(x0, y0 + 4 * e)
                 if e in (0, 2):
                     for P in (U, V):
-                        chroma_hor(P, cx0, cy0 + 2 * e, bs)
+                        chroma_hor(P, cx0, cy0 + 2 * e)
     return Y, U, V
+
+
+def intra_bs_maps(h: int, w: int):
+    """bS maps for an all-intra frame: 4 on MB edges, 3 on internal
+    4x4 edges (frame coding)."""
+    h4, w4 = h // 4, w // 4
+    bs_ver = np.full((h4, w4), 3, np.int32)
+    bs_ver[:, ::4] = 4
+    bs_hor = np.full((h4, w4), 3, np.int32)
+    bs_hor[::4, :] = 4
+    return bs_ver, bs_hor
+
+
+def deblock_frame_intra(y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                        qp: int, qpc: int, alpha_off: int = 0,
+                        beta_off: int = 0):
+    """Deblock a reconstructed all-intra 4:2:0 frame; returns new planes."""
+    bs_ver, bs_hor = intra_bs_maps(*y.shape)
+    return deblock_frame(y, u, v, qp, qpc, bs_ver, bs_hor,
+                         alpha_off, beta_off)
