@@ -33,7 +33,7 @@ class HevcConfig:
     sign_data_hiding: bool = False
     tile_columns: int = 1      # uniform tile columns (1 = no tiles)
     sao: bool = False
-    rdoq: bool = False         # soft-decision quantization (encoder-only)
+    rdoq: bool | str = False   # False | "lite" | "full" (encoder-only)
     reorder_pics: int = 0      # DPB reorder depth (1 for hierarchical B)
     wpp: bool = False          # entropy_coding_sync (WPP substreams)
 

@@ -102,14 +102,21 @@ def chroma_qp(qp: int) -> int:
 
 
 def code_tb_np(orig: np.ndarray, pred: np.ndarray, qp: int, log2: int,
-               dst: bool, sbh: bool = False,
-               rdoq: bool = False) -> tuple[np.ndarray, np.ndarray]:
-    """Transform+quant one TB; returns (levels, recon)."""
+               dst: bool, sbh: bool = False, rdoq: bool | str = False,
+               is_luma: bool = True) -> tuple[np.ndarray, np.ndarray]:
+    """Transform+quant one TB; returns (levels, recon).
+
+    rdoq: False = hard quantization, True/"lite" = soft-decision RDOQ-lite,
+    "full" = full CG/last-pos RDOQ (ops/rdoq.py, HM xRateDistOptQuant twin).
+    """
     res = orig.astype(np.int32) - pred
     coeff = tr_ops.forward_transform_np(res, log2, dst=dst)
-    if rdoq:
-        levels = quant_ops.rdoq_lite_np(
-            coeff, qp, log2, lam=0.57 * 2.0 ** ((qp - 12) / 3.0))
+    lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
+    if rdoq == "full":
+        from video_codecs_tpu.ops import rdoq as rdoq_ops
+        levels = rdoq_ops.rdoq_np(coeff, qp, log2, lam=lam, is_luma=is_luma)
+    elif rdoq:
+        levels = quant_ops.rdoq_lite_np(coeff, qp, log2, lam=lam)
     else:
         levels = quant_ops.quantize_np(coeff, qp, log2)
     if sbh and levels.any():

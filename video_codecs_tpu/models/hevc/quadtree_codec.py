@@ -184,12 +184,15 @@ class State:
         self.cu_id[dy:dy + s8, dx:dx + s8] = cu_serial
 
 
-def code_tb(orig, pred, qp, log2, dst, rdoq, sbh):
+def code_tb(orig, pred, qp, log2, dst, rdoq, sbh, is_luma=True):
     res = orig.astype(np.int32) - pred
     coeff = tr_ops.forward_transform_np(res, log2, dst=dst)
-    if rdoq:
-        levels = quant_ops.rdoq_lite_np(
-            coeff, qp, log2, lam=0.57 * 2.0 ** ((qp - 12) / 3.0))
+    lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
+    if rdoq == "full":
+        from video_codecs_tpu.ops import rdoq as rdoq_ops
+        levels = rdoq_ops.rdoq_np(coeff, qp, log2, lam=lam, is_luma=is_luma)
+    elif rdoq:
+        levels = quant_ops.rdoq_lite_np(coeff, qp, log2, lam=lam)
     else:
         levels = quant_ops.quantize_np(coeff, qp, log2)
     if sbh and levels.any():
@@ -369,7 +372,7 @@ class QuadtreeIntraEncoder(ic.IntraEncoder):
             predc = intra_ops.predict_intra_np(refc, cu.modes[0], clog2,
                                                is_luma=False)
             lvc, recc = code_tb(po[cy:cy + cs, cx:cx + cs], predc, qp_c,
-                                clog2, False, rdoq, sbh)
+                                clog2, False, rdoq, sbh, is_luma=False)
             if comp == 0:
                 cu.levels_cb = lvc if lvc.any() else None
             else:

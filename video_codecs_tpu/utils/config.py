@@ -53,7 +53,7 @@ class EncoderSettings:
     deblocking_disabled: bool = False
     tile_columns: int = 1
     sao: bool = False
-    rdoq: bool = False
+    rdoq: bool | str = False
     target_bitrate: int = 0        # 0 = rate control off
     unsupported: dict[str, str] = dataclasses.field(default_factory=dict)
 
@@ -85,7 +85,11 @@ def to_encoder_settings(opts: dict[str, str]) -> EncoderSettings:
     s.deblocking_disabled = g("LoopFilterDisable", "0") not in ("0", "false")
     s.tile_columns = int(g("NumTileColumnsMinus1", "0")) + 1
     s.sao = g("SAO", "0") not in ("0", "false")
-    s.rdoq = g("RDOQ", "0") not in ("0", "false")
+    rdoq = g("RDOQ", "0")
+    # HM's RDOQ:1 is the full CG/last-pos algorithm; "lite" selects the
+    # vectorized soft-decision variant (our addition).
+    s.rdoq = False if rdoq in ("0", "false") else (
+        "lite" if rdoq == "lite" else "full")
     if g("RateControl", "0") not in ("0", "false"):
         s.target_bitrate = int(g("TargetBitrate", "0"))
     if g("InputBitDepth", "8") != "8":
