@@ -285,7 +285,8 @@ class HierarchicalBEncoder(pc.LowDelayEncoder):
         for lx, planes in ref_planes.items():
             mvx, mvy, satd = me_ops.motion_search(
                 jnp.asarray(planes[0]), jnp.asarray(cur), jnp.asarray(x0),
-                jnp.asarray(y0), 16, self.search_range)
+                jnp.asarray(y0), 16, self.search_range,
+                getattr(self, "me_method", "auto"))
             me[lx] = (np.asarray(mvx), np.asarray(mvy), np.asarray(satd))
         intra_modes = self.decide_modes(y)
         sl = math.sqrt(0.57 * 2.0 ** ((qp - 12) / 3.0))

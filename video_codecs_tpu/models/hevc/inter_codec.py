@@ -197,9 +197,12 @@ def parse_p_slice_header(rbsp: bytes, pps: headers.PpsInfo):
 class LowDelayEncoder(ic.IntraEncoder):
     """IPPP encoder: frame 0 IDR intra, then P frames."""
 
-    def __init__(self, cfg: headers.HevcConfig, search_range: int = 8) -> None:
+    def __init__(self, cfg: headers.HevcConfig, search_range: int = 8,
+                 me_method: str = "auto") -> None:
         super().__init__(cfg)
         self.search_range = search_range
+        # "full" (HM FastSearch:0) | "tz" (FastSearch:1) | "auto"
+        self.me_method = me_method
 
     def encode_sequence_ldp(self, frames, rate_control=None):
         """IPPP encode; optional rate controller (models.hevc.ratectrl)
@@ -265,7 +268,7 @@ class LowDelayEncoder(ic.IntraEncoder):
                            b % bw * 16:b % bw * 16 + 16] for b in range(nb)])
         mvx, mvy, me_satd = me_ops.motion_search(
             jnp.asarray(ref_y), jnp.asarray(cur), jnp.asarray(x0),
-            jnp.asarray(y0), 16, self.search_range)
+            jnp.asarray(y0), 16, self.search_range, self.me_method)
         mvx, mvy, me_satd = (np.asarray(a) for a in (mvx, mvy, me_satd))
 
         intra_modes = self.decide_modes(y)  # [bh, bw] (orig-neighbor sweep)

@@ -39,7 +39,124 @@ def integer_search(ref: jnp.ndarray, cur: jnp.ndarray, x0, y0, n: int,
     # small center bias like HM's mv-cost: prefer shorter MVs on ties
     mv_cost = (np.abs(dy - r) + np.abs(dx - r)).astype(np.int32)
     best = jnp.argmin(sad + mv_cost[None, :], axis=1)
-    return (dx[best] - r).astype(jnp.int32), (dy[best] - r).astype(jnp.int32)
+    return ((jnp.asarray(dx)[best] - r).astype(jnp.int32),
+            (jnp.asarray(dy)[best] - r).astype(jnp.int32))
+
+
+def _sad_at_points(win: jnp.ndarray, cur: jnp.ndarray, pts: np.ndarray,
+                   r: int, n: int) -> jnp.ndarray:
+    """SAD of `cur` [B,n,n] vs window patches at integer offsets pts [P,2]
+    (mvx, mvy in [-r, r]).  win: [B, n+2r, n+2r].  Returns [B, P]."""
+    dx = pts[:, 0] + r
+    dy = pts[:, 1] + r
+    rows = dy[:, None, None] + np.arange(n)[None, :, None]   # [P, n, 1]
+    cols = dx[:, None, None] + np.arange(n)[None, None, :]   # [P, 1, n]
+    patches = win[:, rows, cols]                             # [B, P, n, n]
+    return jnp.sum(jnp.abs(patches - cur[:, None].astype(jnp.int32)),
+                   axis=(-2, -1))
+
+
+def _tz_points(search_range: int) -> tuple[np.ndarray, np.ndarray]:
+    """Fixed TZSearch candidate set: 8-point diamond rings at power-of-two
+    distances (TEncSearch xTZ8PointDiamondSearch :332-656) plus the center.
+    Returns (points [P,2], ring_distance [P])."""
+    pts = [(0, 0)]
+    dist = [0]
+    d = 1
+    while d <= search_range:
+        if d == 1:
+            ring = [(0, -1), (-1, 0), (1, 0), (0, 1)]
+        else:
+            h = d // 2
+            ring = [(0, -d), (-h, -h), (h, -h), (-d, 0), (d, 0),
+                    (-h, h), (h, h), (0, d)]
+        for p in ring:
+            pts.append(p)
+            dist.append(d)
+        d *= 2
+    return np.array(pts, np.int32), np.array(dist, np.int32)
+
+
+def tz_search(ref: jnp.ndarray, cur: jnp.ndarray, x0, y0, n: int,
+              search_range: int,
+              raster_stride: int = 5) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """TZSearch as fixed-shape masked tensor stages (TPU-native twin of
+    TEncSearch::xTZSearch :3881).
+
+    Stages, all batched over blocks with no data-dependent shapes:
+      1. star: 8-point diamond rings at distances 1,2,4..SR around (0,0),
+         all evaluated at once (the reference's early-exit loop becomes one
+         argmin over the full candidate tensor);
+      2. raster fallback: stride-5 subsampled grid, accepted only for
+         blocks whose stage-1 best ring distance >= the stride (HM's
+         iRaster rule) — a masked select instead of a branch;
+      3. two star-refinement rounds: diamond rings at distances 1,2,4
+         around the current best (HM's refinement loop, fixed trip count).
+
+    Cost per block is ~(8*log2(SR) + (2SR/stride)^2 + 2*17) SADs instead of
+    the full (2SR+1)^2 window.  Returns integer-pel (mvx, mvy) [B].
+    """
+    r = search_range
+    win = interp._gather_window(ref, x0 - r, y0 - r, n + 2 * r, n + 2 * r)
+    cur32 = cur.astype(jnp.int32)
+
+    # --- stage 1: diamond rings around the zero MV ---
+    pts1, dist1 = _tz_points(r)
+    sad1 = _sad_at_points(win, cur32, pts1, r, n)
+    mv_cost1 = (np.abs(pts1[:, 0]) + np.abs(pts1[:, 1])).astype(np.int32)
+    best1 = jnp.argmin(sad1 + mv_cost1[None, :], axis=1)          # [B]
+    bx = jnp.asarray(pts1[:, 0])[best1]
+    by = jnp.asarray(pts1[:, 1])[best1]
+    bd = jnp.asarray(dist1)[best1]
+    bcost = jnp.take_along_axis(sad1 + mv_cost1[None, :],
+                                best1[:, None], axis=1)[:, 0]
+
+    # --- stage 2: raster fallback (masked accept) ---
+    grid = np.arange(-r, r + 1, raster_stride, np.int32)
+    gx, gy = np.meshgrid(grid, grid, indexing="xy")
+    pts2 = np.stack([gx.reshape(-1), gy.reshape(-1)], axis=1)
+    sad2 = _sad_at_points(win, cur32, pts2, r, n)
+    mv_cost2 = (np.abs(pts2[:, 0]) + np.abs(pts2[:, 1])).astype(np.int32)
+    best2 = jnp.argmin(sad2 + mv_cost2[None, :], axis=1)
+    cost2 = jnp.take_along_axis(sad2 + mv_cost2[None, :],
+                                best2[:, None], axis=1)[:, 0]
+    # HM only RUNS raster when the stage-1 best distance > iRaster; here the
+    # grid is computed unconditionally (fixed shape), so accepting any
+    # improvement is free and strictly better than HM's gate.
+    del bd
+    use_raster = cost2 < bcost
+    bx = jnp.where(use_raster, jnp.asarray(pts2[:, 0])[best2], bx)
+    by = jnp.where(use_raster, jnp.asarray(pts2[:, 1])[best2], by)
+    bcost = jnp.where(use_raster, cost2, bcost)
+
+    # --- stage 3: star refinement around the running best ---
+    pts3, _ = _tz_points(8)
+    for _ in range(3):
+        cand_x = bx[:, None] + jnp.asarray(pts3[:, 0])[None, :]
+        cand_y = by[:, None] + jnp.asarray(pts3[:, 1])[None, :]
+        cand_x = jnp.clip(cand_x, -r, r)
+        cand_y = jnp.clip(cand_y, -r, r)
+        # per-block gather: offsets differ per block now
+        rows = (cand_y + r)[:, :, None, None] + \
+            jnp.arange(n)[None, None, :, None]
+        cols = (cand_x + r)[:, :, None, None] + \
+            jnp.arange(n)[None, None, None, :]
+        patches = win[jnp.arange(win.shape[0])[:, None, None, None],
+                      rows, cols]
+        sad = jnp.sum(jnp.abs(patches - cur32[:, None]), axis=(-2, -1))
+        cost = sad + (jnp.abs(cand_x) + jnp.abs(cand_y))
+        k = jnp.argmin(cost, axis=1)
+        better = jnp.take_along_axis(cost, k[:, None], axis=1)[:, 0] < bcost
+        bx = jnp.where(better,
+                       jnp.take_along_axis(cand_x, k[:, None], axis=1)[:, 0],
+                       bx)
+        by = jnp.where(better,
+                       jnp.take_along_axis(cand_y, k[:, None], axis=1)[:, 0],
+                       by)
+        bcost = jnp.where(
+            better, jnp.take_along_axis(cost, k[:, None], axis=1)[:, 0],
+            bcost)
+    return bx.astype(jnp.int32), by.astype(jnp.int32)
 
 
 _OFFS8 = np.array([(-1, -1), (0, -1), (1, -1), (-1, 0), (1, 0),
@@ -64,11 +181,22 @@ def _refine(ref, cur, x0, y0, mvx, mvy, n, step):
 
 
 def motion_search(ref: jnp.ndarray, cur: jnp.ndarray, x0, y0, n: int,
-                  search_range: int = 8):
+                  search_range: int = 8, method: str = "auto"):
     """Integer + half + quarter search; returns (mvx, mvy) quarter-pel [B]
-    and the final SATD."""
-    imx, imy = integer_search(ref, cur.astype(jnp.int32), x0, y0, n,
-                              search_range)
+    and the final SATD.
+
+    method: "full" = exhaustive window (HM FastSearch:0), "tz" = TZSearch
+    stages (FastSearch:1), "auto" = full for small ranges where the whole
+    window is cheaper than the TZ stages, TZ beyond.
+    """
+    if method == "auto":
+        method = "full" if search_range <= 12 else "tz"
+    if method == "tz":
+        imx, imy = tz_search(ref, cur.astype(jnp.int32), x0, y0, n,
+                             search_range)
+    else:
+        imx, imy = integer_search(ref, cur.astype(jnp.int32), x0, y0, n,
+                                  search_range)
     mvx, mvy = imx * 4, imy * 4
     mvx, mvy, _ = _refine(ref, cur, x0, y0, mvx, mvy, n, 2)
     mvx, mvy, satd = _refine(ref, cur, x0, y0, mvx, mvy, n, 1)

@@ -51,7 +51,8 @@ def main(argv=None) -> None:
         enc = intra_codec.IntraEncoder(cfg)
         stream, recons = enc.encode_sequence(frames, fast=fast)
     else:
-        enc = inter_codec.LowDelayEncoder(cfg)
+        enc = inter_codec.LowDelayEncoder(
+            cfg, search_range=min(s.search_range, 32), me_method=s.me_method)
         stream, recons = enc.encode_sequence_ldp(frames, rate_control=rc)
     dt = time.time() - t0
 

@@ -54,6 +54,8 @@ class EncoderSettings:
     tile_columns: int = 1
     sao: bool = False
     rdoq: bool | str = False
+    search_range: int = 64         # HM SearchRange default
+    me_method: str = "auto"        # FastSearch: 0=full, 1=tz
     target_bitrate: int = 0        # 0 = rate control off
     unsupported: dict[str, str] = dataclasses.field(default_factory=dict)
 
@@ -63,7 +65,7 @@ _SUPPORTED = {
     "FrameRate", "FramesToBeEncoded", "FrameSkip", "QP", "IntraPeriod",
     "GOPSize", "SignHideFlag", "LoopFilterDisable", "NumTileColumnsMinus1",
     "RateControl", "TargetBitrate", "InputBitDepth", "InputChromaFormat",
-    "Profile", "Level", "SAO", "RDOQ",
+    "Profile", "Level", "SAO", "RDOQ", "SearchRange", "FastSearch",
 }
 
 
@@ -90,6 +92,9 @@ def to_encoder_settings(opts: dict[str, str]) -> EncoderSettings:
     # vectorized soft-decision variant (our addition).
     s.rdoq = False if rdoq in ("0", "false") else (
         "lite" if rdoq == "lite" else "full")
+    s.search_range = int(g("SearchRange", s.search_range))
+    fs = g("FastSearch", "1")
+    s.me_method = "full" if fs == "0" else ("tz" if fs == "1" else "auto")
     if g("RateControl", "0") not in ("0", "false"):
         s.target_bitrate = int(g("TargetBitrate", "0"))
     if g("InputBitDepth", "8") != "8":
