@@ -386,7 +386,8 @@ class H264Decoder(H264IntraDecoder):
             if nal_type == NAL_SPS:
                 self.size = parse_sps(rbsp)
             elif nal_type == NAL_PPS:
-                self.dbf_present = parse_pps(rbsp)
+                self.dbf_present, self._pps_cabac = parse_pps(rbsp)
+                assert not self._pps_cabac, "P CABAC decode: round 2"
             elif nal_type in (NAL_SLICE_IDR, 1):
                 rec = self._decode_any_slice(rbsp, nal_type == NAL_SLICE_IDR)
                 self.prev = rec
