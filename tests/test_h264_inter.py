@@ -39,9 +39,11 @@ def roundtrip(enc, frames):
     return stream, recons
 
 
-def test_p_self_roundtrip_translation():
+@pytest.mark.parametrize("entropy", ["cavlc", "cabac"])
+def test_p_self_roundtrip_translation(entropy):
     frames = translating_frames()
-    stream, recons = roundtrip(H264Encoder(64, 48, qp=30), frames)
+    stream, recons = roundtrip(H264Encoder(64, 48, qp=30, entropy=entropy),
+                               frames)
     p = yuv.psnr(np.stack([r[0] for r in recons]),
                  np.stack([f[0] for f in frames]))
     assert p > 30, p
@@ -75,10 +77,11 @@ def test_p_gop_idr_refresh():
 
 @pytest.mark.skipif(not os.path.exists(JM_DECODER),
                     reason="JM reference decoder not built")
-def test_p_jm_ldecod_conformance(tmp_path):
+@pytest.mark.parametrize("entropy", ["cavlc", "cabac"])
+def test_p_jm_ldecod_conformance(tmp_path, entropy):
     ys, us, vs = yuv.read_frames(FOREMAN, 176, 144)
     frames = [(ys[i], us[i], vs[i]) for i in range(len(ys))]
-    enc = H264Encoder(176, 144, qp=30)
+    enc = H264Encoder(176, 144, qp=30, entropy=entropy)
     stream, recons = roundtrip(enc, frames)
     (tmp_path / "p.264").write_bytes(stream)
     r = subprocess.run([JM_DECODER, "-i", "p.264", "-o", "jm.yuv"],
@@ -95,16 +98,20 @@ def test_p_jm_ldecod_conformance(tmp_path):
 @pytest.mark.skipif(not (os.path.exists(JM_ENCODER)
                          and os.path.exists(FOREMAN)),
                     reason="JM reference encoder not built")
-def test_p_decode_jm_encoded_stream(tmp_path):
+@pytest.mark.parametrize("entropy", ["cavlc", "cabac"])
+def test_p_decode_jm_encoded_stream(tmp_path, entropy):
     """Our decoder reproduces a JM-ENCODED IPPP stream bit-exactly
-    (16x16 partitions, one reference)."""
+    (16x16 partitions, one reference), CAVLC and CABAC."""
     cfg = "/root/repo/.refbuild/jm18.5/bin/encoder_baseline.cfg"
+    cabac = entropy == "cabac"
     r = subprocess.run(
         [JM_ENCODER, "-d", cfg,
          "-p", f"InputFile={FOREMAN}",
          "-p", "SourceWidth=176", "-p", "SourceHeight=144",
          "-p", "FramesToBeEncoded=3", "-p", "IntraPeriod=0",
-         "-p", "IDRPeriod=0", "-p", "ProfileIDC=66", "-p", "SymbolMode=0",
+         "-p", "IDRPeriod=0",
+         "-p", f"ProfileIDC={77 if cabac else 66}",
+         "-p", f"SymbolMode={1 if cabac else 0}",
          "-p", "QPISlice=30", "-p", "QPPSlice=30", "-p", "OutFileMode=0",
          "-p", "OutputFile=jm.264", "-p", "ReconFile=jm_rec.yuv",
          "-p", "Transform8x8Mode=0", "-p", "PicOrderCntType=2",

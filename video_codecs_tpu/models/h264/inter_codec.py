@@ -127,14 +127,17 @@ class H264Encoder(H264IntraEncoder):
     """IPPP: IDR then P frames, one (deblocked) reference."""
 
     def __init__(self, width: int, height: int, qp: int = 28,
-                 search_range: int = 16, gop: int = 0) -> None:
-        super().__init__(width, height, qp=qp, deblock=True)
+                 search_range: int = 16, gop: int = 0,
+                 entropy: str = "cavlc") -> None:
+        super().__init__(width, height, qp=qp, deblock=True, entropy=entropy)
         self.sr = search_range
         self.gop = gop                 # 0 = only first frame is IDR
 
     def encode_sequence(self, frames):
-        nals = [nal_unit(NAL_SPS, write_sps(self.w // 16, self.h // 16)),
-                nal_unit(NAL_PPS, write_pps())]
+        cabac = self.entropy == "cabac"
+        nals = [nal_unit(NAL_SPS, write_sps(self.w // 16, self.h // 16,
+                                            profile=77 if cabac else 66)),
+                nal_unit(NAL_PPS, write_pps(cabac=cabac))]
         recons = []
         ref = None
         frame_num = 0
@@ -190,6 +193,76 @@ class H264Encoder(H264IntraEncoder):
                         best = (cost, mvx, mvy)
         return best
 
+    def _write_p16_cabac(self, ce, mbx, mby, mvdx, mvdy, cbp, lv,
+                         c_dc_q, c_ac_q, skip_ctx_terms, mvd_err):
+        """CABAC syntax for one non-skip P_L0_16x16 MB.
+
+        Parity: jm18.5/lencod/src/cabac.c writeMB_Pskip_flagInfo :424,
+        writeMB_P_typeInfo :520 (act_sym 1), writeMVD :1152, writeCBP
+        :1326, writeDquant :1116, residual blocks via
+        entropy/h264_cabac.py (LUMA_4x4 category for non-I16 luma).
+        """
+        from video_codecs_tpu.entropy import h264_cabac as hc
+        from video_codecs_tpu.entropy import cavlc as _cavlc
+        zz = _cavlc.ZIGZAG_4x4
+        cbf = self._cbf
+        a, b = skip_ctx_terms(mbx, mby)
+        ce.mb_skip_flag_p(0, a, b)
+        ce.mb_type_p(1)  # P_L0_16x16 (single ref: no ref_idx coded)
+        ce.mvd(mvdx, 0, mvd_err(mbx, mby, 0))
+        ce.mvd(mvdy, 1, mvd_err(mbx, mby, 1))
+        self._mvd_arr[mby, mbx] = (mvdx, mvdy)
+
+        def nbr(dx, dy):
+            nx, ny = mbx + dx, mby + dy
+            if nx < 0 or ny < 0:
+                return None
+            return {"cbp": int(self._cbp_arr[ny, nx]), "ipcm": False}
+
+        ce.cbp(cbp, nbr(0, -1), nbr(-1, 0))
+        self._cbp_arr[mby, mbx] = cbp
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        if cbp:
+            ce.mb_qp_delta(0, False)
+        cur_bits = 0
+        from video_codecs_tpu.models.h264.intra_codec import _BLK_X, _BLK_Y
+        for i8 in range(4):
+            if not (cbp_luma & (1 << i8)):
+                continue
+            for k in range(4):
+                idx = 4 * i8 + k
+                x4, y4 = _BLK_X[idx], _BLK_Y[idx]
+                coeffs = [int(c) for c in lv[y4, x4].reshape(16)[zz]]
+                ctx = cbf.ctx_ac(mbx, mby, x4, y4, 1, 4, cur_bits, False)
+                ce.residual_block(hc.LUMA_4x4, coeffs, ctx)
+                if any(coeffs):
+                    cur_bits |= 1 << (1 + 4 * y4 + x4)
+                    cbf.set_bit(mbx, mby, 1 + 4 * y4 + x4)
+        if cbp_chroma:
+            for comp, bit in ((0, hc.CbfState.U_DC_BIT),
+                              (1, hc.CbfState.V_DC_BIT)):
+                dcs = c_dc_q[comp]
+                lst = [int(dcs[0, 0]), int(dcs[0, 1]),
+                       int(dcs[1, 0]), int(dcs[1, 1])]
+                ctx = cbf.ctx_dc(mbx, mby, bit, False)
+                ce.residual_block(hc.CHROMA_DC, lst, ctx)
+                if any(lst):
+                    cbf.set_bit(mbx, mby, bit)
+        if cbp_chroma == 2:
+            for comp, base in ((0, hc.CbfState.U_AC_BASE),
+                               (1, hc.CbfState.V_AC_BASE)):
+                for idx in range(4):
+                    x4, y4 = idx & 1, idx >> 1
+                    coeffs = [int(c) for c in
+                              c_ac_q[comp][y4, x4].reshape(16)[zz][1:]]
+                    ctx = cbf.ctx_ac(mbx, mby, x4, y4, base, 2,
+                                     cur_bits, False)
+                    ce.residual_block(hc.CHROMA_AC, coeffs, ctx)
+                    if any(coeffs):
+                        cur_bits |= 1 << (base + 4 * y4 + x4)
+                        cbf.set_bit(mbx, mby, base + 4 * y4 + x4)
+        cbf.mark(mbx, mby)
+
     # -- P frame -----------------------------------------------------------
     def _encode_p_frame(self, y, u, v, ref, frame_num):
         qp = self.qp
@@ -221,10 +294,33 @@ class H264Encoder(H264IntraEncoder):
         w.flag(0)                # num_ref_idx_active_override_flag
         w.flag(0)                # ref_pic_list_modification_flag_l0
         w.flag(0)                # adaptive_ref_pic_marking_mode_flag
+        if self.entropy == "cabac":
+            w.ue(0)              # cabac_init_idc
         w.se(qp - 26)            # slice_qp_delta
         w.ue(0)                  # disable_deblocking_filter_idc
         w.se(0)                  # slice_alpha_c0_offset_div2
         w.se(0)                  # slice_beta_offset_div2
+
+        ce = None
+        if self.entropy == "cabac":
+            from video_codecs_tpu.entropy import h264_cabac as hc
+            ce = hc.H264CabacEncoder(w, "P", qp, model=0)
+            self._cbf = hc.CbfState(mbw, mbh)
+            self._cbp_arr = np.zeros((mbh, mbw), np.int32)
+            self._cipred = np.zeros((mbh, mbw), np.int32)
+            self._skip = np.zeros((mbh, mbw), bool)
+            self._mvd_arr = np.zeros((mbh, mbw, 2), np.int32)
+            self._decoded = np.zeros((mbh, mbw), bool)
+
+        def skip_ctx_terms(mbx, mby):
+            a = 1 if (mbx > 0 and not self._skip[mby, mbx - 1]) else 0
+            b = 1 if (mby > 0 and not self._skip[mby - 1, mbx]) else 0
+            return a, b
+
+        def mvd_err(mbx, mby, comp):
+            a = abs(int(self._mvd_arr[mby, mbx - 1, comp])) if mbx > 0 else 0
+            b = abs(int(self._mvd_arr[mby - 1, mbx, comp])) if mby > 0 else 0
+            return a + b
 
         skip_run = 0
         for mby in range(mbh):
@@ -233,6 +329,7 @@ class H264Encoder(H264IntraEncoder):
                 cx, cy = mbx * 8, mby * 8
                 gx, gy = mbx * 4, mby * 4
                 orig = yv[yy:yy + 16, x:x + 16]
+                last_mb = (mby == mbh - 1 and mbx == mbw - 1)
 
                 pmv = median_mv_pred(mvg, refg, gx, gy, w4)
                 smv = skip_mv(mvg, refg, gx, gy, w4)
@@ -245,11 +342,19 @@ class H264Encoder(H264IntraEncoder):
                               + ([1] if mbx else [])))
                 if isad + round(lam_me * 8) < cost:
                     # intra MB inside the P slice
-                    w.ue(skip_run)
-                    skip_run = 0
-                    self._encode_mb(w, yv, uv, vv, rec_y, rec_u, rec_v,
-                                    nc_y, nc_u, nc_v, mbx, mby, qp, qpc,
-                                    mb_type_offset=5)
+                    if ce is not None:
+                        a, b = skip_ctx_terms(mbx, mby)
+                        ce.mb_skip_flag_p(0, a, b)
+                        self._encode_mb(w, yv, uv, vv, rec_y, rec_u, rec_v,
+                                        nc_y, nc_u, nc_v, mbx, mby, qp, qpc,
+                                        ce=ce, p_slice=True)
+                        ce.final(1 if last_mb else 0)
+                    else:
+                        w.ue(skip_run)
+                        skip_run = 0
+                        self._encode_mb(w, yv, uv, vv, rec_y, rec_u, rec_v,
+                                        nc_y, nc_u, nc_v, mbx, mby, qp, qpc,
+                                        mb_type_offset=5)
                     intra_mb[mby, mbx] = True
                     # refg stays -1, mv stays 0
                     continue
@@ -288,7 +393,14 @@ class H264Encoder(H264IntraEncoder):
 
                 if cbp == 0 and (mvx, mvy) == smv:
                     # P_Skip: recon is the prediction, nothing coded
-                    skip_run += 1
+                    if ce is not None:
+                        a, b = skip_ctx_terms(mbx, mby)
+                        ce.mb_skip_flag_p(1, a, b)
+                        self._skip[mby, mbx] = True
+                        self._cbf.mark(mbx, mby)
+                        ce.final(1 if last_mb else 0)
+                    else:
+                        skip_run += 1
                     rec_y[yy:yy + 16, x:x + 16] = pred
                     rec_u[cy:cy + 8, cx:cx + 8] = pu
                     rec_v[cy:cy + 8, cx:cx + 8] = pv
@@ -301,41 +413,61 @@ class H264Encoder(H264IntraEncoder):
                                 comp.set(mbx * 2 + bx2, mby * 2 + by2, 0)
                     continue
 
-                w.ue(skip_run)
-                skip_run = 0
-                w.ue(0)                      # mb_type P_L0_16x16
-                w.se(mvx - pmv[0])           # mvd_l0 x
-                w.se(mvy - pmv[1])           # mvd_l0 y
-                w.ue(_NCBP_INTER_420[cbp])   # coded_block_pattern me(v)
-                if cbp:
-                    w.se(0)                  # mb_qp_delta
-                # luma residual: full 16-coeff blocks per coded 8x8 group
-                for i8 in range(4):
-                    for k in range(4):
-                        idx = 4 * i8 + k
-                        x4, y4 = _BLK_X[idx], _BLK_Y[idx]
-                        if cbp_luma & (1 << i8):
-                            _code_residual_16(w, lv[y4, x4], nc_y,
-                                              gx + x4, gy + y4)
-                        else:
-                            nc_y.set(gx + x4, gy + y4, 0)
-                if cbp_chroma:
-                    for comp in (0, 1):
-                        dcs = c_dc_q[comp]
-                        cavlc.encode_block(
-                            w, [int(dcs[0, 0]), int(dcs[0, 1]),
-                                int(dcs[1, 0]), int(dcs[1, 1])], -1, 4)
-                for comp, grid in ((0, nc_u), (1, nc_v)):
-                    for idx in range(4):
-                        x4, y4 = idx & 1, idx >> 1
-                        if cbp_chroma == 2:
-                            coeffs = c_ac_q[comp][y4, x4].reshape(16)[zz][1:]
-                            total = cavlc.encode_block(
-                                w, [int(c) for c in coeffs],
-                                grid.nc(mbx * 2 + x4, mby * 2 + y4), 15)
-                        else:
-                            total = 0
-                        grid.set(mbx * 2 + x4, mby * 2 + y4, total)
+                if ce is not None:
+                    self._write_p16_cabac(ce, mbx, mby, mvx - pmv[0],
+                                          mvy - pmv[1], cbp, lv, c_dc_q,
+                                          c_ac_q, skip_ctx_terms, mvd_err)
+                    for i8 in range(4):
+                        for k in range(4):
+                            idx = 4 * i8 + k
+                            nc_y.set(gx + _BLK_X[idx], gy + _BLK_Y[idx],
+                                     int((lv[_BLK_Y[idx],
+                                             _BLK_X[idx]] != 0).sum())
+                                     if cbp_luma & (1 << i8) else 0)
+                    for comp, grid in ((0, nc_u), (1, nc_v)):
+                        for idx in range(4):
+                            x4, y4 = idx & 1, idx >> 1
+                            n = (int((c_ac_q[comp][y4, x4] != 0).sum())
+                                 if cbp_chroma == 2 else 0)
+                            grid.set(mbx * 2 + x4, mby * 2 + y4, n)
+                    ce.final(1 if last_mb else 0)
+                else:
+                    w.ue(skip_run)
+                    skip_run = 0
+                    w.ue(0)                      # mb_type P_L0_16x16
+                    w.se(mvx - pmv[0])           # mvd_l0 x
+                    w.se(mvy - pmv[1])           # mvd_l0 y
+                    w.ue(_NCBP_INTER_420[cbp])   # coded_block_pattern me(v)
+                    if cbp:
+                        w.se(0)                  # mb_qp_delta
+                    # luma residual: 16-coeff blocks per coded 8x8 group
+                    for i8 in range(4):
+                        for k in range(4):
+                            idx = 4 * i8 + k
+                            x4, y4 = _BLK_X[idx], _BLK_Y[idx]
+                            if cbp_luma & (1 << i8):
+                                _code_residual_16(w, lv[y4, x4], nc_y,
+                                                  gx + x4, gy + y4)
+                            else:
+                                nc_y.set(gx + x4, gy + y4, 0)
+                    if cbp_chroma:
+                        for comp in (0, 1):
+                            dcs = c_dc_q[comp]
+                            cavlc.encode_block(
+                                w, [int(dcs[0, 0]), int(dcs[0, 1]),
+                                    int(dcs[1, 0]), int(dcs[1, 1])], -1, 4)
+                    for comp, grid in ((0, nc_u), (1, nc_v)):
+                        for idx in range(4):
+                            x4, y4 = idx & 1, idx >> 1
+                            if cbp_chroma == 2:
+                                coeffs = \
+                                    c_ac_q[comp][y4, x4].reshape(16)[zz][1:]
+                                total = cavlc.encode_block(
+                                    w, [int(c) for c in coeffs],
+                                    grid.nc(mbx * 2 + x4, mby * 2 + y4), 15)
+                            else:
+                                total = 0
+                            grid.set(mbx * 2 + x4, mby * 2 + y4, total)
 
                 # recon
                 d = ht.dequant_ac(lv, qp)
@@ -360,9 +492,12 @@ class H264Encoder(H264IntraEncoder):
                                    0, 255)
                     plane[cy:cy + 8, cx:cx + 8] = crec
 
-        if skip_run:
-            w.ue(skip_run)
-        w.rbsp_trailing_bits()
+        if ce is not None:
+            ce.finish()
+        else:
+            if skip_run:
+                w.ue(skip_run)
+            w.rbsp_trailing_bits()
 
         bs_ver, bs_hor = bs_maps_p(intra_mb, nc_y.tc, mvg, refg)
         rec_y, rec_u, rec_v = deblock_frame(rec_y, rec_u, rec_v, qp, qpc,
@@ -386,8 +521,7 @@ class H264Decoder(H264IntraDecoder):
             if nal_type == NAL_SPS:
                 self.size = parse_sps(rbsp)
             elif nal_type == NAL_PPS:
-                self.dbf_present, self._pps_cabac = parse_pps(rbsp)
-                assert not self._pps_cabac, "P CABAC decode: round 2"
+                self.dbf_present, self.cabac = parse_pps(rbsp)
             elif nal_type in (NAL_SLICE_IDR, 1):
                 rec = self._decode_any_slice(rbsp, nal_type == NAL_SLICE_IDR)
                 self.prev = rec
@@ -412,6 +546,8 @@ class H264Decoder(H264IntraDecoder):
         assert r.flag() == 0        # num_ref_idx_active_override_flag
         assert r.flag() == 0        # ref_pic_list_modification_flag_l0
         assert r.flag() == 0        # adaptive_ref_pic_marking_mode_flag
+        cabac = getattr(self, "cabac", False)
+        model = r.ue() if cabac else 0  # cabac_init_idc
         qp = 26 + r.se()
         dbf_idc, aoff, boff = 0, 0, 0
         if self.dbf_present:
@@ -470,6 +606,17 @@ class H264Decoder(H264IntraDecoder):
                 for bx2 in range(2):
                     for by2 in range(2):
                         grid.set(mbx * 2 + bx2, mby * 2 + by2, 0)
+
+        if cabac:
+            self._decode_p_mbs_cabac(
+                r, qp, qpc, model, rec_y, rec_u, rec_v, ref_y, ref_u, ref_v,
+                nc_y, nc_u, nc_v, mvg, refg, intra_mb, mode4, is_i4,
+                pred_mode4, decode_skip)
+            if dbf_idc != 1:
+                bs_ver, bs_hor = bs_maps_p(intra_mb, nc_y.tc, mvg, refg)
+                rec_y, rec_u, rec_v = deblock_frame(
+                    rec_y, rec_u, rec_v, qp, qpc, bs_ver, bs_hor, aoff, boff)
+            return rec_y, rec_u, rec_v
 
         n_mbs = mbw * mbh
         addr = 0
@@ -565,3 +712,281 @@ class H264Decoder(H264IntraDecoder):
             rec_y, rec_u, rec_v = deblock_frame(rec_y, rec_u, rec_v, qp, qpc,
                                                 bs_ver, bs_hor, aoff, boff)
         return rec_y, rec_u, rec_v
+
+    def _decode_p_mbs_cabac(self, r, qp, qpc, model, rec_y, rec_u, rec_v,
+                            ref_y, ref_u, ref_v, nc_y, nc_u, nc_v, mvg,
+                            refg, intra_mb, mode4, is_i4, pred_mode4,
+                            decode_skip):
+        """CABAC P-slice MB loop (mirror of the encoder's CABAC path)."""
+        from video_codecs_tpu.entropy import h264_cabac as hc
+        mbw, mbh = self.size
+        w4 = mbw * 4
+        zz = cavlc.ZIGZAG_4x4
+        cd = hc.H264CabacDecoder(r, "P", qp, model)
+        cbf = hc.CbfState(mbw, mbh)
+        cbp_arr = np.zeros((mbh, mbw), np.int32)
+        cipred = np.zeros((mbh, mbw), np.int32)
+        skip = np.zeros((mbh, mbw), bool)
+        mvd_arr = np.zeros((mbh, mbw, 2), np.int32)
+        i16 = np.zeros((mbh, mbw), bool)
+
+        def mvd_err(mbx, mby, comp):
+            a = abs(int(mvd_arr[mby, mbx - 1, comp])) if mbx > 0 else 0
+            b = abs(int(mvd_arr[mby - 1, mbx, comp])) if mby > 0 else 0
+            return a + b
+
+        for mby in range(mbh):
+            for mbx in range(mbw):
+                x, yy = mbx * 16, mby * 16
+                cx, cy = mbx * 8, mby * 8
+                gx, gy = mbx * 4, mby * 4
+                last_mb = (mby == mbh - 1 and mbx == mbw - 1)
+                a = 1 if (mbx > 0 and not skip[mby, mbx - 1]) else 0
+                b = 1 if (mby > 0 and not skip[mby - 1, mbx]) else 0
+                if cd.mb_skip_flag_p(a, b):
+                    skip[mby, mbx] = True
+                    decode_skip(mbx, mby)
+                    cbf.mark(mbx, mby)
+                    assert cd.final() == (1 if last_mb else 0)
+                    continue
+                act, i16_sym = cd.mb_type_p()
+                if act in (6, 7):
+                    # intra MB in P slice
+                    intra_mb[mby, mbx] = True
+                    self._decode_intra_mb_cabac(
+                        cd, act, i16_sym, mbx, mby, qp, qpc, rec_y, rec_u,
+                        rec_v, cbf, cbp_arr, cipred, mode4, is_i4,
+                        pred_mode4, i16)
+                    assert cd.final() == (1 if last_mb else 0)
+                    continue
+                assert act == 1, f"unsupported P mb_type act {act}"
+                mvdx = cd.mvd(0, mvd_err(mbx, mby, 0))
+                mvdy = cd.mvd(1, mvd_err(mbx, mby, 1))
+                mvd_arr[mby, mbx] = (mvdx, mvdy)
+                pmv = median_mv_pred(mvg, refg, gx, gy, w4)
+                mvx, mvy = pmv[0] + mvdx, pmv[1] + mvdy
+                mvg[gy:gy + 4, gx:gx + 4] = (mvx, mvy)
+                refg[gy:gy + 4, gx:gx + 4] = 0
+
+                def nbr(dx, dy):
+                    nx, ny = mbx + dx, mby + dy
+                    if nx < 0 or ny < 0:
+                        return None
+                    return {"cbp": int(cbp_arr[ny, nx]), "ipcm": False}
+
+                cbp = cd.cbp(nbr(0, -1), nbr(-1, 0))
+                cbp_arr[mby, mbx] = cbp
+                cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+                if cbp:
+                    assert cd.mb_qp_delta(False) == 0, "dqp unsupported"
+                cur_bits = 0
+                lv = np.zeros((4, 4, 4, 4), np.int64)
+                for i8 in range(4):
+                    for k in range(4):
+                        idx = 4 * i8 + k
+                        x4, y4 = _BLK_X[idx], _BLK_Y[idx]
+                        if not (cbp_luma & (1 << i8)):
+                            nc_y.set(gx + x4, gy + y4, 0)
+                            continue
+                        ctx = cbf.ctx_ac(mbx, mby, x4, y4, 1, 4,
+                                         cur_bits, False)
+                        coeffs = cd.residual_block(hc.LUMA_4x4, 16, ctx)
+                        flat = np.zeros(16, np.int64)
+                        flat[zz] = coeffs
+                        lv[y4, x4] = flat.reshape(4, 4)
+                        nc_y.set(gx + x4, gy + y4,
+                                 sum(1 for c in coeffs if c))
+                        if any(coeffs):
+                            cur_bits |= 1 << (1 + 4 * y4 + x4)
+                            cbf.set_bit(mbx, mby, 1 + 4 * y4 + x4)
+                c_dc_q = [np.zeros((2, 2), np.int64) for _ in range(2)]
+                c_ac_q = [np.zeros((2, 2, 4, 4), np.int64) for _ in range(2)]
+                if cbp_chroma:
+                    for comp, bit in ((0, hc.CbfState.U_DC_BIT),
+                                      (1, hc.CbfState.V_DC_BIT)):
+                        ctx = cbf.ctx_dc(mbx, mby, bit, False)
+                        lst = cd.residual_block(hc.CHROMA_DC, 4, ctx)
+                        c_dc_q[comp][0, 0], c_dc_q[comp][0, 1] = \
+                            lst[0], lst[1]
+                        c_dc_q[comp][1, 0], c_dc_q[comp][1, 1] = \
+                            lst[2], lst[3]
+                        if any(lst):
+                            cbf.set_bit(mbx, mby, bit)
+                for comp, grid in ((0, nc_u), (1, nc_v)):
+                    base = (hc.CbfState.U_AC_BASE if comp == 0
+                            else hc.CbfState.V_AC_BASE)
+                    for idx in range(4):
+                        x4, y4 = idx & 1, idx >> 1
+                        if cbp_chroma != 2:
+                            grid.set(mbx * 2 + x4, mby * 2 + y4, 0)
+                            continue
+                        ctx = cbf.ctx_ac(mbx, mby, x4, y4, base, 2,
+                                         cur_bits, False)
+                        coeffs = cd.residual_block(hc.CHROMA_AC, 15, ctx)
+                        flat = np.zeros(16, np.int64)
+                        flat[zz[1:]] = coeffs
+                        c_ac_q[comp][y4, x4] = flat.reshape(4, 4)
+                        grid.set(mbx * 2 + x4, mby * 2 + y4,
+                                 sum(1 for c in coeffs if c))
+                        if any(coeffs):
+                            cur_bits |= 1 << (base + 4 * y4 + x4)
+                            cbf.set_bit(mbx, mby, base + 4 * y4 + x4)
+                cbf.mark(mbx, mby)
+
+                pred = mc_luma_np(ref_y, x, yy, mvx, mvy, 16, 16)
+                d = ht.dequant_ac(lv, qp)
+                rec_y[yy:yy + 16, x:x + 16] = np.clip(
+                    pred + ht.inverse4x4(d)
+                    .transpose(0, 2, 1, 3).reshape(16, 16), 0, 255)
+                for comp, (plane, refp) in enumerate(
+                        ((rec_u, ref_u), (rec_v, ref_v))):
+                    cp = mc_chroma_np(refp, cx, cy, mvx, mvy, 8, 8)
+                    cdc_deq = (ht.dequant_chroma_dc(c_dc_q[comp], qpc)
+                               if cbp_chroma
+                               else np.zeros((2, 2), np.int64))
+                    cdq = ht.dequant_ac(
+                        c_ac_q[comp] if cbp_chroma == 2
+                        else np.zeros_like(c_ac_q[comp]), qpc)
+                    cdq[:, :, 0, 0] = cdc_deq
+                    plane[cy:cy + 8, cx:cx + 8] = np.clip(
+                        cp + ht.inverse4x4(cdq)
+                        .transpose(0, 2, 1, 3).reshape(8, 8), 0, 255)
+                assert cd.final() == (1 if last_mb else 0)
+
+    def _decode_intra_mb_cabac(self, cd, act, i16_sym, mbx, mby, qp, qpc,
+                               rec_y, rec_u, rec_v, cbf, cbp_arr, cipred,
+                               mode4, is_i4, pred_mode4, i16):
+        """Intra MB inside a CABAC P slice (act 6 = I_4x4, 7 = I_16x16)."""
+        from video_codecs_tpu.entropy import h264_cabac as hc
+        mbw, mbh = self.size
+        zz = cavlc.ZIGZAG_4x4
+        x, y = mbx * 16, mby * 16
+        cx, cy = mbx * 8, mby * 8
+        use_i4 = act == 6
+        is_i4[mby, mbx] = use_i4
+        i16[mby, mbx] = not use_i4
+        modes = []
+        if use_i4:
+            for idx in range(16):
+                x4, y4 = _BLK_X[idx], _BLK_Y[idx]
+                pm = pred_mode4(mbx * 4 + x4, mby * 4 + y4)
+                m = cd.intra4x4_pred_mode(pm)
+                modes.append(m)
+                mode4[mby * 4 + y4, mbx * 4 + x4] = m
+        else:
+            code = i16_sym
+            lmode = code % 4
+            cbp_chroma = (code // 4) % 3
+            cbp_luma = 15 if code >= 12 else 0
+        ca = 1 if (mbx > 0 and cipred[mby, mbx - 1] != 0) else 0
+        cb = 1 if (mby > 0 and cipred[mby - 1, mbx] != 0) else 0
+        cmode = cd.intra_chroma_pred_mode(ca + cb)
+        cipred[mby, mbx] = cmode
+
+        def nbr(dx, dy):
+            nx, ny = mbx + dx, mby + dy
+            if nx < 0 or ny < 0:
+                return None
+            return {"cbp": int(cbp_arr[ny, nx]), "ipcm": False}
+
+        if use_i4:
+            cbp = cd.cbp(nbr(0, -1), nbr(-1, 0))
+            cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        else:
+            cbp = cbp_luma | (cbp_chroma << 4)
+        cbp_arr[mby, mbx] = cbp
+        if (not use_i4) or cbp:
+            assert cd.mb_qp_delta(False) == 0, "dqp unsupported"
+
+        cur_bits = 0
+        dc_q = np.zeros((4, 4), np.int64)
+        if not use_i4:
+            ctx = cbf.ctx_dc(mbx, mby, hc.CbfState.LUMA_DC_BIT, True)
+            dc_list = cd.residual_block(hc.LUMA_16DC, 16, ctx)
+            flat = np.zeros(16, np.int64)
+            flat[zz] = dc_list
+            dc_q = flat.reshape(4, 4)
+            if any(dc_list):
+                cur_bits |= 1 << hc.CbfState.LUMA_DC_BIT
+                cbf.set_bit(mbx, mby, hc.CbfState.LUMA_DC_BIT)
+        levels4 = [np.zeros((4, 4), np.int64) for _ in range(16)]
+        ac_q = np.zeros((4, 4, 4, 4), np.int64)
+        for i8 in range(4):
+            for k in range(4):
+                idx = 4 * i8 + k
+                x4, y4 = _BLK_X[idx], _BLK_Y[idx]
+                if use_i4:
+                    if not (cbp_luma & (1 << i8)):
+                        continue
+                    ctx = cbf.ctx_ac(mbx, mby, x4, y4, 1, 4, cur_bits, True)
+                    coeffs = cd.residual_block(hc.LUMA_4x4, 16, ctx)
+                    flat = np.zeros(16, np.int64)
+                    flat[zz] = coeffs
+                    levels4[idx] = flat.reshape(4, 4)
+                else:
+                    if not cbp_luma:
+                        continue
+                    ctx = cbf.ctx_ac(mbx, mby, x4, y4, 1, 4, cur_bits, True)
+                    coeffs = cd.residual_block(hc.LUMA_16AC, 15, ctx)
+                    flat = np.zeros(16, np.int64)
+                    flat[zz[1:]] = coeffs
+                    ac_q[y4, x4] = flat.reshape(4, 4)
+                if any(coeffs):
+                    cur_bits |= 1 << (1 + 4 * y4 + x4)
+                    cbf.set_bit(mbx, mby, 1 + 4 * y4 + x4)
+        c_dc_q = [np.zeros((2, 2), np.int64) for _ in range(2)]
+        c_ac_q = [np.zeros((2, 2, 4, 4), np.int64) for _ in range(2)]
+        if cbp_chroma:
+            for comp, bit in ((0, hc.CbfState.U_DC_BIT),
+                              (1, hc.CbfState.V_DC_BIT)):
+                ctx = cbf.ctx_dc(mbx, mby, bit, True)
+                lst = cd.residual_block(hc.CHROMA_DC, 4, ctx)
+                c_dc_q[comp][0, 0], c_dc_q[comp][0, 1] = lst[0], lst[1]
+                c_dc_q[comp][1, 0], c_dc_q[comp][1, 1] = lst[2], lst[3]
+                if any(lst):
+                    cbf.set_bit(mbx, mby, bit)
+        if cbp_chroma == 2:
+            for comp, base in ((0, hc.CbfState.U_AC_BASE),
+                               (1, hc.CbfState.V_AC_BASE)):
+                for idx in range(4):
+                    x4, y4 = idx & 1, idx >> 1
+                    ctx = cbf.ctx_ac(mbx, mby, x4, y4, base, 2,
+                                     cur_bits, True)
+                    coeffs = cd.residual_block(hc.CHROMA_AC, 15, ctx)
+                    flat = np.zeros(16, np.int64)
+                    flat[zz[1:]] = coeffs
+                    c_ac_q[comp][y4, x4] = flat.reshape(4, 4)
+                    if any(coeffs):
+                        cur_bits |= 1 << (base + 4 * y4 + x4)
+                        cbf.set_bit(mbx, mby, base + 4 * y4 + x4)
+        cbf.mark(mbx, mby)
+
+        # ---- reconstruction ----
+        from video_codecs_tpu.models.h264.intra_codec import (
+            gather_ref4, pred_luma4)
+        if use_i4:
+            for idx in range(16):
+                x4, y4 = _BLK_X[idx], _BLK_Y[idx]
+                px, py = x + x4 * 4, y + y4 * 4
+                l, t, c, av = gather_ref4(rec_y, px, py, mbw)
+                pb = pred_luma4(l, t, c, av, modes[idx])
+                d4 = ht.dequant_ac(levels4[idx], qp)
+                rec_y[py:py + 4, px:px + 4] = np.clip(
+                    pb + ht.inverse4x4(d4), 0, 255)
+        else:
+            pred = pred_luma16(rec_y, x, y, lmode)
+            dc_deq = ht.dequant_luma_dc(dc_q, qp)
+            d = ht.dequant_ac(ac_q, qp)
+            d[:, :, 0, 0] = dc_deq
+            rr = ht.inverse4x4(d)
+            rec_y[y:y + 16, x:x + 16] = np.clip(
+                pred + rr.transpose(0, 2, 1, 3).reshape(16, 16), 0, 255)
+        from video_codecs_tpu.models.h264.intra_codec import pred_chroma8
+        for comp, plane in ((0, rec_u), (1, rec_v)):
+            cpred = pred_chroma8(plane, cx, cy, cmode)
+            cdc_deq = ht.dequant_chroma_dc(c_dc_q[comp], qpc)
+            cdq = ht.dequant_ac(c_ac_q[comp], qpc)
+            cdq[:, :, 0, 0] = cdc_deq
+            cr2 = ht.inverse4x4(cdq)
+            plane[cy:cy + 8, cx:cx + 8] = np.clip(
+                cpred + cr2.transpose(0, 2, 1, 3).reshape(8, 8), 0, 255)

@@ -500,7 +500,7 @@ class H264IntraEncoder:
 
     def _encode_mb(self, w, yv, uv, vv, rec_y, rec_u, rec_v,
                    nc_y, nc_u, nc_v, mbx, mby, qp, qpc,
-                   mb_type_offset=0, ce=None):
+                   mb_type_offset=0, ce=None, p_slice=False):
         # mb_type_offset=5 encodes this intra MB inside a P slice
         # (spec Table 7-13: intra mb_types follow the 5 inter ones)
         x, y = mbx * 16, mby * 16
@@ -605,7 +605,8 @@ class H264IntraEncoder:
         if ce is not None:
             self._write_mb_cabac(ce, mbx, mby, use_i4, modes4, mode16,
                                  best_cm, cbp_luma4, cbp_luma16, cbp_chroma,
-                                 levels4, dc_q, ac_q, c_dc_q, c_ac_q)
+                                 levels4, dc_q, ac_q, c_dc_q, c_ac_q,
+                                 p_slice=p_slice)
             rec_y[y:y + 16, x:x + 16] = (
                 rec_trial[y:y + 16, x:x + 16] if use_i4 else rec16)
         elif use_i4:
@@ -697,8 +698,8 @@ class H264IntraEncoder:
 
     def _write_mb_cabac(self, ce, mbx, mby, use_i4, modes4, mode16, best_cm,
                         cbp_luma4, cbp_luma16, cbp_chroma, levels4, dc_q,
-                        ac_q, c_dc_q, c_ac_q):
-        """CABAC syntax for one intra MB (I slice).
+                        ac_q, c_dc_q, c_ac_q, p_slice=False):
+        """CABAC syntax for one intra MB (I slice, or intra MB in P slice).
 
         Parity: jm18.5/lencod/src/cabac.c writeMB_I_typeInfo_CABAC,
         writeIntraPredMode, writeCIPredMode, writeCBP, writeDquant,
@@ -709,21 +710,28 @@ class H264IntraEncoder:
         cbf = self._cbf
         mbw, mbh = self.w // 16, self.h // 16
 
-        # mb_type: ctx term = neighbor present and not I_4x4
-        a = 1 if (mbx > 0 and not self._is_i4[mby, mbx - 1]) else 0
-        b = 1 if (mby > 0 and not self._is_i4[mby - 1, mbx]) else 0
         cbp = (cbp_luma4 | (cbp_chroma << 4)) if use_i4 else \
             ((15 if cbp_luma16 else 0) | (cbp_chroma << 4))
+        if p_slice:
+            # intra suffix inside a P slice (writeMB_P_typeInfo :566-612)
+            if use_i4:
+                ce.mb_type_p(6)
+            else:
+                i16 = mode16 + 4 * cbp_chroma + 12 * (1 if cbp_luma16 else 0)
+                ce.mb_type_p(7, i16)
+        else:
+            # mb_type: ctx term = neighbor present and not I_4x4
+            a = 1 if (mbx > 0 and not self._is_i4[mby, mbx - 1]) else 0
+            b = 1 if (mby > 0 and not self._is_i4[mby - 1, mbx]) else 0
+            act = 0 if use_i4 else \
+                1 + mode16 + 4 * cbp_chroma + 12 * (1 if cbp_luma16 else 0)
+            ce.mb_type_i(act, a + b)
         if use_i4:
-            ce.mb_type_i(0, a + b)
             for idx in range(16):
                 x4, y4 = _BLK_X[idx], _BLK_Y[idx]
                 pm = self._pred_mode4(mbx * 4 + x4, mby * 4 + y4,
                                       upto=idx, mbx=mbx, mby=mby)
                 ce.intra4x4_pred_mode(modes4[idx], pm)
-        else:
-            act = 1 + mode16 + 4 * cbp_chroma + 12 * (1 if cbp_luma16 else 0)
-            ce.mb_type_i(act, a + b)
         # chroma pred mode: ctx from neighbors' nonzero chroma mode
         ca = 1 if (mbx > 0 and self._cipred[mby, mbx - 1] != 0) else 0
         cb = 1 if (mby > 0 and self._cipred[mby - 1, mbx] != 0) else 0
