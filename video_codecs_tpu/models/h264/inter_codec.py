@@ -128,8 +128,9 @@ class H264Encoder(H264IntraEncoder):
 
     def __init__(self, width: int, height: int, qp: int = 28,
                  search_range: int = 16, gop: int = 0,
-                 entropy: str = "cavlc") -> None:
-        super().__init__(width, height, qp=qp, deblock=True, entropy=entropy)
+                 entropy: str = "cavlc", perceptual: str = "") -> None:
+        super().__init__(width, height, qp=qp, deblock=True, entropy=entropy,
+                         perceptual=perceptual)
         self.sr = search_range
         self.gop = gop                 # 0 = only first frame is IDR
 
@@ -284,6 +285,8 @@ class H264Encoder(H264IntraEncoder):
         intra_mb = np.zeros((mbh, mbw), bool)
         lam = 0.85 * 2.0 ** ((qp - 12) / 3.0)
         lam_me = lam ** 0.5
+        if self.att:
+            self._eta = self._att_eta(y)
         zz = cavlc.ZIGZAG_4x4
 
         w = BitWriter()
@@ -331,16 +334,19 @@ class H264Encoder(H264IntraEncoder):
                 orig = yv[yy:yy + 16, x:x + 16]
                 last_mb = (mby == mbh - 1 and mbx == mbw - 1)
 
+                lam_me_mb = lam_me if self._eta is None else \
+                    (lam * float(self._eta[mby, mbx])) ** 0.5
                 pmv = median_mv_pred(mvg, refg, gx, gy, w4)
                 smv = skip_mv(mvg, refg, gx, gy, w4)
-                cost, mvx, mvy = self._search(orig, ref_y, x, yy, pmv, lam_me)
+                cost, mvx, mvy = self._search(orig, ref_y, x, yy, pmv,
+                                              lam_me_mb)
 
                 # crude intra/inter decision: best I_16x16 pred SAD
                 isad = min(
                     int(np.abs(orig - pred_luma16(rec_y, x, yy, m)).sum())
                     for m in ([2] + ([0] if mby else [])
                               + ([1] if mbx else [])))
-                if isad + round(lam_me * 8) < cost:
+                if isad + round(lam_me_mb * 8) < cost:
                     # intra MB inside the P slice
                     if ce is not None:
                         a, b = skip_ctx_terms(mbx, mby)

@@ -416,18 +416,49 @@ class NcGrid:
         self.tc[by, bx] = total
 
 
+def block_ssim(a: np.ndarray, b: np.ndarray) -> float:
+    """Single-window SSIM over one block (stvssim.c compute_SSIM per-MB
+    distortion, one window = the whole block)."""
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    c1, c2 = (0.01 * 255) ** 2, (0.03 * 255) ** 2
+    ma, mb_ = a.mean(), b.mean()
+    cov = ((a - ma) * (b - mb_)).mean()
+    return float(((2 * ma * mb_ + c1) * (2 * cov + c2)) /
+                 ((ma * ma + mb_ * mb_ + c1) * (a.var() + b.var() + c2)))
+
+
 # ---------------------------------------------------------------------------
 # Encoder
 # ---------------------------------------------------------------------------
 
 class H264IntraEncoder:
     def __init__(self, width: int, height: int, qp: int = 28,
-                 deblock: bool = True, entropy: str = "cavlc") -> None:
+                 deblock: bool = True, entropy: str = "cavlc",
+                 perceptual: str = "") -> None:
         assert width % 16 == 0 and height % 16 == 0
         assert entropy in ("cavlc", "cabac")
         self.w, self.h, self.qp = width, height, qp
         self.deblock = deblock
         self.entropy = entropy
+        # perceptual RDO (stvssim fork parity): "att" = saliency-driven
+        # per-MB lambda (mode_decision.c:140-151 adjust_lambda);
+        # "ssim" = SSIM-augmented mode-decision distortion
+        # (rdopt.c:469-481 SSE + scale*(1-SSIM)). Combine with "att+ssim".
+        self.att = "att" in perceptual
+        self.ssim_rdo = "ssim" in perceptual
+        self.ssim_weight = 1024.0   # rdopt.c ssimscale analog (per 16x16)
+        self._eta = None            # per-MB lambda weights, set per frame
+        self._prev_y = None
+
+    def _att_eta(self, y) -> np.ndarray:
+        """Per-MB lambda modulation from the Gabor/motion saliency model
+        (attention.c/spatialattention.c -> att_mbWgt -> adjust_lambda)."""
+        from video_codecs_tpu.ops import metrics
+        sal = metrics.saliency_map(y, self._prev_y)
+        eta = np.asarray(metrics.attention_lambda_weights(sal, block=16))
+        self._prev_y = np.asarray(y)
+        return eta
 
     def encode_sequence(self, frames) -> tuple[bytes, list]:
         cabac = self.entropy == "cabac"
@@ -445,6 +476,8 @@ class H264IntraEncoder:
         qp = self.qp
         qpc = int(ht.CHROMA_QP[min(max(qp, 0), 51)])
         mbw, mbh = self.w // 16, self.h // 16
+        if self.att:
+            self._eta = self._att_eta(y)
         yv, uv, vv = (p.astype(np.int32) for p in (y, u, v))
         rec_y = np.zeros_like(yv)
         rec_u = np.zeros_like(uv)
@@ -508,6 +541,8 @@ class H264IntraEncoder:
         mbw = self.w // 16
         avail_t, avail_l = mby > 0, mbx > 0
         lam = 0.85 * 2.0 ** ((qp - 12) / 3.0)
+        if self._eta is not None:
+            lam *= float(self._eta[mby, mbx])
         orig = yv[y:y + 16, x:x + 16]
 
         # ---- I_16x16 candidate ----
@@ -565,6 +600,12 @@ class H264IntraEncoder:
             cost4_bits += 1 if m4 == pm else 4
         cost4 = int(np.abs(rec_trial[y:y + 16, x:x + 16] - orig).sum()) + \
             round(lam * cost4_bits)
+        if self.ssim_rdo:
+            # rdopt.c:469-481 semantics: D = SAD + scale*(1 - SSIM(rec))
+            cost16 += round(self.ssim_weight * (1.0 - block_ssim(orig, rec16)))
+            cost4 += round(self.ssim_weight *
+                           (1.0 - block_ssim(
+                               orig, rec_trial[y:y + 16, x:x + 16])))
         use_i4 = cost4 < cost16 or getattr(self, 'force_i4', False)
         self._is_i4[mby, mbx] = use_i4
         if not use_i4:
