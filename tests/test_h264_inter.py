@@ -95,13 +95,39 @@ def test_p_jm_ldecod_conformance(tmp_path, entropy):
             np.testing.assert_array_equal(ref, ours.astype(np.uint8))
 
 
+@pytest.mark.parametrize("entropy", ["cavlc", "cabac"])
+def test_p_multiref_self_roundtrip_and_conformance(tmp_path, entropy):
+    """n_refs=3 sliding-window DPB: ref_idx_l0 te(v)/CABAC, per-ref MVP.
+
+    Cycled content makes older references optimal, so nonzero ref_idx
+    is actually exercised."""
+    ys, us, vs = yuv.read_frames(FOREMAN, 176, 144)
+    base = [(ys[i], us[i], vs[i]) for i in range(len(ys))]
+    frames = [base[i % 3] for i in range(7)]
+    enc = H264Encoder(176, 144, qp=30, entropy=entropy, n_refs=3)
+    stream, recons = roundtrip(enc, frames)
+    if not os.path.exists(JM_DECODER):
+        pytest.skip("JM reference decoder not built")
+    (tmp_path / "p.264").write_bytes(stream)
+    r = subprocess.run([JM_DECODER, "-i", "p.264", "-o", "jm.yuv"],
+                       capture_output=True, text=True, timeout=120,
+                       cwd=tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert f"{len(frames)} frames are decoded" in r.stdout, r.stdout
+    ry, ru, rv = yuv.read_frames(str(tmp_path / "jm.yuv"), 176, 144)
+    for i in range(len(frames)):
+        for ours, ref in zip(recons[i], (ry[i], ru[i], rv[i])):
+            np.testing.assert_array_equal(ref, ours.astype(np.uint8))
+
+
 @pytest.mark.skipif(not (os.path.exists(JM_ENCODER)
                          and os.path.exists(FOREMAN)),
                     reason="JM reference encoder not built")
-@pytest.mark.parametrize("entropy", ["cavlc", "cabac"])
-def test_p_decode_jm_encoded_stream(tmp_path, entropy):
+@pytest.mark.parametrize("entropy,nrefs", [("cavlc", 1), ("cabac", 1),
+                                           ("cavlc", 2), ("cabac", 2)])
+def test_p_decode_jm_encoded_stream(tmp_path, entropy, nrefs):
     """Our decoder reproduces a JM-ENCODED IPPP stream bit-exactly
-    (16x16 partitions, one reference), CAVLC and CABAC."""
+    (16x16 partitions, 1 or 2 references), CAVLC and CABAC."""
     cfg = "/root/repo/.refbuild/jm18.5/bin/encoder_baseline.cfg"
     cabac = entropy == "cabac"
     r = subprocess.run(
@@ -120,7 +146,7 @@ def test_p_decode_jm_encoded_stream(tmp_path, entropy):
          "-p", "PSliceSearch8x16=0", "-p", "PSliceSearch8x8=0",
          "-p", "PSliceSearch8x4=0", "-p", "PSliceSearch4x8=0",
          "-p", "PSliceSearch4x4=0", "-p", "SearchRange=16",
-         "-p", "NumberReferenceFrames=1"],
+         "-p", f"NumberReferenceFrames={nrefs}"],
         capture_output=True, text=True, timeout=300, cwd=tmp_path)
     assert (tmp_path / "jm.264").exists(), r.stdout + r.stderr
     out = H264Decoder().decode((tmp_path / "jm.264").read_bytes())

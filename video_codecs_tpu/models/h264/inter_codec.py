@@ -46,10 +46,29 @@ def _se_bits(v: int) -> int:
     return 2 * (idx + 1).bit_length() - 1
 
 
-def median_mv_pred(mvg, refg, gx, gy, w4):
+def _te_write(w, v: int, cmax: int) -> None:
+    """Truncated exp-Golomb te(v) (spec 9.1.1), used for ref_idx_l0."""
+    if cmax == 1:
+        w.flag(1 - v)
+    else:
+        w.ue(v)
+
+
+def _te_read(r, cmax: int) -> int:
+    if cmax == 1:
+        return 1 - r.flag()
+    return r.ue()
+
+
+def _te_bits(v: int, cmax: int) -> int:
+    return 1 if cmax == 1 else 2 * (v + 1).bit_length() - 1
+
+
+def median_mv_pred(mvg, refg, gx, gy, w4, ref: int = 0):
     """16x16 L0 MV predictor (spec 8.4.1.3): median of A/B/C with the
     only-A and single-matching-ref special cases. refg is -1 for intra
-    or out-of-picture blocks (which predict mv 0)."""
+    or out-of-picture blocks (which predict mv 0); `ref` is the target
+    reference index the predictor is derived for."""
     h4 = mvg.shape[0]
 
     def nb(bx, by, inside_only_row=False):
@@ -65,7 +84,7 @@ def median_mv_pred(mvg, refg, gx, gy, w4):
     if B is None and C is None and A is not None:
         return A[1], A[2]
     cands = [A, B, C]
-    match = [c for c in cands if c is not None and c[0] == 0]
+    match = [c for c in cands if c is not None and c[0] == ref]
     if len(match) == 1:
         return match[0][1], match[0][2]
     xs = [c[1] if c is not None else 0 for c in cands]
@@ -128,32 +147,37 @@ class H264Encoder(H264IntraEncoder):
 
     def __init__(self, width: int, height: int, qp: int = 28,
                  search_range: int = 16, gop: int = 0,
-                 entropy: str = "cavlc", perceptual: str = "") -> None:
+                 entropy: str = "cavlc", perceptual: str = "",
+                 n_refs: int = 1) -> None:
         super().__init__(width, height, qp=qp, deblock=True, entropy=entropy,
                          perceptual=perceptual)
         self.sr = search_range
         self.gop = gop                 # 0 = only first frame is IDR
+        self.n_refs = n_refs           # sliding-window DPB size (list0)
 
     def encode_sequence(self, frames):
         cabac = self.entropy == "cabac"
         nals = [nal_unit(NAL_SPS, write_sps(self.w // 16, self.h // 16,
-                                            profile=77 if cabac else 66)),
+                                            profile=77 if cabac else 66,
+                                            num_ref_frames=self.n_refs)),
                 nal_unit(NAL_PPS, write_pps(cabac=cabac))]
         recons = []
-        ref = None
+        refs = []            # DPB list0: most recently decoded first
         frame_num = 0
         for idx, (y, u, v) in enumerate(frames):
-            is_idr = ref is None or (self.gop and idx % self.gop == 0)
+            is_idr = not refs or (self.gop and idx % self.gop == 0)
             if is_idr:
                 rbsp, rec = self.encode_frame(y, u, v, idr_id=idx & 1)
                 nals.append(nal_unit(NAL_SLICE_IDR, rbsp))
                 frame_num = 1
+                refs = []
             else:
-                rbsp, rec = self._encode_p_frame(y, u, v, ref, frame_num)
+                rbsp, rec = self._encode_p_frame(y, u, v, refs, frame_num)
                 nals.append(nal_unit(1, rbsp, ref_idc=2))
                 frame_num = (frame_num + 1) & 0xFF
             recons.append(rec)
-            ref = rec
+            refs.insert(0, rec)
+            del refs[self.n_refs:]
         return annexb(nals), recons
 
     # -- motion search -----------------------------------------------------
@@ -195,12 +219,13 @@ class H264Encoder(H264IntraEncoder):
         return best
 
     def _write_p16_cabac(self, ce, mbx, mby, mvdx, mvdy, cbp, lv,
-                         c_dc_q, c_ac_q, skip_ctx_terms, mvd_err):
+                         c_dc_q, c_ac_q, skip_ctx_terms, mvd_err,
+                         ref=0, n_active=1, refg=None):
         """CABAC syntax for one non-skip P_L0_16x16 MB.
 
         Parity: jm18.5/lencod/src/cabac.c writeMB_Pskip_flagInfo :424,
-        writeMB_P_typeInfo :520 (act_sym 1), writeMVD :1152, writeCBP
-        :1326, writeDquant :1116, residual blocks via
+        writeMB_P_typeInfo :520 (act_sym 1), writeRefPic :1016, writeMVD
+        :1152, writeCBP :1326, writeDquant :1116, residual blocks via
         entropy/h264_cabac.py (LUMA_4x4 category for non-I16 luma).
         """
         from video_codecs_tpu.entropy import h264_cabac as hc
@@ -209,7 +234,13 @@ class H264Encoder(H264IntraEncoder):
         cbf = self._cbf
         a, b = skip_ctx_terms(mbx, mby)
         ce.mb_skip_flag_p(0, a, b)
-        ce.mb_type_p(1)  # P_L0_16x16 (single ref: no ref_idx coded)
+        ce.mb_type_p(1)  # P_L0_16x16
+        if n_active > 1:
+            # ctxIdxInc (spec 9.3.3.1.1.6): left/top inter MB with ref>0
+            gx, gy = mbx * 4, mby * 4
+            ra = 1 if (gx > 0 and refg[gy, gx - 1] > 0) else 0
+            rb = 1 if (gy > 0 and refg[gy - 1, gx] > 0) else 0
+            ce.ref_idx(ref, ra + 2 * rb)
         ce.mvd(mvdx, 0, mvd_err(mbx, mby, 0))
         ce.mvd(mvdy, 1, mvd_err(mbx, mby, 1))
         self._mvd_arr[mby, mbx] = (mvdx, mvdy)
@@ -265,13 +296,14 @@ class H264Encoder(H264IntraEncoder):
         cbf.mark(mbx, mby)
 
     # -- P frame -----------------------------------------------------------
-    def _encode_p_frame(self, y, u, v, ref, frame_num):
+    def _encode_p_frame(self, y, u, v, refs, frame_num):
         qp = self.qp
         qpc = int(ht.CHROMA_QP[min(max(qp, 0), 51)])
         mbw, mbh = self.w // 16, self.h // 16
         w4 = mbw * 4
         yv, uv, vv = (p.astype(np.int32) for p in (y, u, v))
-        ref_y, ref_u, ref_v = ref
+        n_active = min(self.n_refs, len(refs))
+        ref_y, ref_u, ref_v = refs[0]
         rec_y = np.zeros_like(yv)
         rec_u = np.zeros_like(uv)
         rec_v = np.zeros_like(vv)
@@ -294,7 +326,11 @@ class H264Encoder(H264IntraEncoder):
         w.ue(5)                  # slice_type = P (all slices)
         w.ue(0)                  # pps_id
         w.write(frame_num & 0xFF, 8)
-        w.flag(0)                # num_ref_idx_active_override_flag
+        if n_active > 1:
+            w.flag(1)            # num_ref_idx_active_override_flag
+            w.ue(n_active - 1)   # num_ref_idx_l0_active_minus1
+        else:
+            w.flag(0)            # num_ref_idx_active_override_flag
         w.flag(0)                # ref_pic_list_modification_flag_l0
         w.flag(0)                # adaptive_ref_pic_marking_mode_flag
         if self.entropy == "cabac":
@@ -336,10 +372,19 @@ class H264Encoder(H264IntraEncoder):
 
                 lam_me_mb = lam_me if self._eta is None else \
                     (lam * float(self._eta[mby, mbx])) ** 0.5
-                pmv = median_mv_pred(mvg, refg, gx, gy, w4)
                 smv = skip_mv(mvg, refg, gx, gy, w4)
-                cost, mvx, mvy = self._search(orig, ref_y, x, yy, pmv,
-                                              lam_me_mb)
+                best_ref, cost, mvx, mvy, pmv = 0, None, 0, 0, (0, 0)
+                for ri in range(n_active):
+                    pmv_r = median_mv_pred(mvg, refg, gx, gy, w4, ref=ri)
+                    c_r, mx_r, my_r = self._search(
+                        orig, refs[ri][0], x, yy, pmv_r, lam_me_mb)
+                    if n_active > 1:
+                        c_r += round(lam_me_mb
+                                     * _te_bits(ri, n_active - 1))
+                    if cost is None or c_r < cost:
+                        best_ref, cost, mvx, mvy, pmv = \
+                            ri, c_r, mx_r, my_r, pmv_r
+                ref_y, ref_u, ref_v = refs[best_ref]
 
                 # crude intra/inter decision: best I_16x16 pred SAD
                 isad = min(
@@ -395,9 +440,9 @@ class H264Encoder(H264IntraEncoder):
                 cbp = cbp_luma | (cbp_chroma << 4)
 
                 mvg[gy:gy + 4, gx:gx + 4] = (mvx, mvy)
-                refg[gy:gy + 4, gx:gx + 4] = 0
+                refg[gy:gy + 4, gx:gx + 4] = best_ref
 
-                if cbp == 0 and (mvx, mvy) == smv:
+                if cbp == 0 and best_ref == 0 and (mvx, mvy) == smv:
                     # P_Skip: recon is the prediction, nothing coded
                     if ce is not None:
                         a, b = skip_ctx_terms(mbx, mby)
@@ -422,7 +467,9 @@ class H264Encoder(H264IntraEncoder):
                 if ce is not None:
                     self._write_p16_cabac(ce, mbx, mby, mvx - pmv[0],
                                           mvy - pmv[1], cbp, lv, c_dc_q,
-                                          c_ac_q, skip_ctx_terms, mvd_err)
+                                          c_ac_q, skip_ctx_terms, mvd_err,
+                                          ref=best_ref, n_active=n_active,
+                                          refg=refg)
                     for i8 in range(4):
                         for k in range(4):
                             idx = 4 * i8 + k
@@ -441,6 +488,8 @@ class H264Encoder(H264IntraEncoder):
                     w.ue(skip_run)
                     skip_run = 0
                     w.ue(0)                      # mb_type P_L0_16x16
+                    if n_active > 1:
+                        _te_write(w, best_ref, n_active - 1)  # ref_idx_l0
                     w.se(mvx - pmv[0])           # mvd_l0 x
                     w.se(mvy - pmv[1])           # mvd_l0 y
                     w.ue(_NCBP_INTER_420[cbp])   # coded_block_pattern me(v)
@@ -516,7 +565,8 @@ class H264Decoder(H264IntraDecoder):
 
     def __init__(self) -> None:
         super().__init__()
-        self.prev = None
+        self.dpb = []            # list0: most recently decoded first
+        self.max_refs = 1
 
     def decode(self, stream: bytes) -> list:
         from video_codecs_tpu.entropy.bitstream import split_annexb
@@ -525,12 +575,19 @@ class H264Decoder(H264IntraDecoder):
             nal_type = nal[0] & 0x1F
             rbsp = strip_emulation_prevention(nal[1:])
             if nal_type == NAL_SPS:
-                self.size = parse_sps(rbsp)
+                wmb, hmb, info = parse_sps(rbsp, full=True)
+                self.size = (wmb, hmb)
+                self.max_refs = max(info["num_ref_frames"], 1)
             elif nal_type == NAL_PPS:
-                self.dbf_present, self.cabac = parse_pps(rbsp)
+                self.dbf_present, self.cabac, ppsinfo = \
+                    parse_pps(rbsp, full=True)
+                self.default_l0 = ppsinfo["num_ref_idx_l0_default_active"]
             elif nal_type in (NAL_SLICE_IDR, 1):
+                if nal_type == NAL_SLICE_IDR:
+                    self.dpb = []        # IDR: sliding window resets
                 rec = self._decode_any_slice(rbsp, nal_type == NAL_SLICE_IDR)
-                self.prev = rec
+                self.dpb.insert(0, rec)
+                del self.dpb[self.max_refs:]
                 frames.append(rec)
         return frames
 
@@ -549,7 +606,10 @@ class H264Decoder(H264IntraDecoder):
         w4 = mbw * 4
         assert r.ue() == 0          # pps_id
         r.read(8)                   # frame_num
-        assert r.flag() == 0        # num_ref_idx_active_override_flag
+        n_active = getattr(self, "default_l0", 1)
+        if r.flag():                # num_ref_idx_active_override_flag
+            n_active = r.ue() + 1   # num_ref_idx_l0_active_minus1
+        assert n_active <= len(self.dpb), "ref list underrun"
         assert r.flag() == 0        # ref_pic_list_modification_flag_l0
         assert r.flag() == 0        # adaptive_ref_pic_marking_mode_flag
         cabac = getattr(self, "cabac", False)
@@ -562,7 +622,7 @@ class H264Decoder(H264IntraDecoder):
                 aoff = 2 * r.se()
                 boff = 2 * r.se()
         qpc = int(ht.CHROMA_QP[min(max(qp, 0), 51)])
-        ref_y, ref_u, ref_v = self.prev
+        ref_y, ref_u, ref_v = self.dpb[0]
 
         rec_y = np.zeros((mbh * 16, mbw * 16), np.int32)
         rec_u = np.zeros((mbh * 8, mbw * 8), np.int32)
@@ -592,6 +652,8 @@ class H264Decoder(H264IntraDecoder):
                 return 2
             return min(a, b)
 
+        skip_ref = self.dpb[0]   # P_Skip always references list0[0]
+
         def decode_skip(mbx, mby):
             gx, gy = mbx * 4, mby * 4
             mvx, mvy = skip_mv(mvg, refg, gx, gy, w4)
@@ -599,11 +661,11 @@ class H264Decoder(H264IntraDecoder):
             refg[gy:gy + 4, gx:gx + 4] = 0
             x, yy = mbx * 16, mby * 16
             cx, cy = mbx * 8, mby * 8
-            rec_y[yy:yy + 16, x:x + 16] = mc_luma_np(ref_y, x, yy,
+            rec_y[yy:yy + 16, x:x + 16] = mc_luma_np(skip_ref[0], x, yy,
                                                      mvx, mvy, 16, 16)
-            rec_u[cy:cy + 8, cx:cx + 8] = mc_chroma_np(ref_u, cx, cy,
+            rec_u[cy:cy + 8, cx:cx + 8] = mc_chroma_np(skip_ref[1], cx, cy,
                                                        mvx, mvy, 8, 8)
-            rec_v[cy:cy + 8, cx:cx + 8] = mc_chroma_np(ref_v, cx, cy,
+            rec_v[cy:cy + 8, cx:cx + 8] = mc_chroma_np(skip_ref[2], cx, cy,
                                                        mvx, mvy, 8, 8)
             for bx4 in range(4):
                 for by4 in range(4):
@@ -617,7 +679,7 @@ class H264Decoder(H264IntraDecoder):
             self._decode_p_mbs_cabac(
                 r, qp, qpc, model, rec_y, rec_u, rec_v, ref_y, ref_u, ref_v,
                 nc_y, nc_u, nc_v, mvg, refg, intra_mb, mode4, is_i4,
-                pred_mode4, decode_skip)
+                pred_mode4, decode_skip, n_active=n_active)
             if dbf_idc != 1:
                 bs_ver, bs_hor = bs_maps_p(intra_mb, nc_y.tc, mvg, refg)
                 rec_y, rec_u, rec_v = deblock_frame(
@@ -650,11 +712,13 @@ class H264Decoder(H264IntraDecoder):
             gx, gy = mbx * 4, mby * 4
             x, yy = mbx * 16, mby * 16
             cx, cy = mbx * 8, mby * 8
-            pmv = median_mv_pred(mvg, refg, gx, gy, w4)
+            ref_i = _te_read(r, n_active - 1) if n_active > 1 else 0
+            ref_y, ref_u, ref_v = self.dpb[ref_i]
+            pmv = median_mv_pred(mvg, refg, gx, gy, w4, ref=ref_i)
             mvx = pmv[0] + r.se()
             mvy = pmv[1] + r.se()
             mvg[gy:gy + 4, gx:gx + 4] = (mvx, mvy)
-            refg[gy:gy + 4, gx:gx + 4] = 0
+            refg[gy:gy + 4, gx:gx + 4] = ref_i
             cbp = _CBP_FROM_CODE_INTER_420[r.ue()]
             cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
             if cbp:
@@ -722,7 +786,7 @@ class H264Decoder(H264IntraDecoder):
     def _decode_p_mbs_cabac(self, r, qp, qpc, model, rec_y, rec_u, rec_v,
                             ref_y, ref_u, ref_v, nc_y, nc_u, nc_v, mvg,
                             refg, intra_mb, mode4, is_i4, pred_mode4,
-                            decode_skip):
+                            decode_skip, n_active=1):
         """CABAC P-slice MB loop (mirror of the encoder's CABAC path)."""
         from video_codecs_tpu.entropy import h264_cabac as hc
         mbw, mbh = self.size
@@ -766,13 +830,19 @@ class H264Decoder(H264IntraDecoder):
                     assert cd.final() == (1 if last_mb else 0)
                     continue
                 assert act == 1, f"unsupported P mb_type act {act}"
+                ref_i = 0
+                if n_active > 1:
+                    ra = 1 if (gx > 0 and refg[gy, gx - 1] > 0) else 0
+                    rb = 1 if (gy > 0 and refg[gy - 1, gx] > 0) else 0
+                    ref_i = cd.ref_idx(ra + 2 * rb)
+                ref_y, ref_u, ref_v = self.dpb[ref_i]
                 mvdx = cd.mvd(0, mvd_err(mbx, mby, 0))
                 mvdy = cd.mvd(1, mvd_err(mbx, mby, 1))
                 mvd_arr[mby, mbx] = (mvdx, mvdy)
-                pmv = median_mv_pred(mvg, refg, gx, gy, w4)
+                pmv = median_mv_pred(mvg, refg, gx, gy, w4, ref=ref_i)
                 mvx, mvy = pmv[0] + mvdx, pmv[1] + mvdy
                 mvg[gy:gy + 4, gx:gx + 4] = (mvx, mvy)
-                refg[gy:gy + 4, gx:gx + 4] = 0
+                refg[gy:gy + 4, gx:gx + 4] = ref_i
 
                 def nbr(dx, dy):
                     nx, ny = mbx + dx, mby + dy

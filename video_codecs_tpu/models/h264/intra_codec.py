@@ -41,7 +41,8 @@ def annexb(nals: list[bytes]) -> bytes:
     return bytes(out)
 
 
-def write_sps(width_mbs: int, height_mbs: int, profile: int = 66) -> bytes:
+def write_sps(width_mbs: int, height_mbs: int, profile: int = 66,
+              num_ref_frames: int = 1) -> bytes:
     w = BitWriter()
     w.write(profile, 8)  # 66 = baseline (CAVLC), 77 = main (CABAC)
     w.flag(1 if profile == 66 else 0)   # constraint_set0
@@ -51,7 +52,7 @@ def write_sps(width_mbs: int, height_mbs: int, profile: int = 66) -> bytes:
     w.ue(0)          # sps_id
     w.ue(4)          # log2_max_frame_num_minus4 -> 8 bits
     w.ue(2)          # pic_order_cnt_type = 2
-    w.ue(1)          # max_num_ref_frames
+    w.ue(num_ref_frames)  # max_num_ref_frames
     w.flag(0)        # gaps_in_frame_num_value_allowed
     w.ue(width_mbs - 1)
     w.ue(height_mbs - 1)
@@ -102,7 +103,7 @@ def parse_sps(rbsp: bytes, full: bool = False):
         log2_max_poc_lsb = r.ue() + 4
     else:
         assert poc_type == 2, "pic_order_cnt_type 1 unsupported"
-    r.ue()
+    num_ref_frames = r.ue()
     r.flag()
     wmb = r.ue() + 1
     hmb = r.ue() + 1
@@ -113,18 +114,21 @@ def parse_sps(rbsp: bytes, full: bool = False):
         return wmb, hmb, {"poc_type": poc_type,
                           "log2_max_frame_num": log2_max_frame_num,
                           "log2_max_poc_lsb": log2_max_poc_lsb,
+                          "num_ref_frames": num_ref_frames,
                           "profile": profile}
     return wmb, hmb
 
 
-def parse_pps(rbsp: bytes) -> tuple[bool, bool]:
-    """Returns (deblocking_filter_control_present, entropy_coding_mode)."""
+def parse_pps(rbsp: bytes, full: bool = False):
+    """Returns (deblocking_filter_control_present, entropy_coding_mode),
+    plus {num_ref_idx_l0_default_active} when full=True."""
     r = BitReader(rbsp)
     assert r.ue() == 0 and r.ue() == 0
     cabac = bool(r.flag())
     r.flag()
     assert r.ue() == 0, "FMO unsupported"
-    r.ue(), r.ue()
+    l0_default = r.ue() + 1
+    r.ue()
     r.flag()
     r.read(2)
     init_qp = 26 + r.se()
@@ -134,6 +138,9 @@ def parse_pps(rbsp: bytes) -> tuple[bool, bool]:
     assert r.flag() == 0
     r.flag()
     assert init_qp == 26
+    if full:
+        return dbf_present, cabac, {"num_ref_idx_l0_default_active":
+                                    l0_default}
     return dbf_present, cabac
 
 
