@@ -563,10 +563,48 @@ class H264Encoder(H264IntraEncoder):
 class H264Decoder(H264IntraDecoder):
     """Decodes IDR + P (IPPP) baseline streams."""
 
-    def __init__(self) -> None:
+    def __init__(self, conceal: int = 0) -> None:
+        """conceal: 0 = off (errors raise), 1 = frame copy, 2 = motion
+        copy (jm18.5/ldecod ConcealMode semantics / erc_do_p.c)."""
         super().__init__()
         self.dpb = []            # list0: most recently decoded first
         self.max_refs = 1
+        self.conceal = conceal
+        self.concealed: list[int] = []
+        self._last_mv = None     # (mvg, refg) of the last decoded P slice
+        self._next_fn = 0
+
+    def _conceal_frame(self):
+        """Synthesize a lost picture from dpb[0]: frame copy, or motion
+        copy reusing the previous picture's MV field (erc_do_p.c)."""
+        ref = self.dpb[0]
+        if self.conceal != 2 or self._last_mv is None:
+            return tuple(p.copy() for p in ref)
+        mvg, refg = self._last_mv
+        mbw, mbh = self.size
+        rec_y = np.zeros((mbh * 16, mbw * 16), np.int32)
+        rec_u = np.zeros((mbh * 8, mbw * 8), np.int32)
+        rec_v = np.zeros_like(rec_u)
+        for mby in range(mbh):
+            for mbx in range(mbw):
+                gx, gy = mbx * 4, mby * 4
+                mvx = mvy = 0
+                if refg[gy, gx] >= 0:
+                    mvx, mvy = int(mvg[gy, gx, 0]), int(mvg[gy, gx, 1])
+                x, yy = mbx * 16, mby * 16
+                cx, cy = mbx * 8, mby * 8
+                rec_y[yy:yy + 16, x:x + 16] = mc_luma_np(
+                    ref[0], x, yy, mvx, mvy, 16, 16)
+                rec_u[cy:cy + 8, cx:cx + 8] = mc_chroma_np(
+                    ref[1], cx, cy, mvx, mvy, 8, 8)
+                rec_v[cy:cy + 8, cx:cx + 8] = mc_chroma_np(
+                    ref[2], cx, cy, mvx, mvy, 8, 8)
+        return rec_y, rec_u, rec_v
+
+    def _push(self, rec, frames):
+        self.dpb.insert(0, rec)
+        del self.dpb[self.max_refs:]
+        frames.append(rec)
 
     def decode(self, stream: bytes) -> list:
         from video_codecs_tpu.entropy.bitstream import split_annexb
@@ -585,10 +623,29 @@ class H264Decoder(H264IntraDecoder):
             elif nal_type in (NAL_SLICE_IDR, 1):
                 if nal_type == NAL_SLICE_IDR:
                     self.dpb = []        # IDR: sliding window resets
-                rec = self._decode_any_slice(rbsp, nal_type == NAL_SLICE_IDR)
-                self.dpb.insert(0, rec)
-                del self.dpb[self.max_refs:]
-                frames.append(rec)
+                elif self.conceal and self.dpb:
+                    # frame_num gap = lost picture(s): synthesize them
+                    r0 = BitReader(rbsp)
+                    r0.ue(), r0.ue(), r0.ue()
+                    fn = r0.read(8)
+                    gap = (fn - self._next_fn) & 0xFF
+                    for _ in range(min(gap, 16)):
+                        self.concealed.append(len(frames))
+                        self._push(self._conceal_frame(), frames)
+                        self._next_fn = (self._next_fn + 1) & 0xFF
+                if self.conceal and self.dpb:
+                    try:
+                        rec = self._decode_any_slice(
+                            rbsp, nal_type == NAL_SLICE_IDR)
+                    except Exception:
+                        self.concealed.append(len(frames))
+                        rec = self._conceal_frame()
+                else:
+                    rec = self._decode_any_slice(
+                        rbsp, nal_type == NAL_SLICE_IDR)
+                self._push(rec, frames)
+                self._next_fn = 1 if nal_type == NAL_SLICE_IDR else \
+                    (self._next_fn + 1) & 0xFF
         return frames
 
     def _decode_any_slice(self, rbsp, is_idr):
@@ -684,6 +741,7 @@ class H264Decoder(H264IntraDecoder):
                 bs_ver, bs_hor = bs_maps_p(intra_mb, nc_y.tc, mvg, refg)
                 rec_y, rec_u, rec_v = deblock_frame(
                     rec_y, rec_u, rec_v, qp, qpc, bs_ver, bs_hor, aoff, boff)
+            self._last_mv = (mvg.copy(), refg.copy())
             return rec_y, rec_u, rec_v
 
         n_mbs = mbw * mbh
@@ -781,6 +839,7 @@ class H264Decoder(H264IntraDecoder):
             bs_ver, bs_hor = bs_maps_p(intra_mb, nc_y.tc, mvg, refg)
             rec_y, rec_u, rec_v = deblock_frame(rec_y, rec_u, rec_v, qp, qpc,
                                                 bs_ver, bs_hor, aoff, boff)
+        self._last_mv = (mvg.copy(), refg.copy())
         return rec_y, rec_u, rec_v
 
     def _decode_p_mbs_cabac(self, r, qp, qpc, model, rec_y, rec_u, rec_v,
