@@ -454,6 +454,10 @@ class H264IntraEncoder:
         # (rdopt.c:469-481 SSE + scale*(1-SSIM)). Combine with "att+ssim".
         self.att = "att" in perceptual
         self.ssim_rdo = "ssim" in perceptual
+        from video_codecs_tpu.utils import debug
+        self.force_i4 = debug.env_flag(
+            "VCT_FORCE_I4", False,
+            "H.264: force I_4x4 for every intra MB")
         self.ssim_weight = 1024.0   # rdopt.c ssimscale analog (per 16x16)
         self._eta = None            # per-MB lambda weights, set per frame
         self._prev_y = None
