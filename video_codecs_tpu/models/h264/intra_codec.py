@@ -520,6 +520,8 @@ class H264IntraEncoder:
         if self.entropy == "cabac":
             from video_codecs_tpu.entropy import h264_cabac as hc
             ce = hc.H264CabacEncoder(w, "I", qp)
+            from video_codecs_tpu.utils import trace as _tr
+            ce = _tr.wrap_syntax(ce, "write")
             self._cbf = hc.CbfState(mbw, mbh)
             self._cbp_arr = np.zeros((mbh, mbw), np.int32)
             self._cipred = np.zeros((mbh, mbw), np.int32)
@@ -986,6 +988,8 @@ class H264IntraDecoder:
         mbw, mbh = self.size
         zz = cavlc.ZIGZAG_4x4
         cd = hc.H264CabacDecoder(r, "I", qp)
+        from video_codecs_tpu.utils import trace as _tr
+        cd = _tr.wrap_syntax(cd, "read")
         cbf = hc.CbfState(mbw, mbh)
         cbp_arr = np.zeros((mbh, mbw), np.int32)
         cipred = np.zeros((mbh, mbw), np.int32)
