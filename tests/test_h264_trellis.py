@@ -1,0 +1,74 @@
+"""H.264 trellis (soft-decision) quantization.
+
+Parity: jm18.5/lencod/src/rdoq.c + quant4x4_trellis.c — candidate
+levels {ceil, ceil-1, 0} by lambda RD with trailing-coefficient
+pruning. Encoder-only: streams stay conformant."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from video_codecs_tpu.models.h264.inter_codec import H264Decoder, H264Encoder
+from video_codecs_tpu.ops import h264_rdoq, h264_transform as ht
+from video_codecs_tpu.tools import experiment as ex
+from video_codecs_tpu.utils import yuv
+
+JM_DECODER = "/root/repo/.refbuild/jm18.5/bin/ldecod.exe"
+FOREMAN = "/root/reference/jm18.5/bin/foreman_part_qcif.yuv"
+
+
+def test_trellis_levels_bounded_by_hard_quant():
+    rng = np.random.default_rng(2)
+    res = rng.integers(-64, 64, (8, 4, 4))
+    w = ht.forward4x4(res)
+    hard = ht.quant_ac(w, 28)
+    soft = h264_rdoq.trellis_quant_ac(w, 28, lam=0.85 * 2 ** (16 / 3))
+    assert np.all(np.abs(soft) <= np.abs(hard) + 1)   # {ceil,ceil-1,0}
+    assert np.all(np.sign(soft[soft != 0]) == np.sign(w[soft != 0]))
+    assert np.abs(soft).sum() <= np.abs(hard).sum() + 8
+
+
+def test_trellis_zero_lambda_is_nearest():
+    rng = np.random.default_rng(3)
+    w = ht.forward4x4(rng.integers(-64, 64, (8, 4, 4)))
+    soft = h264_rdoq.trellis_quant_ac(w, 30, lam=0.0)
+    qbits = 15 + 30 // 6
+    ideal = np.abs(w) * ht.mf(30) / (1 << qbits)
+    np.testing.assert_array_equal(np.abs(soft), np.round(ideal))
+
+
+@pytest.mark.skipif(not os.path.exists(FOREMAN),
+                    reason="foreman fixture unavailable")
+def test_trellis_improves_bd_rate():
+    ys, us, vs = yuv.read_frames(FOREMAN, 176, 144)
+    frames = [(ys[i], us[i], vs[i]) for i in range(3)]
+    qps = (26, 30, 34, 38)
+    base = ex.qp_sweep(lambda qp: H264Encoder(176, 144, qp=qp), frames, qps)
+    soft = ex.qp_sweep(lambda qp: H264Encoder(176, 144, qp=qp,
+                                              quant="trellis"), frames, qps)
+    d = ex.compare(base, soft)
+    assert d["bd_rate_pct"] < 0, d
+
+
+@pytest.mark.skipif(not os.path.exists(JM_DECODER),
+                    reason="JM reference decoder not built")
+def test_trellis_stream_jm_conformant(tmp_path):
+    ys, us, vs = yuv.read_frames(FOREMAN, 176, 144)
+    frames = [(ys[i], us[i], vs[i]) for i in range(3)]
+    enc = H264Encoder(176, 144, qp=30, quant="trellis", entropy="cabac")
+    stream, recons = enc.encode_sequence(frames)
+    out = H264Decoder().decode(stream)
+    for i in range(3):
+        for j in range(3):
+            np.testing.assert_array_equal(out[i][j], recons[i][j])
+    (tmp_path / "t.264").write_bytes(stream)
+    r = subprocess.run([JM_DECODER, "-i", "t.264", "-o", "jm.yuv"],
+                       capture_output=True, text=True, timeout=120,
+                       cwd=tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    ry, ru, rv = yuv.read_frames(str(tmp_path / "jm.yuv"), 176, 144)
+    for i in range(3):
+        for ours, ref in zip(recons[i], (ry[i], ru[i], rv[i])):
+            np.testing.assert_array_equal(ref, ours.astype(np.uint8))

@@ -148,9 +148,9 @@ class H264Encoder(H264IntraEncoder):
     def __init__(self, width: int, height: int, qp: int = 28,
                  search_range: int = 16, gop: int = 0,
                  entropy: str = "cavlc", perceptual: str = "",
-                 n_refs: int = 1) -> None:
+                 n_refs: int = 1, quant: str = "normal") -> None:
         super().__init__(width, height, qp=qp, deblock=True, entropy=entropy,
-                         perceptual=perceptual)
+                         perceptual=perceptual, quant=quant)
         self.sr = search_range
         self.gop = gop                 # 0 = only first frame is IDR
         self.n_refs = n_refs           # sliding-window DPB size (list0)
@@ -418,7 +418,7 @@ class H264Encoder(H264IntraEncoder):
 
                 res = orig - pred
                 blk = res.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3)
-                lv = ht.quant_ac(ht.forward4x4(blk), qp)
+                lv = self._quant_ac(ht.forward4x4(blk), qp, intra=False)
                 cbp_luma = 0
                 for i8 in range(4):
                     ids = [4 * i8 + k for k in range(4)]

@@ -442,12 +442,14 @@ def block_ssim(a: np.ndarray, b: np.ndarray) -> float:
 class H264IntraEncoder:
     def __init__(self, width: int, height: int, qp: int = 28,
                  deblock: bool = True, entropy: str = "cavlc",
-                 perceptual: str = "") -> None:
+                 perceptual: str = "", quant: str = "normal") -> None:
         assert width % 16 == 0 and height % 16 == 0
         assert entropy in ("cavlc", "cabac")
+        assert quant in ("normal", "trellis")
         self.w, self.h, self.qp = width, height, qp
         self.deblock = deblock
         self.entropy = entropy
+        self.quant = quant   # "trellis" = soft-decision (rdoq.c analog)
         # perceptual RDO (stvssim fork parity): "att" = saliency-driven
         # per-MB lambda (mode_decision.c:140-151 adjust_lambda);
         # "ssim" = SSIM-augmented mode-decision distortion
@@ -461,6 +463,15 @@ class H264IntraEncoder:
         self.ssim_weight = 1024.0   # rdopt.c ssimscale analog (per 16x16)
         self._eta = None            # per-MB lambda weights, set per frame
         self._prev_y = None
+
+    def _quant_ac(self, wt, qp, intra: bool = True) -> np.ndarray:
+        """Luma AC quantization: hard (quant4x4_normal.c) or trellis
+        (quant4x4_trellis.c/rdoq.c) per the `quant` option."""
+        if self.quant == "trellis":
+            from video_codecs_tpu.ops import h264_rdoq
+            lam = 0.85 * 2.0 ** ((qp - 12) / 3.0)
+            return h264_rdoq.trellis_quant_ac(wt, qp, lam, intra)
+        return ht.quant_ac(wt, qp, intra)
 
     def _att_eta(self, y) -> np.ndarray:
         """Per-MB lambda modulation from the Gabor/motion saliency model
@@ -573,7 +584,7 @@ class H264IntraEncoder:
         wt = ht.forward4x4(blk)
         dc = wt[:, :, 0, 0].copy()
         dc_q = ht.quant_luma_dc(ht.fwd_hadamard4x4_dc(dc), qp)
-        ac_q = ht.quant_ac(wt, qp)
+        ac_q = self._quant_ac(wt, qp)
         ac_q[:, :, 0, 0] = 0
         cbp_luma16 = 15 if ac_q.any() else 0
         dc_deq = ht.dequant_luma_dc(dc_q, qp)
@@ -603,7 +614,7 @@ class H264IntraEncoder:
                     bestb = (sad, m, pb)
             _, m4, pb = bestb
             wt4 = ht.forward4x4(ob - pb)
-            lv4 = ht.quant_ac(wt4, qp)
+            lv4 = self._quant_ac(wt4, qp)
             d4 = ht.dequant_ac(lv4, qp)
             recb = np.clip(pb + ht.inverse4x4(d4), 0, 255)
             rec_trial[py:py + 4, px:px + 4] = recb
