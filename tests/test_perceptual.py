@@ -27,7 +27,7 @@ def test_block_ssim_bounds():
     assert -1.0 <= s < 0.9
 
 
-def _frames(n=3, w=64, h=48):
+def _frames(n=3, w=96, h=96):
     # real content (a foreman crop): decisions are marginal enough that
     # lambda modulation actually flips some of them
     ys, us, vs = yuv.read_frames(FOREMAN, 176, 144, n)
@@ -39,9 +39,9 @@ def _frames(n=3, w=64, h=48):
                     reason="foreman fixture unavailable")
 def test_perceptual_streams_decode_and_differ():
     frames = _frames()
-    plain, rec_plain = H264Encoder(64, 48, qp=30).encode_sequence(frames)
+    plain, rec_plain = H264Encoder(96, 96, qp=30).encode_sequence(frames)
     perc, rec_perc = H264Encoder(
-        64, 48, qp=30, perceptual="att+ssim").encode_sequence(frames)
+        96, 96, qp=30, perceptual="att+ssim").encode_sequence(frames)
     # perceptual mode changes decisions, not validity
     out = H264Decoder().decode(perc)
     for i in range(len(frames)):
