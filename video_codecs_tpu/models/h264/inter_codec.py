@@ -346,6 +346,8 @@ class H264Encoder(H264IntraEncoder):
             ce = hc.H264CabacEncoder(w, "P", qp, model=0)
             from video_codecs_tpu.utils import trace as _tr
             ce = _tr.wrap_syntax(ce, "write")
+            from video_codecs_tpu.utils import coding_stats as _cs
+            ce = _cs.wrap_stats(ce)
             self._cbf = hc.CbfState(mbw, mbh)
             self._cbp_arr = np.zeros((mbh, mbw), np.int32)
             self._cipred = np.zeros((mbh, mbw), np.int32)
@@ -856,6 +858,8 @@ class H264Decoder(H264IntraDecoder):
         cd = hc.H264CabacDecoder(r, "P", qp, model)
         from video_codecs_tpu.utils import trace as _tr
         cd = _tr.wrap_syntax(cd, "read")
+        from video_codecs_tpu.utils import coding_stats as _cs
+        cd = _cs.wrap_stats(cd)
         cbf = hc.CbfState(mbw, mbh)
         cbp_arr = np.zeros((mbh, mbw), np.int32)
         cipred = np.zeros((mbh, mbw), np.int32)

@@ -533,6 +533,8 @@ class H264IntraEncoder:
             ce = hc.H264CabacEncoder(w, "I", qp)
             from video_codecs_tpu.utils import trace as _tr
             ce = _tr.wrap_syntax(ce, "write")
+            from video_codecs_tpu.utils import coding_stats as _cs
+            ce = _cs.wrap_stats(ce)
             self._cbf = hc.CbfState(mbw, mbh)
             self._cbp_arr = np.zeros((mbh, mbw), np.int32)
             self._cipred = np.zeros((mbh, mbw), np.int32)
@@ -1001,6 +1003,8 @@ class H264IntraDecoder:
         cd = hc.H264CabacDecoder(r, "I", qp)
         from video_codecs_tpu.utils import trace as _tr
         cd = _tr.wrap_syntax(cd, "read")
+        from video_codecs_tpu.utils import coding_stats as _cs
+        cd = _cs.wrap_stats(cd)
         cbf = hc.CbfState(mbw, mbh)
         cbp_arr = np.zeros((mbh, mbw), np.int32)
         cipred = np.zeros((mbh, mbw), np.int32)

@@ -1,8 +1,10 @@
 """Decoder CLI — the TAppDecoder / ldecod analog.
 
 Usage:  python -m video_codecs_tpu.tools.decoder_app -b in.bin [-o out.yuv]
+                [--stats]
 Prints per-picture hash-SEI status like HM's decoder; auto-detects H.264
-vs HEVC streams and HEVC intra vs low-delay P.
+vs HEVC streams and HEVC intra vs low-delay P. --stats prints the
+per-syntax-class bin/bit table (the TAppDecoderAnalyser build).
 """
 
 from __future__ import annotations
@@ -14,16 +16,20 @@ import numpy as np
 
 def main(argv=None) -> None:
     from video_codecs_tpu.tools import analyze
-    from video_codecs_tpu.utils import yuv
+    from video_codecs_tpu.utils import coding_stats, yuv
 
     argv = sys.argv[1:] if argv is None else argv
+    stats = "--stats" in argv
+    argv = [a for a in argv if a != "--stats"]
     args = dict(zip(argv[::2], argv[1::2]))
     stream = open(args["-b"], "rb").read()
     codec = analyze.sniff_codec(stream)
+    if stats:
+        coding_stats.start()
 
     if codec == "h264":
-        from video_codecs_tpu.models.h264 import intra_codec as h264
-        dec = h264.H264IntraDecoder()
+        from video_codecs_tpu.models.h264 import inter_codec as h264
+        dec = h264.H264Decoder()
         frames = dec.decode(stream)
         status = ["(no hash SEI)"] * len(frames)
     else:
@@ -33,6 +39,8 @@ def main(argv=None) -> None:
         status = ["(OK)" if ok else "***ERROR***" for ok in dec.hash_status]
         status += ["(no hash SEI)"] * (len(frames) - len(status))
 
+    if stats:
+        print(coding_stats.stop().report())
     for i, st in enumerate(status):
         print(f"POC {i:4d} [{st}]")
     if "-o" in args and frames:
