@@ -255,4 +255,14 @@ def encode_frame_jit(y, u, v, qp: int, bw: int, bh: int, deblock: bool = True,
         st["rec_y"], st["rec_u"], st["rec_v"] = deblock_ops.deblock_420(
             st["rec_y"], st["rec_u"], st["rec_v"], qp)
     st["modes"] = modes
+    # Compact the transfer: host->device bandwidth over the tunnel is
+    # the fps bottleneck (~4x the compute time at 416x240). 8-bit recon
+    # is exact for Main profile; coefficient levels are clipped to 16
+    # bits by the spec (7.4.9.11 CoeffMin/CoeffMax), so int16 is exact.
+    st["rec_y"] = st["rec_y"].astype(jnp.uint8)
+    st["rec_u"] = st["rec_u"].astype(jnp.uint8)
+    st["rec_v"] = st["rec_v"].astype(jnp.uint8)
+    for k in ("levels_y", "levels_cb", "levels_cr"):
+        st[k] = jnp.clip(st[k], -32768, 32767).astype(jnp.int16)
+    st["modes"] = st["modes"].astype(jnp.int8)
     return st

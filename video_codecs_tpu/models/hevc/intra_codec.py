@@ -589,6 +589,10 @@ class IntraEncoder:
                 y, u, v, cfg.qp, bw, bh,
                 deblock=not cfg.deblocking_disabled,
                 sbh=cfg.sign_data_hiding) for (y, u, v) in frames]
+            for st in states:       # start transfers behind the compute
+                for a in st.values():
+                    if hasattr(a, "copy_to_host_async"):
+                        a.copy_to_host_async()
             for st in states:
                 frame_nals, rec = self.serialize_frame(st)
                 nals.extend(frame_nals)
