@@ -67,3 +67,20 @@ def test_quadtree_hm_conformance(tmp_path, log2_ctb):
     for i in range(2):
         np.testing.assert_array_equal(ry[i], recons[i][0].astype(np.uint8))
         np.testing.assert_array_equal(ru[i], recons[i][1].astype(np.uint8))
+
+
+def test_dump_mode_statistics(monkeypatch, capsys):
+    """VCT_DUMP_MODES=1 prints per-CU-leaf mode lines
+    (hm-12.1-statistic-for-modes xEncodeCU2 parity)."""
+    import numpy as np
+    monkeypatch.setenv("VCT_DUMP_MODES", "1")
+    cfg = _cfg(log2_ctb=5)
+    enc = quadtree_codec.QuadtreeIntraEncoder(cfg)
+    enc.encode_frame(*synth_frame(cfg.width, cfg.height, 0))
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if l.startswith("absPartIdx=")]
+    assert lines and all("PredMode=INTRA" in l and "PartSize=" in l
+                         for l in lines)
+    # leaves tile the frame exactly
+    area = sum(int(l.split()[3].split("x")[0]) ** 2 for l in lines)
+    assert area == cfg.width * cfg.height

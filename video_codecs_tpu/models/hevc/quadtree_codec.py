@@ -103,6 +103,36 @@ class CuInfo:
 Node = tuple
 
 
+def dump_mode_statistics(roots: list, ctb_shift: int) -> list[str]:
+    """Per-CU-leaf mode dump (hm-12.1-statistic-for-modes parity:
+    TEncCu.cpp:1088 xEncodeCU2 printf of absPartIdx, PredMode,
+    PartSize, WxH per leaf). Enabled at runtime by VCT_DUMP_MODES=1."""
+    lines = []
+
+    def walk(node):
+        kind, payload = node
+        if kind == "split":
+            for ch in payload:
+                walk(ch)
+            return
+        cu = payload
+        # absPartIdx: Morton index of the CU's 4x4 origin within its CTB
+        nbits = ctb_shift - 2
+        ix = (cu.x >> 2) & ((1 << nbits) - 1)
+        iy = (cu.y >> 2) & ((1 << nbits) - 1)
+        part = 0
+        for b_ in range(nbits):
+            part |= ((ix >> b_) & 1) << (2 * b_)
+            part |= ((iy >> b_) & 1) << (2 * b_ + 1)
+        lines.append(f"absPartIdx={part} PredMode=INTRA "
+                     f"PartSize={'NxN' if cu.nxn else '2Nx2N'} "
+                     f"{cu.size}x{cu.size} modes={cu.modes}")
+
+    for r in roots:
+        walk(r)
+    return lines
+
+
 class State:
     """Recon planes + neighbor grids (copyable for decision trials)."""
 
@@ -251,6 +281,10 @@ class QuadtreeIntraEncoder(ic.IntraEncoder):
                 roots.append(node)
 
         rec_y, rec_u, rec_v = st.rec_y, st.rec_u, st.rec_v
+        from video_codecs_tpu.utils import debug
+        if debug.env_flag("VCT_DUMP_MODES", False,
+                          "print per-CU/MB mode decisions"):
+            print("\n".join(dump_mode_statistics(roots, cfg.log2_ctb)))
         if not cfg.deblocking_disabled:
             bs_ver, bs_hor = bs_maps_from_cu_ids(st.cu_id, w, h)
             rec_y, rec_u, rec_v = deblock_ops.deblock_420_bs_np(
