@@ -155,3 +155,24 @@ def test_p_decode_jm_encoded_stream(tmp_path, entropy, nrefs):
     for i in range(3):
         for ours, ref in zip(out[i], (ry[i], ru[i], rv[i])):
             np.testing.assert_array_equal(ours.astype(np.uint8), ref)
+
+
+@pytest.mark.parametrize("me", ["epzs"])
+def test_p_epzs_roundtrip_and_conformance(tmp_path, me):
+    """EPZS fast ME (me_epzs.c semantics: predictor set + early
+    termination + small-diamond walk) — conformant, near-full-search RD."""
+    ys, us, vs = yuv.read_frames(FOREMAN, 176, 144)
+    frames = [(ys[i % 3], us[i % 3], vs[i % 3]) for i in range(5)]
+    enc = H264Encoder(176, 144, qp=30, me=me, n_refs=2)
+    stream, recons = roundtrip(enc, frames)
+    if not os.path.exists(JM_DECODER):
+        pytest.skip("JM reference decoder not built")
+    (tmp_path / "e.264").write_bytes(stream)
+    r = subprocess.run([JM_DECODER, "-i", "e.264", "-o", "jm.yuv"],
+                       capture_output=True, text=True, timeout=120,
+                       cwd=tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    ry, ru, rv = yuv.read_frames(str(tmp_path / "jm.yuv"), 176, 144)
+    for i in range(len(frames)):
+        for ours, ref in zip(recons[i], (ry[i], ru[i], rv[i])):
+            np.testing.assert_array_equal(ref, ours.astype(np.uint8))

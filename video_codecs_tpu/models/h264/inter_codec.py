@@ -148,12 +148,16 @@ class H264Encoder(H264IntraEncoder):
     def __init__(self, width: int, height: int, qp: int = 28,
                  search_range: int = 16, gop: int = 0,
                  entropy: str = "cavlc", perceptual: str = "",
-                 n_refs: int = 1, quant: str = "normal") -> None:
+                 n_refs: int = 1, quant: str = "normal",
+                 me: str = "full") -> None:
         super().__init__(width, height, qp=qp, deblock=True, entropy=entropy,
                          perceptual=perceptual, quant=quant)
+        assert me in ("full", "epzs")
         self.sr = search_range
         self.gop = gop                 # 0 = only first frame is IDR
         self.n_refs = n_refs           # sliding-window DPB size (list0)
+        self.me = me                   # integer ME engine (mv_search.c:143)
+        self._prev_mvg = None          # temporal predictor source (EPZS)
 
     def encode_sequence(self, frames):
         cabac = self.entropy == "cabac"
@@ -202,7 +206,10 @@ class H264Encoder(H264IntraEncoder):
         cost = sad + np.round(lam * (bits_y[:, None] + bits_x[None, :]))
         iy_, ix_ = np.unravel_index(int(np.argmin(cost)), cost.shape)
         best = (int(cost[iy_, ix_]), int(dxs[ix_]), int(dys[iy_]))
-        # half then quarter refinement
+        return self._subpel_refine(orig, ref_y, x, y, pred_mv, lam, best)
+
+    def _subpel_refine(self, orig, ref_y, x, y, pred_mv, lam, best):
+        """Half then quarter-pel refinement around the integer best."""
         for step in (2, 1):
             _, bx, by = best
             for dy in (-step, 0, step):
@@ -217,6 +224,60 @@ class H264Encoder(H264IntraEncoder):
                     if cost < best[0]:
                         best = (cost, mvx, mvy)
         return best
+
+    def _search_epzs(self, orig, ref_y, x, y, pred_mv, lam,
+                     mvg, refg, gx, gy, w4, prev_mvg):
+        """EPZS integer search (jm18.5/lencod/src/me_epzs.c semantics):
+        a predictor set (median/zero/left/top/topright/temporally
+        colocated) is tested first, a low-SAD hit terminates early,
+        otherwise a small-diamond pattern refines iteratively; sub-pel
+        refinement is shared with full search."""
+        sr = self.sr
+        h4 = mvg.shape[0]
+
+        def fp(v):
+            return min(max(int(round(v / 4.0)), -sr), sr)
+
+        cands = {(fp(pred_mv[0]), fp(pred_mv[1])), (0, 0)}
+        if gx > 0 and refg[gy, gx - 1] >= 0:
+            cands.add((fp(mvg[gy, gx - 1, 0]), fp(mvg[gy, gx - 1, 1])))
+        if gy > 0 and refg[gy - 1, gx] >= 0:
+            cands.add((fp(mvg[gy - 1, gx, 0]), fp(mvg[gy - 1, gx, 1])))
+        if gy > 0 and gx + 4 < w4 and refg[gy - 1, gx + 4] >= 0:
+            cands.add((fp(mvg[gy - 1, gx + 4, 0]),
+                       fp(mvg[gy - 1, gx + 4, 1])))
+        if prev_mvg is not None:
+            cands.add((fp(prev_mvg[gy, gx, 0]), fp(prev_mvg[gy, gx, 1])))
+
+        seen = {}
+
+        def cost_at(fx, fy):
+            if (fx, fy) in seen:
+                return seen[(fx, fy)]
+            mvx, mvy = fx * 4, fy * 4
+            blk = mc_luma_np(ref_y, x, y, mvx, mvy, 16, 16)
+            c = int(np.abs(orig - blk).sum()) + round(
+                lam * (_se_bits(mvx - pred_mv[0])
+                       + _se_bits(mvy - pred_mv[1])))
+            seen[(fx, fy)] = c
+            return c
+
+        best = min(((cost_at(fx, fy), fx, fy) for fx, fy in cands))
+        # early termination on a confident predictor hit (EPZS T2)
+        if best[0] >= 2 * 256:
+            for _ in range(2 * sr):          # small diamond walk
+                _, bx, by = best
+                step = [(1, 0), (-1, 0), (0, 1), (0, -1)]
+                nxt = min(((cost_at(min(max(bx + dx, -sr), sr),
+                                    min(max(by + dy, -sr), sr)),
+                            min(max(bx + dx, -sr), sr),
+                            min(max(by + dy, -sr), sr))
+                           for dx, dy in step))
+                if nxt[0] >= best[0]:
+                    break
+                best = nxt
+        best = (best[0], best[1] * 4, best[2] * 4)
+        return self._subpel_refine(orig, ref_y, x, y, pred_mv, lam, best)
 
     def _write_p16_cabac(self, ce, mbx, mby, mvdx, mvdy, cbp, lv,
                          c_dc_q, c_ac_q, skip_ctx_terms, mvd_err,
@@ -380,8 +441,14 @@ class H264Encoder(H264IntraEncoder):
                 best_ref, cost, mvx, mvy, pmv = 0, None, 0, 0, (0, 0)
                 for ri in range(n_active):
                     pmv_r = median_mv_pred(mvg, refg, gx, gy, w4, ref=ri)
-                    c_r, mx_r, my_r = self._search(
-                        orig, refs[ri][0], x, yy, pmv_r, lam_me_mb)
+                    if self.me == "epzs":
+                        c_r, mx_r, my_r = self._search_epzs(
+                            orig, refs[ri][0], x, yy, pmv_r, lam_me_mb,
+                            mvg, refg, gx, gy, w4,
+                            self._prev_mvg if ri == 0 else None)
+                    else:
+                        c_r, mx_r, my_r = self._search(
+                            orig, refs[ri][0], x, yy, pmv_r, lam_me_mb)
                     if n_active > 1:
                         c_r += round(lam_me_mb
                                      * _te_bits(ri, n_active - 1))
@@ -561,6 +628,7 @@ class H264Encoder(H264IntraEncoder):
         bs_ver, bs_hor = bs_maps_p(intra_mb, nc_y.tc, mvg, refg)
         rec_y, rec_u, rec_v = deblock_frame(rec_y, rec_u, rec_v, qp, qpc,
                                             bs_ver, bs_hor)
+        self._prev_mvg = mvg.copy()    # EPZS temporal predictors
         return w.data(), (rec_y, rec_u, rec_v)
 
 
