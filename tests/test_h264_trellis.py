@@ -72,3 +72,30 @@ def test_trellis_stream_jm_conformant(tmp_path):
     for i in range(3):
         for ours, ref in zip(recons[i], (ry[i], ru[i], rv[i])):
             np.testing.assert_array_equal(ref, ours.astype(np.uint8))
+
+
+def test_adaptive_rounding_adapts_and_roundtrips():
+    """q_around.c analog: offsets move toward the content's coefficient
+    distribution, bounded to [1/6, 1/2]; streams stay decodable."""
+    from video_codecs_tpu.ops.h264_rdoq import AdaptiveRounding
+    rng = np.random.default_rng(4)
+    ar = AdaptiveRounding()
+    init = ar.off[True].copy()
+    for _ in range(10):
+        w = ht.forward4x4(rng.integers(-64, 64, (16, 4, 4)))
+        lv = ar.quant_ac(w, 28, intra=True)
+        assert np.all(np.sign(lv[lv != 0]) == np.sign(w[lv != 0]))
+    assert not np.allclose(ar.off[True], init)
+    assert np.all(ar.off[True] >= 1 / 6 - 1e-9)
+    assert np.all(ar.off[True] <= 0.5 + 1e-9)
+    # intra state adapted, inter untouched
+    assert np.allclose(ar.off[False], 1 / 6)
+
+    ys, us, vs = yuv.read_frames(FOREMAN, 176, 144)
+    frames = [(ys[i], us[i], vs[i]) for i in range(2)]
+    enc = H264Encoder(176, 144, qp=30, quant="around")
+    stream, recons = enc.encode_sequence(frames)
+    out = H264Decoder().decode(stream)
+    for i in range(2):
+        for j in range(3):
+            np.testing.assert_array_equal(out[i][j], recons[i][j])

@@ -445,7 +445,10 @@ class H264IntraEncoder:
                  perceptual: str = "", quant: str = "normal") -> None:
         assert width % 16 == 0 and height % 16 == 0
         assert entropy in ("cavlc", "cabac")
-        assert quant in ("normal", "trellis")
+        assert quant in ("normal", "trellis", "around")
+        if quant == "around":
+            from video_codecs_tpu.ops.h264_rdoq import AdaptiveRounding
+            self._around = AdaptiveRounding()
         self.w, self.h, self.qp = width, height, qp
         self.deblock = deblock
         self.entropy = entropy
@@ -471,6 +474,8 @@ class H264IntraEncoder:
             from video_codecs_tpu.ops import h264_rdoq
             lam = 0.85 * 2.0 ** ((qp - 12) / 3.0)
             return h264_rdoq.trellis_quant_ac(wt, qp, lam, intra)
+        if self.quant == "around":
+            return self._around.quant_ac(wt, qp, intra)
         return ht.quant_ac(wt, qp, intra)
 
     def _att_eta(self, y) -> np.ndarray:

@@ -19,6 +19,42 @@ from video_codecs_tpu.ops import h264_transform as ht
 _ZZ = np.array([0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15])
 
 
+class AdaptiveRounding:
+    """Adaptive rounding (jm18.5 q_around.c / quant4x4_around.c
+    semantics, simplified): per-position rounding offsets adapted from
+    the observed fractional parts of coefficients that quantize to
+    nonzero levels, tracked separately for intra and inter blocks.
+    Offsets start at the static 1/3 (intra) / 1/6 (inter) and move by
+    EMA toward the content's own distribution, bounded to [1/6, 1/2].
+    Encoder-only: any offset yields a conformant stream."""
+
+    def __init__(self, rate: float = 0.1) -> None:
+        self.rate = rate
+        self.off = {True: np.full((4, 4), 1.0 / 3.0),
+                    False: np.full((4, 4), 1.0 / 6.0)}
+
+    def quant_ac(self, w: np.ndarray, qp: int,
+                 intra: bool = True) -> np.ndarray:
+        qbits = 15 + qp // 6
+        m = ht.mf(qp).astype(np.float64)
+        a = np.abs(w).astype(np.float64)
+        ideal = a * m / (1 << qbits)
+        off = self.off[intra]
+        lv = np.floor(ideal + off).astype(np.int64)
+
+        frac = ideal - np.floor(ideal)
+        mask = (lv > 0).reshape(-1, 4, 4)
+        cnt = mask.sum(0)
+        upd = cnt > 0
+        if upd.any():
+            target = np.where(
+                upd, (frac.reshape(-1, 4, 4) * mask).sum(0)
+                / np.maximum(cnt, 1), off)
+            self.off[intra] = np.clip(
+                off + self.rate * (target - off), 1.0 / 6.0, 0.5)
+        return np.sign(w) * lv
+
+
 def _level_bits(lv: np.ndarray) -> np.ndarray:
     """Approximate CAVLC coefficient cost in bits: ~2*log2(level)+1
     suffix + 1 sign/T1 bit (vlc.c level coding shape)."""

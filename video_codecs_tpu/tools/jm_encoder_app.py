@@ -24,7 +24,8 @@ _SUPPORTED = {
     "OutputHeight", "FramesToBeEncoded", "FrameRate", "OutputFile",
     "ReconFile", "QPISlice", "QPPSlice", "IntraPeriod", "IDRPeriod",
     "NumberReferenceFrames", "SearchRange", "SymbolMode", "SearchMode",
-    "UseRDOQuant", "ProfileIDC", "LevelIDC", "StartFrame",
+    "UseRDOQuant", "UseAdaptiveRounding", "ProfileIDC", "LevelIDC",
+    "StartFrame",
 }
 
 
@@ -75,7 +76,9 @@ def main(argv=None) -> None:
         gop=0 if intra_period in (0, 1) else intra_period,
         entropy="cabac" if g("SymbolMode", "0") == "1" else "cavlc",
         n_refs=max(int(g("NumberReferenceFrames", 1)), 1),
-        quant="trellis" if g("UseRDOQuant", "0") == "1" else "normal",
+        quant=("trellis" if g("UseRDOQuant", "0") == "1" else
+               "around" if g("UseAdaptiveRounding", "0") == "1" else
+               "normal"),
         me="epzs" if g("SearchMode", "0") == "4" else "full")
     if intra_period == 1:
         enc.gop = 1   # all-intra
