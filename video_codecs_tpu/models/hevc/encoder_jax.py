@@ -149,11 +149,16 @@ def _wavefront_schedule(bw: int, bh: int):
     return coords, valid, steps, max_len  # numpy constants
 
 
-def _code_blocks(orig, pred, qp, log2, intra_slice=True, sbh=False):
+def _code_blocks(orig, pred, qp, log2, intra_slice=True, sbh=False,
+                 rdoq=False):
     """Batched TB coding: returns (levels, recon, cbf)."""
     res = orig - pred
     coeff = tr_ops.forward_transform(res, log2)
-    levels = quant_ops.quantize(coeff, qp, log2)
+    if rdoq:
+        lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
+        levels = quant_ops.rdoq_lite(coeff, qp, log2, lam=lam)
+    else:
+        levels = quant_ops.quantize(coeff, qp, log2)
     if sbh:
         levels = quant_ops.apply_sbh(levels, log2)
     cbf = jnp.any(levels != 0, axis=(-2, -1))
@@ -172,7 +177,7 @@ def _predict_single_mode(refs: jnp.ndarray, modes: jnp.ndarray, log2: int,
 
 
 def encode_frame_device(y, u, v, modes, qp: int, qp_c: int, bw: int, bh: int,
-                        sbh: bool = False):
+                        sbh: bool = False, rdoq: bool = False):
     """Wavefront recon of a whole frame on device.
 
     Inputs: int32 planes, modes [bh, bw].
@@ -200,7 +205,7 @@ def encode_frame_device(y, u, v, modes, qp: int, qp_c: int, bw: int, bh: int,
                                     is_luma)
         oblk = _extract_blocks(orig, x0, y0, n)
         levels, rec, cbf = _code_blocks(oblk, pred, qpp, 4 if n == 16 else 3,
-                                        sbh=sbh)
+                                        sbh=sbh, rdoq=rdoq)
         rows = y0[:, None, None] + jnp.arange(n, dtype=jnp.int32)[None, :, None]
         cols = x0[:, None, None] + jnp.arange(n, dtype=jnp.int32)[None, None, :]
         # Invalid lanes scatter out of bounds -> dropped.
@@ -238,9 +243,10 @@ def encode_frame_device(y, u, v, modes, qp: int, qp_c: int, bw: int, bh: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("qp", "bw", "bh", "deblock", "sbh"))
+                   static_argnames=("qp", "bw", "bh", "deblock", "sbh",
+                                    "rdoq"))
 def encode_frame_jit(y, u, v, qp: int, bw: int, bh: int, deblock: bool = True,
-                     sbh: bool = False):
+                     sbh: bool = False, rdoq: bool = False):
     """Full device pipeline: mode decision + wavefront recon + deblock."""
     from video_codecs_tpu.models.hevc.intra_codec import chroma_qp
     from video_codecs_tpu.ops import deblock as deblock_ops
@@ -250,7 +256,7 @@ def encode_frame_jit(y, u, v, qp: int, bw: int, bh: int, deblock: bool = True,
     vi = v.astype(jnp.int32)
     modes = decide_modes_device(yi, qp, bw, bh)
     st = encode_frame_device(yi, ui, vi, modes, qp, chroma_qp(qp), bw, bh,
-                             sbh=sbh)
+                             sbh=sbh, rdoq=rdoq)
     if deblock:
         st["rec_y"], st["rec_u"], st["rec_v"] = deblock_ops.deblock_420(
             st["rec_y"], st["rec_u"], st["rec_v"], qp)

@@ -534,7 +534,8 @@ class IntraEncoder:
         bw, bh = cfg.width // 16, cfg.height // 16
         st = encoder_jax.encode_frame_jit(y, u, v, cfg.qp, bw, bh,
                                           deblock=not cfg.deblocking_disabled,
-                                          sbh=cfg.sign_data_hiding)
+                                          sbh=cfg.sign_data_hiding,
+                                          rdoq=bool(cfg.rdoq))
         return self.serialize_frame(st, use_native=use_native)
 
     def serialize_frame(self, st, use_native: bool = True):
@@ -588,7 +589,8 @@ class IntraEncoder:
             states = [encoder_jax.encode_frame_jit(
                 y, u, v, cfg.qp, bw, bh,
                 deblock=not cfg.deblocking_disabled,
-                sbh=cfg.sign_data_hiding) for (y, u, v) in frames]
+                sbh=cfg.sign_data_hiding,
+                rdoq=bool(cfg.rdoq)) for (y, u, v) in frames]
             for st in states:       # start transfers behind the compute
                 for a in st.values():
                     if hasattr(a, "copy_to_host_async"):
