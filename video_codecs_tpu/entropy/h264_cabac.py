@@ -304,6 +304,49 @@ class H264CabacEncoder:
         else:
             raise AssertionError(act_sym)
 
+    def mb_skip_flag_b(self, skip: int, left_nonskip: int,
+                       up_nonskip: int) -> None:
+        """writeMB_Bskip_flagInfo_CABAC (cabac.c:456): 1 = skip
+        (B_Direct_16x16 with no coefficients).  Neighbor terms use the
+        same skip_flag semantics."""
+        ctx = off("mb_type", 2, 7 + left_nonskip + up_nonskip)
+        self.bin(ctx, 1 if skip else 0)
+
+    def mb_type_b(self, act_sym: int, ctx_inc: int, i16_sym: int = 0) -> None:
+        """writeMB_B_typeInfo_CABAC (cabac.c:626).  act_sym is the CAVLC
+        B mb_type code: 0 = B_Direct_16x16, 1 = B_L0_16x16,
+        2 = B_L1_16x16, 3 = B_Bi_16x16, 4..21 = the two-partition types,
+        22 = B_8x8, 23 = I_4x4, 24 = I_16x16 (i16_sym 0..23, 24 = PCM).
+        ctx_inc = a + b, neighbor term = neighbor present and not direct."""
+        r = 2
+        if act_sym == 0:
+            self.bin(off("mb_type", r, ctx_inc), 0)
+            return
+        self.bin(off("mb_type", r, ctx_inc), 1)
+        if act_sym <= 2:
+            self.bin(off("mb_type", r, 4), 0)
+            self.bin(off("mb_type", r, 6), 1 if act_sym != 1 else 0)
+            return
+        self.bin(off("mb_type", r, 4), 1)
+        if act_sym <= 10:
+            t = act_sym - 3
+            self.bin(off("mb_type", r, 5), 0)
+            for sh in (2, 1, 0):
+                self.bin(off("mb_type", r, 6), (t >> sh) & 1)
+            return
+        self.bin(off("mb_type", r, 5), 1)
+        if act_sym in (11, 22):
+            self.bin(off("mb_type", r, 6), 1)
+            self.bin(off("mb_type", r, 6), 1)
+            self.bin(off("mb_type", r, 6), 1 if act_sym != 11 else 0)
+            return
+        t = act_sym - 13 if act_sym > 22 else act_sym - 12
+        for sh in (3, 2, 1, 0):
+            self.bin(off("mb_type", r, 6), (t >> sh) & 1)
+        if act_sym >= 24:   # I_16x16 suffix (row-1 contexts 8,9,9,10,10)
+            self.mb_type_i(1 + i16_sym if i16_sym < 24 else 25, 0,
+                           row=1, base=3)
+
     def intra4x4_pred_mode(self, mode: int, pred: int) -> None:
         """writeIntraPredMode_CABAC: prev flag + 3 fixed-ctx rem bins."""
         if mode == pred:
@@ -611,6 +654,37 @@ class H264CabacDecoder:
         if self.bin(off("mb_type", r, 5)):
             return (2, 0) if self.bin(off("mb_type", r, 7)) else (3, 0)
         return (4, 0) if self.bin(off("mb_type", r, 6)) else (1, 0)
+
+    def mb_skip_flag_b(self, left_nonskip: int, up_nonskip: int) -> int:
+        return self.bin(off("mb_type", 2, 7 + left_nonskip + up_nonskip))
+
+    def mb_type_b(self, ctx_inc: int) -> tuple[int, int]:
+        """Returns (act_sym, i16_sym) per mb_type_b conventions."""
+        r = 2
+        if not self.bin(off("mb_type", r, ctx_inc)):
+            return 0, 0
+        if not self.bin(off("mb_type", r, 4)):
+            return 1 + self.bin(off("mb_type", r, 6)), 0
+        if not self.bin(off("mb_type", r, 5)):
+            t = (self.bin(off("mb_type", r, 6)) << 2) | \
+                (self.bin(off("mb_type", r, 6)) << 1) | \
+                self.bin(off("mb_type", r, 6))
+            return 3 + t, 0
+        if self.bin(off("mb_type", r, 6)):
+            if self.bin(off("mb_type", r, 6)):
+                return (22 if self.bin(off("mb_type", r, 6)) else 11), 0
+            t = 8 + ((self.bin(off("mb_type", r, 6)) << 1) |
+                     self.bin(off("mb_type", r, 6)))
+            if t <= 9:
+                return t + 12, 0
+            if t == 10:
+                return 23, 0
+            sym = self.mb_type_i(0, row=1, base=3)
+            return 24, (24 if sym == 25 else sym - 1)
+        t = (self.bin(off("mb_type", r, 6)) << 2) | \
+            (self.bin(off("mb_type", r, 6)) << 1) | \
+            self.bin(off("mb_type", r, 6))
+        return 12 + t, 0
 
     def intra4x4_pred_mode(self, pred: int) -> int:
         if self.bin(off("ipr", 0)):

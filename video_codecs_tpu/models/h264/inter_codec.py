@@ -357,7 +357,7 @@ class H264Encoder(H264IntraEncoder):
         cbf.mark(mbx, mby)
 
     # -- P frame -----------------------------------------------------------
-    def _encode_p_frame(self, y, u, v, refs, frame_num):
+    def _encode_p_frame(self, y, u, v, refs, frame_num, poc=None):
         qp = self.qp
         qpc = int(ht.CHROMA_QP[min(max(qp, 0), 51)])
         mbw, mbh = self.w // 16, self.h // 16
@@ -387,6 +387,8 @@ class H264Encoder(H264IntraEncoder):
         w.ue(5)                  # slice_type = P (all slices)
         w.ue(0)                  # pps_id
         w.write(frame_num & 0xFF, 8)
+        if poc is not None:      # pic_order_cnt_lsb (poc_type 0 streams)
+            w.write(poc & 0xFFFF, 16)
         if n_active > 1:
             w.flag(1)            # num_ref_idx_active_override_flag
             w.ue(n_active - 1)   # num_ref_idx_l0_active_minus1
@@ -629,6 +631,7 @@ class H264Encoder(H264IntraEncoder):
         rec_y, rec_u, rec_v = deblock_frame(rec_y, rec_u, rec_v, qp, qpc,
                                             bs_ver, bs_hor)
         self._prev_mvg = mvg.copy()    # EPZS temporal predictors
+        self._prev_refg = refg.copy()  # colocated motion for B direct
         return w.data(), (rec_y, rec_u, rec_v)
 
 
@@ -687,6 +690,7 @@ class H264Decoder(H264IntraDecoder):
             if nal_type == NAL_SPS:
                 wmb, hmb, info = parse_sps(rbsp, full=True)
                 self.size = (wmb, hmb)
+                self.sps_info = info
                 self.max_refs = max(info["num_ref_frames"], 1)
             elif nal_type == NAL_PPS:
                 self.dbf_present, self.cabac, ppsinfo = \
@@ -735,6 +739,9 @@ class H264Decoder(H264IntraDecoder):
         w4 = mbw * 4
         assert r.ue() == 0          # pps_id
         r.read(8)                   # frame_num
+        if getattr(self, "sps_info", {}).get("poc_type", 2) == 0:
+            self._last_poc_lsb = r.read(
+                self.sps_info["log2_max_poc_lsb"])  # pic_order_cnt_lsb
         n_active = getattr(self, "default_l0", 1)
         if r.flag():                # num_ref_idx_active_override_flag
             n_active = r.ue() + 1   # num_ref_idx_l0_active_minus1

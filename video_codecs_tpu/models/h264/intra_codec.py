@@ -42,7 +42,7 @@ def annexb(nals: list[bytes]) -> bytes:
 
 
 def write_sps(width_mbs: int, height_mbs: int, profile: int = 66,
-              num_ref_frames: int = 1) -> bytes:
+              num_ref_frames: int = 1, poc_type: int = 2) -> bytes:
     w = BitWriter()
     w.write(profile, 8)  # 66 = baseline (CAVLC), 77 = main (CABAC)
     w.flag(1 if profile == 66 else 0)   # constraint_set0
@@ -51,7 +51,9 @@ def write_sps(width_mbs: int, height_mbs: int, profile: int = 66,
     w.write(30, 8)   # level_idc 3.0
     w.ue(0)          # sps_id
     w.ue(4)          # log2_max_frame_num_minus4 -> 8 bits
-    w.ue(2)          # pic_order_cnt_type = 2
+    w.ue(poc_type)   # pic_order_cnt_type (0 for reordered/B streams)
+    if poc_type == 0:
+        w.ue(12)     # log2_max_pic_order_cnt_lsb_minus4 -> 16 bits
     w.ue(num_ref_frames)  # max_num_ref_frames
     w.flag(0)        # gaps_in_frame_num_value_allowed
     w.ue(width_mbs - 1)
@@ -499,7 +501,7 @@ class H264IntraEncoder:
             recons.append(rec)
         return annexb(nals), recons
 
-    def encode_frame(self, y, u, v, idr_id: int = 0):
+    def encode_frame(self, y, u, v, idr_id: int = 0, poc: int | None = None):
         qp = self.qp
         qpc = int(ht.CHROMA_QP[min(max(qp, 0), 51)])
         mbw, mbh = self.w // 16, self.h // 16
@@ -522,6 +524,8 @@ class H264IntraEncoder:
         w.ue(0)              # pps_id
         w.write(0, 8)        # frame_num
         w.ue(idr_id & 1)     # idr_pic_id (toggle to separate IDRs)
+        if poc is not None:  # pic_order_cnt_lsb (poc_type 0 streams)
+            w.write(poc & 0xFFFF, 16)
         w.flag(0)            # dec_ref_pic_marking: no_output_of_prior_pics
         w.flag(0)            # long_term_reference_flag
         w.se(qp - 26)        # slice_qp_delta
@@ -564,7 +568,7 @@ class H264IntraEncoder:
 
     def _encode_mb(self, w, yv, uv, vv, rec_y, rec_u, rec_v,
                    nc_y, nc_u, nc_v, mbx, mby, qp, qpc,
-                   mb_type_offset=0, ce=None, p_slice=False):
+                   mb_type_offset=0, ce=None, p_slice=False, b_ctx=None):
         # mb_type_offset=5 encodes this intra MB inside a P slice
         # (spec Table 7-13: intra mb_types follow the 5 inter ones)
         x, y = mbx * 16, mby * 16
@@ -678,7 +682,7 @@ class H264IntraEncoder:
             self._write_mb_cabac(ce, mbx, mby, use_i4, modes4, mode16,
                                  best_cm, cbp_luma4, cbp_luma16, cbp_chroma,
                                  levels4, dc_q, ac_q, c_dc_q, c_ac_q,
-                                 p_slice=p_slice)
+                                 p_slice=p_slice, b_ctx=b_ctx)
             rec_y[y:y + 16, x:x + 16] = (
                 rec_trial[y:y + 16, x:x + 16] if use_i4 else rec16)
         elif use_i4:
@@ -770,7 +774,7 @@ class H264IntraEncoder:
 
     def _write_mb_cabac(self, ce, mbx, mby, use_i4, modes4, mode16, best_cm,
                         cbp_luma4, cbp_luma16, cbp_chroma, levels4, dc_q,
-                        ac_q, c_dc_q, c_ac_q, p_slice=False):
+                        ac_q, c_dc_q, c_ac_q, p_slice=False, b_ctx=None):
         """CABAC syntax for one intra MB (I slice, or intra MB in P slice).
 
         Parity: jm18.5/lencod/src/cabac.c writeMB_I_typeInfo_CABAC,
@@ -784,7 +788,14 @@ class H264IntraEncoder:
 
         cbp = (cbp_luma4 | (cbp_chroma << 4)) if use_i4 else \
             ((15 if cbp_luma16 else 0) | (cbp_chroma << 4))
-        if p_slice:
+        if b_ctx is not None:
+            # intra MB inside a B slice (writeMB_B_typeInfo :626)
+            if use_i4:
+                ce.mb_type_b(23, b_ctx)
+            else:
+                i16 = mode16 + 4 * cbp_chroma + 12 * (1 if cbp_luma16 else 0)
+                ce.mb_type_b(24, b_ctx, i16)
+        elif p_slice:
             # intra suffix inside a P slice (writeMB_P_typeInfo :566-612)
             if use_i4:
                 ce.mb_type_p(6)
