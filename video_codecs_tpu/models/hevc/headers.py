@@ -36,6 +36,7 @@ class HevcConfig:
     rdoq: bool | str = False   # False | "lite" | "full" (encoder-only)
     reorder_pics: int = 0      # DPB reorder depth (1 for hierarchical B)
     wpp: bool = False          # entropy_coding_sync (WPP substreams)
+    weighted_pred: bool = False  # explicit WP for P slices (TComWeightPrediction)
 
     @property
     def tiles_enabled(self) -> bool:
@@ -196,7 +197,7 @@ def write_pps(cfg: HevcConfig) -> bytes:
     w.se(0)         # pps_cb_qp_offset
     w.se(0)         # pps_cr_qp_offset
     w.flag(0)       # pps_slice_chroma_qp_offsets_present_flag
-    w.flag(0)       # weighted_pred_flag
+    w.flag(1 if cfg.weighted_pred else 0)  # weighted_pred_flag
     w.flag(0)       # weighted_bipred_flag
     w.flag(0)       # transquant_bypass_enabled_flag
     w.flag(1 if cfg.tiles_enabled else 0)  # tiles_enabled_flag
@@ -229,6 +230,7 @@ class PpsInfo:
     deblocking_disabled: bool = False
     tile_columns: int = 1
     wpp: bool = False
+    weighted_pred: bool = False
 
 
 def parse_pps(rbsp: bytes) -> PpsInfo:
@@ -246,7 +248,8 @@ def parse_pps(rbsp: bytes) -> PpsInfo:
     assert not r.flag(), "cu_qp_delta unsupported"
     assert r.se() == 0 and r.se() == 0, "chroma QP offsets unsupported"
     assert not r.flag()
-    r.flag(), r.flag()
+    wp = bool(r.flag())        # weighted_pred_flag
+    assert not r.flag(), "weighted bipred unsupported"
     assert not r.flag(), "transquant bypass unsupported"
     tiles_on = bool(r.flag())  # tiles_enabled_flag
     wpp = bool(r.flag())       # entropy_coding_sync_enabled_flag
@@ -265,7 +268,7 @@ def parse_pps(rbsp: bytes) -> PpsInfo:
             r.se(), r.se()
     return PpsInfo(sign_data_hiding=sdh, init_qp=init_qp,
                    deblocking_disabled=dbf_disabled,
-                   tile_columns=tile_columns, wpp=wpp)
+                   tile_columns=tile_columns, wpp=wpp, weighted_pred=wp)
 
 
 def write_slice_header(cfg: HevcConfig, nal_type: int,

@@ -148,7 +148,30 @@ def compute_bs_maps(info, bw, bh):
     return bs_ver, bs_hor
 
 
-def write_p_slice_header(cfg: headers.HevcConfig, poc: int):
+def estimate_wp_params(cur, ref) -> dict:
+    """Per-slice explicit-WP weight/offset estimation per plane
+    (WeightPredAnalysis.cpp xCalcACDCParamSlice + xEstimateWPParamSlice
+    behavior: weight from the AC-energy ratio, offset from the DC gap)."""
+    ws, os_ = [], []
+    for c, r in zip(cur, ref):
+        c = c.astype(np.float64)
+        r = r.astype(np.float64)
+        dc_c, dc_r = c.mean(), r.mean()
+        ac_c = np.abs(c - dc_c).sum()
+        ac_r = np.abs(r - dc_r).sum()
+        w = int(round(64.0 * ac_c / ac_r)) if ac_r > 0 else 64
+        w = max(1, min(127, w))
+        o = int(round(dc_c - (w * dc_r) / 64.0))
+        ws.append(w)
+        os_.append(max(-128, min(127, o)))
+    return dict(denom=6, denom_c=6, w=tuple(ws), o=tuple(os_))
+
+
+WP_IDENTITY = dict(denom=6, denom_c=6, w=(64, 64, 64), o=(0, 0, 0))
+
+
+def write_p_slice_header(cfg: headers.HevcConfig, poc: int,
+                         wp: dict | None = None):
     w = bs.BitWriter()
     w.flag(1)          # first_slice_segment_in_pic_flag
     w.ue(0)            # slice_pic_parameter_set_id
@@ -161,6 +184,26 @@ def write_p_slice_header(cfg: headers.HevcConfig, poc: int):
     w.ue(0)            # delta_poc_s0_minus1[0]
     w.flag(1)          # used_by_curr_pic_s0_flag[0]
     w.flag(0)          # num_ref_idx_active_override_flag
+    if cfg.weighted_pred:
+        # pred_weight_table (spec 7.3.6.3), single L0 reference
+        wp = wp or WP_IDENTITY
+        denom, denom_c = wp["denom"], wp["denom_c"]
+        w.ue(denom)                   # luma_log2_weight_denom
+        w.se(denom_c - denom)         # delta_chroma_log2_weight_denom
+        luma_on = (wp["w"][0], wp["o"][0]) != (1 << denom, 0)
+        chroma_on = any((wp["w"][j], wp["o"][j]) != (1 << denom_c, 0)
+                        for j in (1, 2))
+        w.flag(1 if luma_on else 0)   # luma_weight_l0_flag[0]
+        w.flag(1 if chroma_on else 0)  # chroma_weight_l0_flag[0]
+        if luma_on:
+            w.se(wp["w"][0] - (1 << denom))   # delta_luma_weight_l0
+            w.se(wp["o"][0])                  # luma_offset_l0
+        if chroma_on:
+            for j in (1, 2):
+                w.se(wp["w"][j] - (1 << denom_c))
+                # delta_chroma_offset (TDecCAVLC xParsePredWeightTable
+                # inverse: offset = clip(delta + 128 - (128*w >> denom)))
+                w.se(wp["o"][j] + ((128 * wp["w"][j]) >> denom_c) - 128)
     w.ue(4)            # five_minus_max_num_merge_cand -> MaxNumMergeCand=1
     w.se(cfg.qp - 26)  # slice_qp_delta
     if not cfg.deblocking_disabled:
@@ -181,13 +224,31 @@ def parse_p_slice_header(rbsp: bytes, pps: headers.PpsInfo):
     r.ue()   # delta_poc_s0_minus1
     assert r.flag() == 1
     assert r.flag() == 0  # no num_ref override
+    wp = None
+    if pps.weighted_pred:
+        denom = r.ue()
+        denom_c = denom + r.se()
+        luma_on = r.flag()
+        chroma_on = r.flag()
+        ws = [1 << denom, 1 << denom_c, 1 << denom_c]
+        os_ = [0, 0, 0]
+        if luma_on:
+            ws[0] = (1 << denom) + r.se()
+            os_[0] = r.se()
+        if chroma_on:
+            for j in (1, 2):
+                ws[j] = (1 << denom_c) + r.se()
+                delta = r.se()
+                os_[j] = max(-128, min(
+                    127, delta + 128 - ((128 * ws[j]) >> denom_c)))
+        wp = dict(denom=denom, denom_c=denom_c, w=tuple(ws), o=tuple(os_))
     assert r.ue() == 4, "MaxNumMergeCand must be 1 in this build"
     qp = pps.init_qp + r.se()
     if not pps.deblocking_disabled:
         r.flag()
     assert r.flag() == 1
     r.byte_align()
-    return poc, qp, r.bit_pos()
+    return poc, qp, r.bit_pos(), wp
 
 
 # ---------------------------------------------------------------------------
@@ -261,6 +322,23 @@ class LowDelayEncoder(ic.IntraEncoder):
         ref_y, ref_u, ref_v = (r.astype(np.int32) for r in ref)
         yv, uv, vv = (p.astype(np.int32) for p in (y, u, v))
 
+        wp = None
+        if cfg.weighted_pred:
+            wp = estimate_wp_params((yv, uv, vv), (ref_y, ref_u, ref_v))
+
+        def mcl(xx, yy, mvx, mvy):
+            if wp is None:
+                return interp.mc_luma_np(ref_y, xx, yy, mvx, mvy, 16)
+            return interp.mc_luma_wp_np(ref_y, xx, yy, mvx, mvy, 16,
+                                        wp["w"][0], wp["o"][0], wp["denom"])
+
+        def mcc(plane, comp, cx, cy, mvx, mvy):
+            if wp is None:
+                return interp.mc_chroma_np(plane, cx, cy, mvx, mvy, 8)
+            return interp.mc_chroma_wp_np(plane, cx, cy, mvx, mvy, 8,
+                                          wp["w"][1 + comp],
+                                          wp["o"][1 + comp], wp["denom_c"])
+
         # ---- pass 1 (batched): ME + intra sweep ----
         x0 = np.tile(np.arange(bw, dtype=np.int32) * 16, bh)
         y0 = np.repeat(np.arange(bh, dtype=np.int32) * 16, bw)
@@ -293,13 +371,13 @@ class LowDelayEncoder(ic.IntraEncoder):
                 amvp = derive_amvp(info, bx, by, bw, bh)
 
                 # candidate predictions (luma SATD costs)
-                pred_merge = interp.mc_luma_np(ref_y, xx, yy, *merge_mv, 16)
+                pred_merge = mcl(xx, yy, *merge_mv)
                 satd_merge = _satd8(oy, pred_merge)
                 me_mv = (int(mvx[i]), int(mvy[i]))
                 if me_mv == tuple(merge_mv):
                     pred_me = pred_merge
                 else:
-                    pred_me = interp.mc_luma_np(ref_y, xx, yy, *me_mv, 16)
+                    pred_me = mcl(xx, yy, *me_mv)
                 satd_me = _satd8(oy, pred_me)
                 # AMVP predictor choice: cheaper mvd
                 mvds = [(me_mv[0] - p[0], me_mv[1] - p[1]) for p in amvp]
@@ -353,8 +431,8 @@ class LowDelayEncoder(ic.IntraEncoder):
                                                            is_luma=False)
                     else:
                         refc_plane = ref_u if comp == 0 else ref_v
-                        predc = interp.mc_chroma_np(refc_plane, cx, cy,
-                                                    b.mv[0], b.mv[1], 8)
+                        predc = mcc(refc_plane, comp, cx, cy,
+                                    b.mv[0], b.mv[1])
                     lvc, recc = ic.code_tb_np(po[cy:cy + 8, cx:cx + 8],
                                               predc, qp_c, 3, dst=False,
                                               sbh=cfg.sign_data_hiding)
@@ -377,7 +455,7 @@ class LowDelayEncoder(ic.IntraEncoder):
                 intra_satd[i] = satd_intra
 
         # ---- pass 3: CABAC ----
-        slice_nal = self._encode_p_slice(info, poc)
+        slice_nal = self._encode_p_slice(info, poc, wp)
 
         # ---- deblock with BS maps ----
         if not cfg.deblocking_disabled:
@@ -387,10 +465,10 @@ class LowDelayEncoder(ic.IntraEncoder):
         sei_nal = self._hash_sei(rec_y, rec_u, rec_v)
         return [slice_nal, sei_nal], (rec_y, rec_u, rec_v)
 
-    def _encode_p_slice(self, info, poc) -> bytes:
+    def _encode_p_slice(self, info, poc, wp=None) -> bytes:
         cfg = self.cfg
         bw, bh = cfg.width // 16, cfg.height // 16
-        w = write_p_slice_header(cfg, poc)
+        w = write_p_slice_header(cfg, poc, wp)
         states = ctx.init_states(ctx.P, cfg.qp)
         enc = cabac.CabacEncoder(w, states)
         for by in range(bh):
@@ -574,7 +652,7 @@ class LowDelayDecoder(ic.IntraDecoder):
         from video_codecs_tpu.ops import intra as intra_ops
 
         cfg, pps = self.cfg, self.pps
-        poc, qp, offset_bits = parse_p_slice_header(rbsp, pps)
+        poc, qp, offset_bits, wp = parse_p_slice_header(rbsp, pps)
         qp_c = ic.chroma_qp(qp)
         bw, bh = cfg.width // 16, cfg.height // 16
         ref_y, ref_u, ref_v = (r.astype(np.int32) for r in self._ref)
@@ -598,7 +676,11 @@ class LowDelayDecoder(ic.IntraDecoder):
                     ref_arr = ic.build_ref_np(rec_y, xx, yy, 16)
                     pred = intra_ops.predict_intra_np(ref_arr, b.intra_mode, 4)
                 else:
-                    pred = interp.mc_luma_np(ref_y, xx, yy, *b.mv, 16)
+                    pred = (interp.mc_luma_np(ref_y, xx, yy, *b.mv, 16)
+                            if wp is None else
+                            interp.mc_luma_wp_np(ref_y, xx, yy, *b.mv, 16,
+                                                 wp["w"][0], wp["o"][0],
+                                                 wp["denom"]))
                 rec_y[yy:yy + 16, xx:xx + 16] = _recon_tb(
                     pred, b.levels_y, qp, 4)
                 for comp, pr in ((0, rec_u), (1, rec_v)):
@@ -608,7 +690,12 @@ class LowDelayDecoder(ic.IntraDecoder):
                             refc, b.intra_mode, 3, is_luma=False)
                     else:
                         rp = ref_u if comp == 0 else ref_v
-                        predc = interp.mc_chroma_np(rp, cx, cy, *b.mv, 8)
+                        predc = (interp.mc_chroma_np(rp, cx, cy, *b.mv, 8)
+                                 if wp is None else
+                                 interp.mc_chroma_wp_np(
+                                     rp, cx, cy, *b.mv, 8,
+                                     wp["w"][1 + comp], wp["o"][1 + comp],
+                                     wp["denom_c"]))
                     lvc = b.levels_cb if comp == 0 else b.levels_cr
                     pr[cy:cy + 8, cx:cx + 8] = _recon_tb(predc, lvc, qp_c, 3)
                 end = dec.decode_terminate()

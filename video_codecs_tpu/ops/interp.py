@@ -201,3 +201,19 @@ def mc_chroma_bi_np(ref0, ref1, x0, y0, mv0, mv1, n):
     p0 = _mc_chroma14_np(ref0, x0, y0, mv0[0], mv0[1], n)
     p1 = _mc_chroma14_np(ref1, x0, y0, mv1[0], mv1[1], n)
     return np.clip((p0 + p1 + 64) >> 7, 0, 255).astype(np.int32)
+
+
+def mc_luma_wp_np(ref, x0, y0, mvx, mvy, n, w, o, denom):
+    """Explicit weighted uni-prediction, luma (spec 8.5.3.3.4.3;
+    TComWeightPrediction.cpp addWeightUni): the weight applies to the
+    14-bit interpolation intermediate, then one combined shift."""
+    p14 = _mc_luma14_np(ref, x0, y0, mvx, mvy, n)
+    shift = denom + 6            # log2Wd = denom + (14 - bitDepth)
+    return np.clip(((p14 * w + (1 << (shift - 1))) >> shift) + o, 0, 255)
+
+
+def mc_chroma_wp_np(ref, x0, y0, mvx, mvy, n, w, o, denom):
+    """Explicit weighted uni-prediction, chroma."""
+    p14 = _mc_chroma14_np(ref, x0, y0, mvx, mvy, n)
+    shift = denom + 6
+    return np.clip(((p14 * w + (1 << (shift - 1))) >> shift) + o, 0, 255)
