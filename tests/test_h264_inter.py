@@ -157,10 +157,12 @@ def test_p_decode_jm_encoded_stream(tmp_path, entropy, nrefs):
             np.testing.assert_array_equal(ours.astype(np.uint8), ref)
 
 
-@pytest.mark.parametrize("me", ["epzs"])
+@pytest.mark.parametrize("me", ["epzs", "umhex"])
 def test_p_epzs_roundtrip_and_conformance(tmp_path, me):
-    """EPZS fast ME (me_epzs.c semantics: predictor set + early
-    termination + small-diamond walk) — conformant, near-full-search RD."""
+    """Fast ME engines — EPZS (me_epzs.c: predictor set + early
+    termination + small-diamond walk) and UMHexagonS (me_umhex.c:
+    cross + 5x5 + multi-hexagon + extended hexagon) — conformant,
+    near-full-search RD."""
     ys, us, vs = yuv.read_frames(FOREMAN, 176, 144)
     frames = [(ys[i % 3], us[i % 3], vs[i % 3]) for i in range(5)]
     enc = H264Encoder(176, 144, qp=30, me=me, n_refs=2)

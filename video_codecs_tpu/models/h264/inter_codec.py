@@ -152,7 +152,7 @@ class H264Encoder(H264IntraEncoder):
                  me: str = "full") -> None:
         super().__init__(width, height, qp=qp, deblock=True, entropy=entropy,
                          perceptual=perceptual, quant=quant)
-        assert me in ("full", "epzs")
+        assert me in ("full", "epzs", "umhex")
         self.sr = search_range
         self.gop = gop                 # 0 = only first frame is IDR
         self.n_refs = n_refs           # sliding-window DPB size (list0)
@@ -276,6 +276,97 @@ class H264Encoder(H264IntraEncoder):
                 if nxt[0] >= best[0]:
                     break
                 best = nxt
+        best = (best[0], best[1] * 4, best[2] * 4)
+        return self._subpel_refine(orig, ref_y, x, y, pred_mv, lam, best)
+
+    # 16-point uneven multi-hexagon ring and the 6-point extended hexagon
+    # of UMHexagonS (jm18.5/lencod/src/me_umhex.c, JVT-F017).
+    _UMHEX_BIG = ((-4, 2), (-4, 1), (-4, 0), (-4, -1), (-4, -2),
+                  (4, 2), (4, 1), (4, 0), (4, -1), (4, -2),
+                  (-2, 3), (0, 4), (2, 3), (-2, -3), (0, -4), (2, -3))
+    _UMHEX_HEX = ((-2, 0), (2, 0), (-1, 2), (1, 2), (-1, -2), (1, -2))
+
+    def _search_umhex(self, orig, ref_y, x, y, pred_mv, lam,
+                      mvg, refg, gx, gy, w4):
+        """UMHexagonS integer search (jm18.5/lencod/src/me_umhex.c
+        `UMHEXIntegerPelBlockMotionSearch` semantics): predictor start
+        point (median/zero/left/up/up-right), early termination on a
+        confident hit, then the four JVT-F017 stages — unsymmetrical
+        cross (full-width horizontal, half-height vertical, step 2),
+        5x5 small full search, uneven multi-hexagon-grid of 16-point
+        rings at growing scale, and extended hexagon + small-diamond
+        convergence.  Stream conformance does not depend on the search
+        trajectory, only quality does."""
+        sr = self.sr
+
+        def fp(v):
+            return min(max(int(round(v / 4.0)), -sr), sr)
+
+        cands = {(fp(pred_mv[0]), fp(pred_mv[1])), (0, 0)}
+        if gx > 0 and refg[gy, gx - 1] >= 0:
+            cands.add((fp(mvg[gy, gx - 1, 0]), fp(mvg[gy, gx - 1, 1])))
+        if gy > 0 and refg[gy - 1, gx] >= 0:
+            cands.add((fp(mvg[gy - 1, gx, 0]), fp(mvg[gy - 1, gx, 1])))
+        if gy > 0 and gx + 4 < w4 and refg[gy - 1, gx + 4] >= 0:
+            cands.add((fp(mvg[gy - 1, gx + 4, 0]), fp(mvg[gy - 1, gx + 4, 1])))
+
+        seen = {}
+
+        def cost_at(fx, fy):
+            fx = min(max(fx, -sr), sr)
+            fy = min(max(fy, -sr), sr)
+            if (fx, fy) in seen:
+                return seen[(fx, fy)], fx, fy
+            mvx, mvy = fx * 4, fy * 4
+            blk = mc_luma_np(ref_y, x, y, mvx, mvy, 16, 16)
+            c = int(np.abs(orig - blk).sum()) + round(
+                lam * (_se_bits(mvx - pred_mv[0])
+                       + _se_bits(mvy - pred_mv[1])))
+            seen[(fx, fy)] = c
+            return c, fx, fy
+
+        def scan(points, best):
+            for px_, py_ in points:
+                c = cost_at(px_, py_)
+                if c[0] < best[0]:
+                    best = c
+            return best
+
+        best = min(cost_at(fx, fy) for fx, fy in cands)
+        # stage gates mirror me_umhex.c's block-type thresholds in spirit:
+        # a start point already under ~1 grey level/pel skips the wide
+        # stages and goes straight to hexagon convergence.
+        if best[0] >= 256:
+            bx, by = best[1], best[2]
+            # 1. unsymmetrical cross
+            cross = [(bx + dx, by) for dx in range(-sr, sr + 1, 2)]
+            cross += [(bx, by + dy) for dy in range(-sr // 2, sr // 2 + 1, 2)]
+            best = scan(cross, best)
+            # 2. 5x5 small full search
+            bx, by = best[1], best[2]
+            best = scan([(bx + dx, by + dy)
+                         for dy in range(-2, 3) for dx in range(-2, 3)], best)
+            # 3. uneven multi-hexagon grid
+            bx, by = best[1], best[2]
+            for scale in range(1, max(sr // 4, 1) + 1):
+                best = scan([(bx + dx * scale, by + dy * scale)
+                             for dx, dy in self._UMHEX_BIG], best)
+        # 4. extended hexagon-based search: hexagon until centered …
+        for _ in range(2 * sr):
+            bx, by = best[1], best[2]
+            nxt = scan([(bx + dx, by + dy) for dx, dy in self._UMHEX_HEX],
+                       best)
+            if nxt[0] >= best[0]:
+                break
+            best = nxt
+        # … then small diamond until centered
+        for _ in range(2 * sr):
+            bx, by = best[1], best[2]
+            nxt = scan([(bx + 1, by), (bx - 1, by), (bx, by + 1),
+                        (bx, by - 1)], best)
+            if nxt[0] >= best[0]:
+                break
+            best = nxt
         best = (best[0], best[1] * 4, best[2] * 4)
         return self._subpel_refine(orig, ref_y, x, y, pred_mv, lam, best)
 
@@ -448,6 +539,10 @@ class H264Encoder(H264IntraEncoder):
                             orig, refs[ri][0], x, yy, pmv_r, lam_me_mb,
                             mvg, refg, gx, gy, w4,
                             self._prev_mvg if ri == 0 else None)
+                    elif self.me == "umhex":
+                        c_r, mx_r, my_r = self._search_umhex(
+                            orig, refs[ri][0], x, yy, pmv_r, lam_me_mb,
+                            mvg, refg, gx, gy, w4)
                     else:
                         c_r, mx_r, my_r = self._search(
                             orig, refs[ri][0], x, yy, pmv_r, lam_me_mb)

@@ -79,7 +79,10 @@ def main(argv=None) -> None:
         quant=("trellis" if g("UseRDOQuant", "0") == "1" else
                "around" if g("UseAdaptiveRounding", "0") == "1" else
                "normal"),
-        me="epzs" if g("SearchMode", "0") == "4" else "full")
+        # jm18.5/lcommon/inc/types.h:128-132: -1 full, 0 fast-full,
+        # 1 UMHex, 2 UMHexSimple, 3 EPZS
+        me={"1": "umhex", "2": "umhex", "3": "epzs"}.get(
+            g("SearchMode", "0"), "full"))
     if intra_period == 1:
         enc.gop = 1   # all-intra
 
