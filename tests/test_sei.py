@@ -27,7 +27,26 @@ MESSAGES = [
     sei.ActiveParameterSets(vps_id=0, sps_ids=[0, 1]),
     sei.MasteringDisplay(),
     sei.ContentLightLevel(max_content=4000, max_pic_average=1000),
+    sei.KneeFunctionInfo(points=((0, 100), (300, 600), (1023, 1023))),
+    sei.RegionRefreshInfo(refreshed=False),
+    sei.NoDisplay(),
+    sei.TimeCode(clock_ts=((29, 59, 58, 23),), counting_type=4),
+    sei.SegmRectFramePacking(content_interpretation=2, persistence=True),
+    sei.TempMotionConstrainedTileSets(
+        tile_sets=((0, ((0, 1),)), (1, ((2, 3), (4, 5))))),
+    sei.TempMotionConstrainedTileSets(each_tile_one_set=True,
+                                      tile_sets=()),
 ]
+
+
+def test_scalable_nesting_roundtrip():
+    """Nested sei_message() framing survives a write/parse cycle."""
+    nested = [sei.RecoveryPoint(recovery_poc_cnt=4),
+              sei.ContentLightLevel()]
+    msg = sei.ScalableNesting(messages=nested)
+    out = sei.parse_sei_rbsp(sei.write_sei_rbsp([msg]))
+    assert len(out) == 1
+    assert out[0].all_layers and out[0].messages == nested
 
 
 @pytest.mark.parametrize("msg", MESSAGES, ids=lambda m: type(m).__name__)

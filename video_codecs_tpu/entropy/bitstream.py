@@ -97,6 +97,11 @@ class BitReader:
     def bit_pos(self) -> int:
         return self._pos
 
+    def remaining_bytes(self) -> bytes:
+        """Bytes from the current (byte-aligned) position to the end."""
+        assert (self._pos & 7) == 0
+        return self._data[self._pos >> 3:]
+
     def bits_left(self) -> int:
         return len(self._data) * 8 - self._pos
 

@@ -32,7 +32,14 @@ TONE_MAPPING_INFO = 23
 FRAME_PACKING = 45
 ACTIVE_PARAMETER_SETS = 129
 DECODED_PICTURE_HASH = 132
+SCALABLE_NESTING = 133
+REGION_REFRESH_INFO = 134
+NO_DISPLAY = 135
+TIME_CODE = 136
 MASTERING_DISPLAY = 137
+SEGM_RECT_FRAME_PACKING = 138
+TEMP_MOTION_CONSTRAINED_TILE_SETS = 139
+KNEE_FUNCTION_INFO = 141
 CONTENT_LIGHT_LEVEL = 144
 
 
@@ -285,6 +292,246 @@ class ContentLightLevel:
         return cls(r.read(16), r.read(16))
 
 
+@dataclass
+class KneeFunctionInfo:
+    """Knee-function SEI (spec D.2.24; SEIwrite.cpp:743
+    xWriteSEIKneeFunctionInfo)."""
+    knee_id: int = 0
+    cancel: bool = False
+    persistence: bool = True
+    input_d_range: int = 4000
+    input_disp_luminance: int = 100
+    output_d_range: int = 10000
+    output_disp_luminance: int = 4000
+    points: tuple = ((0, 0), (512, 512), (1023, 1023))  # 10-bit in/out pairs
+
+    def write(self, w: BitWriter) -> None:
+        w.ue(self.knee_id)
+        w.flag(1 if self.cancel else 0)
+        if self.cancel:
+            return
+        w.flag(1 if self.persistence else 0)
+        w.write(self.input_d_range, 32)
+        w.write(self.input_disp_luminance, 32)
+        w.write(self.output_d_range, 32)
+        w.write(self.output_disp_luminance, 32)
+        w.ue(len(self.points) - 1)
+        for ip, op in self.points:
+            w.write(ip, 10)
+            w.write(op, 10)
+
+    @classmethod
+    def parse(cls, r: BitReader) -> "KneeFunctionInfo":
+        m = cls(knee_id=r.ue(), cancel=bool(r.flag()))
+        if m.cancel:
+            return m
+        m.persistence = bool(r.flag())
+        m.input_d_range = r.read(32)
+        m.input_disp_luminance = r.read(32)
+        m.output_d_range = r.read(32)
+        m.output_disp_luminance = r.read(32)
+        n = r.ue() + 1
+        m.points = tuple((r.read(10), r.read(10)) for _ in range(n))
+        return m
+
+
+@dataclass
+class RegionRefreshInfo:
+    """Gradual-decoding-refresh region SEI (spec D.2.22)."""
+    refreshed: bool = True
+
+    def write(self, w: BitWriter) -> None:
+        w.flag(1 if self.refreshed else 0)
+
+    @classmethod
+    def parse(cls, r: BitReader) -> "RegionRefreshInfo":
+        return cls(bool(r.flag()))
+
+
+@dataclass
+class NoDisplay:
+    """No-display SEI (spec D.2.23) — empty payload."""
+
+    def write(self, w: BitWriter) -> None:
+        pass
+
+    @classmethod
+    def parse(cls, r: BitReader) -> "NoDisplay":
+        return cls()
+
+
+@dataclass
+class TimeCode:
+    """Time-code SEI (spec D.2.26; SEIwrite.cpp xWriteSEITimeCode),
+    full-timestamp clock sets only."""
+    clock_ts: tuple = ((0, 0, 0, 0),)   # (n_frames, s, m, h) per set
+    counting_type: int = 0
+
+    def write(self, w: BitWriter) -> None:
+        w.write(len(self.clock_ts), 2)
+        for nf, s, m, h in self.clock_ts:
+            w.flag(1)                   # clock_time_stamp_flag
+            w.flag(0)                   # units_field_based_flag
+            w.write(self.counting_type, 5)
+            w.flag(1)                   # full_timestamp_flag
+            w.flag(0)                   # discontinuity_flag
+            w.flag(0)                   # cnt_dropped_flag
+            w.write(nf, 9)
+            w.write(s, 6)
+            w.write(m, 6)
+            w.write(h, 5)
+            w.write(0, 5)               # time_offset_length
+
+    @classmethod
+    def parse(cls, r: BitReader) -> "TimeCode":
+        n = r.read(2)
+        sets = []
+        ct = 0
+        for _ in range(n):
+            if not r.flag():
+                sets.append(None)
+                continue
+            assert r.flag() == 0
+            ct = r.read(5)
+            full = r.flag()
+            r.flag()
+            r.flag()
+            nf = r.read(9)
+            if full:
+                s, m, h = r.read(6), r.read(6), r.read(5)
+            else:                        # optional cascaded fields
+                s = m = h = 0
+                if r.flag():
+                    s = r.read(6)
+                    if r.flag():
+                        m = r.read(6)
+                        if r.flag():
+                            h = r.read(5)
+            tol = r.read(5)
+            if tol:
+                r.read(tol)
+            sets.append((nf, s, m, h))
+        return cls(tuple(sets), ct)
+
+
+@dataclass
+class SegmRectFramePacking:
+    """Segmented rectangular frame packing SEI (spec D.2.16)."""
+    cancel: bool = False
+    content_interpretation: int = 1
+    persistence: bool = False
+
+    def write(self, w: BitWriter) -> None:
+        w.flag(1 if self.cancel else 0)
+        if self.cancel:
+            return
+        w.write(self.content_interpretation, 2)
+        w.flag(1 if self.persistence else 0)
+
+    @classmethod
+    def parse(cls, r: BitReader) -> "SegmRectFramePacking":
+        m = cls(cancel=bool(r.flag()))
+        if m.cancel:
+            return m
+        m.content_interpretation = r.read(2)
+        m.persistence = bool(r.flag())
+        return m
+
+
+@dataclass
+class TempMotionConstrainedTileSets:
+    """Temporal MCTS SEI (spec D.2.29; SEIwrite.cpp:546; SEI.h:521).
+
+    tile_sets: tuple of (mcts_id, ((top_left, bottom_right), ...)) tile
+    rectangles in tile-index units; the independently-decodable-tiles
+    promise the TPU tile sharding relies on."""
+    all_exact_match: bool = True
+    each_tile_one_set: bool = False
+    tile_sets: tuple = ((0, ((0, 0),)),)
+
+    def write(self, w: BitWriter) -> None:
+        w.flag(1 if self.all_exact_match else 0)
+        w.flag(1 if self.each_tile_one_set else 0)
+        if self.each_tile_one_set:
+            w.flag(0)                   # max_mcs_tier_level_idc_present
+            return
+        w.flag(0)                       # limited_tile_set_display_flag
+        w.ue(len(self.tile_sets) - 1)
+        for mcts_id, rects in self.tile_sets:
+            w.ue(mcts_id)
+            w.ue(len(rects) - 1)
+            for tl, br in rects:
+                w.ue(tl)
+                w.ue(br)
+            if not self.all_exact_match:
+                w.flag(1)               # exact_sample_value_match_flag
+            w.flag(0)                   # mcts_tier_level_idc_present_flag
+
+    @classmethod
+    def parse(cls, r: BitReader) -> "TempMotionConstrainedTileSets":
+        m = cls(all_exact_match=bool(r.flag()),
+                each_tile_one_set=bool(r.flag()))
+        if m.each_tile_one_set:
+            if r.flag():
+                r.flag()
+                r.read(8)
+            m.tile_sets = ()
+            return m
+        assert r.flag() == 0
+        n = r.ue() + 1
+        sets = []
+        for _ in range(n):
+            mcts_id = r.ue()
+            nr = r.ue() + 1
+            rects = tuple((r.ue(), r.ue()) for _ in range(nr))
+            if not m.all_exact_match:
+                r.flag()
+            if r.flag():
+                r.flag()
+                r.read(8)
+            sets.append((mcts_id, rects))
+        m.tile_sets = tuple(sets)
+        return m
+
+
+@dataclass
+class ScalableNesting:
+    """Scalable-nesting SEI (spec D.2.28): carries nested SEI messages
+    scoped to layers/sub-layers.  Simple-path only (no ops list,
+    all-layers), which is what HM's encoder emits."""
+    all_layers: bool = True
+    messages: list = field(default_factory=list)
+
+    def write(self, w: BitWriter) -> None:
+        w.flag(0)                       # bitstream_subset_flag
+        w.flag(0)                       # nesting_op_flag
+        w.flag(1 if self.all_layers else 0)
+        if not self.all_layers:
+            w.write(7, 3)               # nesting_no_op_max_temporal_id_plus1
+            w.ue(0)                     # nesting_num_layers_minus1
+            w.write(0, 6)               # nesting_layer_id[0]
+        while not w.byte_aligned():
+            w.flag(0)                   # nesting_zero_bit
+        for b_ in _frame_messages(self.messages):
+            w.write(b_, 8)
+
+    @classmethod
+    def parse(cls, r: BitReader, size: int) -> "ScalableNesting":
+        # r is positioned at payload start; re-parse from raw bytes so the
+        # nested sei_message() framing can be walked bytewise.
+        assert r.flag() == 0
+        assert r.flag() == 0
+        m = cls(all_layers=bool(r.flag()))
+        if not m.all_layers:
+            r.read(3)
+            n = r.ue() + 1
+            for _ in range(n):
+                r.read(6)
+        r.byte_align()
+        m.messages = _parse_messages(r.remaining_bytes())
+        return m
+
+
 _TYPES = {
     BUFFERING_PERIOD: BufferingPeriod,
     PICTURE_TIMING: PictureTiming,
@@ -293,7 +540,14 @@ _TYPES = {
     TONE_MAPPING_INFO: ToneMappingInfo,
     FRAME_PACKING: FramePacking,
     ACTIVE_PARAMETER_SETS: ActiveParameterSets,
+    SCALABLE_NESTING: ScalableNesting,
+    REGION_REFRESH_INFO: RegionRefreshInfo,
+    NO_DISPLAY: NoDisplay,
+    TIME_CODE: TimeCode,
     MASTERING_DISPLAY: MasteringDisplay,
+    SEGM_RECT_FRAME_PACKING: SegmRectFramePacking,
+    TEMP_MOTION_CONSTRAINED_TILE_SETS: TempMotionConstrainedTileSets,
+    KNEE_FUNCTION_INFO: KneeFunctionInfo,
     CONTENT_LIGHT_LEVEL: ContentLightLevel,
 }
 _TYPE_OF = {v: k for k, v in _TYPES.items()}
@@ -310,9 +564,8 @@ def _payload_bytes(msg) -> bytes:
     return w.data()
 
 
-def write_sei_rbsp(messages: list) -> bytes:
-    """SEI RBSP: ff-escaped type/size per message + trailing bits
-    (spec 7.3.5; SEIwrite.cpp writeSEImessages)."""
+def _frame_messages(messages: list) -> bytes:
+    """ff-escaped type/size framing of a message list (sei_message())."""
     w = BitWriter()
     for msg in messages:
         ptype = _TYPE_OF[type(msg)]
@@ -328,6 +581,15 @@ def write_sei_rbsp(messages: list) -> bytes:
         w.write(s, 8)
         for b_ in payload:
             w.write(b_, 8)
+    return w.data()
+
+
+def write_sei_rbsp(messages: list) -> bytes:
+    """SEI RBSP: ff-escaped type/size per message + trailing bits
+    (spec 7.3.5; SEIwrite.cpp writeSEImessages)."""
+    w = BitWriter()
+    for b_ in _frame_messages(messages):
+        w.write(b_, 8)
     w.rbsp_trailing_bits()
     return w.data()
 
@@ -337,12 +599,9 @@ def sei_nal(messages: list, prefix: bool = True) -> bytes:
                        write_sei_rbsp(messages))
 
 
-def parse_sei_rbsp(rbsp: bytes) -> list:
-    """Parse an SEI RBSP into message objects; unknown payload types are
-    returned as (ptype, raw_bytes) tuples (SEIread.cpp behavior of
-    skipping unrecognized payloads, but kept for inspection)."""
+def _parse_messages(data: bytes) -> list:
+    """Walk sei_message() framing until the RBSP stop byte / end."""
     out = []
-    data = rbsp
     pos = 0
     while pos < len(data) and data[pos:pos + 1] != b"\x80":
         ptype = 0
@@ -364,8 +623,15 @@ def parse_sei_rbsp(rbsp: bytes) -> list:
             out.append((ptype, payload))
             continue
         r = BitReader(payload)
-        if cls is UserDataUnregistered:
+        if cls in (UserDataUnregistered, ScalableNesting):
             out.append(cls.parse(r, size))
         else:
             out.append(cls.parse(r))
     return out
+
+
+def parse_sei_rbsp(rbsp: bytes) -> list:
+    """Parse an SEI RBSP into message objects; unknown payload types are
+    returned as (ptype, raw_bytes) tuples (SEIread.cpp behavior of
+    skipping unrecognized payloads, but kept for inspection)."""
+    return _parse_messages(rbsp)
