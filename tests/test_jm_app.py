@@ -35,7 +35,7 @@ def test_jm_cli_encodes_decodable_stream(tmp_path):
     jm_encoder_app.main([
         "-p", f"InputFile={crop}", "-p", "SourceWidth=64",
         "-p", "SourceHeight=48", "-p", "FramesToBeEncoded=2",
-        "-p", "QPPSlice=30", "-p", "SymbolMode=1", "-p", "SearchMode=4",
+        "-p", "QPPSlice=30", "-p", "SymbolMode=1", "-p", "SearchMode=3",
         "-p", f"OutputFile={out}", "-p", f"ReconFile={rec}"])
     from video_codecs_tpu.models.h264.inter_codec import H264Decoder
     frames = H264Decoder().decode(out.read_bytes())

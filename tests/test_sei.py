@@ -34,6 +34,9 @@ MESSAGES = [
     sei.SegmRectFramePacking(content_interpretation=2, persistence=True),
     sei.TempMotionConstrainedTileSets(
         tile_sets=((0, ((0, 1),)), (1, ((2, 3), (4, 5))))),
+    sei.TempMotionConstrainedTileSets(
+        all_exact_match=False,
+        tile_sets=((0, ((0, 1),), False), (1, ((2, 3),), True))),
     sei.TempMotionConstrainedTileSets(each_tile_one_set=True,
                                       tile_sets=()),
 ]
@@ -110,3 +113,42 @@ def test_sei_stream_stays_hm_conformant(tmp_path):
                        capture_output=True, text=True, timeout=120)
     assert r.returncode == 0, r.stdout + r.stderr
     assert "OK" in r.stdout and "ERROR" not in r.stdout, r.stdout
+
+
+def test_nested_type_128_not_treated_as_stop_byte():
+    """A nested SEI message with payloadType 128 (SOP description, one
+    0x80 framing byte) must parse, not terminate the message walk."""
+    nested = (bytes([128, 2, 0xAB, 0xCD]) +      # type 128, size 2
+              bytes([147, 1, 0x55]))             # type 147, size 1
+    out = sei._parse_messages(nested)
+    assert out == [(128, b"\xab\xcd"), (147, b"\x55")]
+    # top-level: trailing 0x80 stop byte still terminates the walk
+    top = bytes([147, 1, 0x55]) + b"\x80"
+    assert sei._parse_messages(top, top_level=True) == [(147, b"\x55")]
+
+
+def test_timecode_parse_is_rewritable():
+    """Sets with clock_time_stamp_flag=0 are skipped so that a parsed
+    TimeCode always re-serializes."""
+    from video_codecs_tpu.entropy.bitstream import BitReader, BitWriter
+    w = BitWriter()
+    w.write(2, 2)         # num_clock_ts = 2
+    w.flag(0)             # first set absent
+    # second set present, full timestamp
+    w.flag(1)
+    w.flag(0)
+    w.write(4, 5)         # counting_type
+    w.flag(1)             # full_timestamp_flag
+    w.flag(0)
+    w.flag(0)
+    w.write(29, 9)
+    w.write(59, 6)
+    w.write(58, 6)
+    w.write(23, 5)
+    w.write(0, 5)
+    while not w.byte_aligned():
+        w.flag(0)
+    msg = sei.TimeCode.parse(BitReader(w.data()))
+    assert msg.clock_ts == ((29, 59, 58, 23),)
+    w2 = BitWriter()
+    msg.write(w2)         # must not raise

@@ -368,6 +368,8 @@ class TimeCode:
     counting_type: int = 0
 
     def write(self, w: BitWriter) -> None:
+        assert len(self.clock_ts) <= 3, \
+            "num_clock_ts is a 2-bit field: at most 3 clock sets"
         w.write(len(self.clock_ts), 2)
         for nf, s, m, h in self.clock_ts:
             w.flag(1)                   # clock_time_stamp_flag
@@ -384,12 +386,13 @@ class TimeCode:
 
     @classmethod
     def parse(cls, r: BitReader) -> "TimeCode":
+        # Sets with clock_time_stamp_flag=0 carry no timestamp and are
+        # skipped (not stored as None) so parse output is always writable.
         n = r.read(2)
         sets = []
         ct = 0
         for _ in range(n):
             if not r.flag():
-                sets.append(None)
                 continue
             assert r.flag() == 0
             ct = r.read(5)
@@ -442,12 +445,20 @@ class SegmRectFramePacking:
 class TempMotionConstrainedTileSets:
     """Temporal MCTS SEI (spec D.2.29; SEIwrite.cpp:546; SEI.h:521).
 
-    tile_sets: tuple of (mcts_id, ((top_left, bottom_right), ...)) tile
-    rectangles in tile-index units; the independently-decodable-tiles
-    promise the TPU tile sharding relies on."""
+    tile_sets: tuple of (mcts_id, ((top_left, bottom_right), ...)[, exact])
+    tile rectangles in tile-index units; the optional third element is the
+    per-set exact_sample_value_match_flag (only coded when all_exact_match
+    is false; defaults to True).  The independently-decodable-tiles promise
+    is what the TPU tile sharding relies on."""
     all_exact_match: bool = True
     each_tile_one_set: bool = False
     tile_sets: tuple = ((0, ((0, 0),)),)
+
+    @staticmethod
+    def _unpack(entry):
+        mcts_id, rects = entry[0], entry[1]
+        exact = entry[2] if len(entry) > 2 else True
+        return mcts_id, rects, exact
 
     def write(self, w: BitWriter) -> None:
         w.flag(1 if self.all_exact_match else 0)
@@ -457,14 +468,15 @@ class TempMotionConstrainedTileSets:
             return
         w.flag(0)                       # limited_tile_set_display_flag
         w.ue(len(self.tile_sets) - 1)
-        for mcts_id, rects in self.tile_sets:
+        for entry in self.tile_sets:
+            mcts_id, rects, exact = self._unpack(entry)
             w.ue(mcts_id)
             w.ue(len(rects) - 1)
             for tl, br in rects:
                 w.ue(tl)
                 w.ue(br)
             if not self.all_exact_match:
-                w.flag(1)               # exact_sample_value_match_flag
+                w.flag(1 if exact else 0)  # exact_sample_value_match_flag
             w.flag(0)                   # mcts_tier_level_idc_present_flag
 
     @classmethod
@@ -484,12 +496,14 @@ class TempMotionConstrainedTileSets:
             mcts_id = r.ue()
             nr = r.ue() + 1
             rects = tuple((r.ue(), r.ue()) for _ in range(nr))
-            if not m.all_exact_match:
-                r.flag()
+            if m.all_exact_match:
+                entry = (mcts_id, rects)
+            else:
+                entry = (mcts_id, rects, bool(r.flag()))
             if r.flag():
                 r.flag()
                 r.read(8)
-            sets.append((mcts_id, rects))
+            sets.append(entry)
         m.tile_sets = tuple(sets)
         return m
 
@@ -599,11 +613,23 @@ def sei_nal(messages: list, prefix: bool = True) -> bytes:
                        write_sei_rbsp(messages))
 
 
-def _parse_messages(data: bytes) -> list:
-    """Walk sei_message() framing until the RBSP stop byte / end."""
+def _parse_messages(data: bytes, top_level: bool = False) -> list:
+    """Walk sei_message() framing to the end of `data`.
+
+    Only a top-level SEI RBSP carries rbsp_trailing_bits; there the final
+    0x80 byte (followed only by cabac_zero_word padding, if any) is the
+    stop marker.  Nested message lists (ScalableNesting) have no stop
+    byte, and a leading 0x80 there is a legitimate payload type (128, SOP
+    description) — never treat it as a terminator.
+    """
     out = []
     pos = 0
-    while pos < len(data) and data[pos:pos + 1] != b"\x80":
+
+    def at_stop(p: int) -> bool:
+        return (top_level and data[p] == 0x80 and
+                all(b == 0 for b in data[p + 1:]))
+
+    while pos < len(data) and not at_stop(pos):
         ptype = 0
         while data[pos] == 255:
             ptype += 255
@@ -634,4 +660,4 @@ def parse_sei_rbsp(rbsp: bytes) -> list:
     """Parse an SEI RBSP into message objects; unknown payload types are
     returned as (ptype, raw_bytes) tuples (SEIread.cpp behavior of
     skipping unrecognized payloads, but kept for inspection)."""
-    return _parse_messages(rbsp)
+    return _parse_messages(rbsp, top_level=True)
