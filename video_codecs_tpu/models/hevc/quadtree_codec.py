@@ -138,6 +138,7 @@ class State:
 
     def __init__(self, w: int, h: int, ctb_shift: int) -> None:
         self.w, self.h = w, h
+        self.serial = 0
         self.ctb_shift = ctb_shift
         self.rec_y = np.zeros((h, w), np.int32)
         self.rec_u = np.zeros((h // 2, w // 2), np.int32)
@@ -150,6 +151,7 @@ class State:
     def copy(self) -> "State":
         s = State.__new__(State)
         s.w, s.h, s.ctb_shift = self.w, self.h, self.ctb_shift
+        s.serial = self.serial
         for f in ("rec_y", "rec_u", "rec_v", "mode", "intra", "depth",
                   "cu_id"):
             setattr(s, f, getattr(self, f).copy())
@@ -418,100 +420,116 @@ class QuadtreeIntraEncoder(ic.IntraEncoder):
     # ---- CABAC ----
 
     def _encode_slice_qt(self, roots) -> bytes:
-        cfg = self.cfg
-        w = headers.write_slice_header(cfg, bs.NAL_IDR_W_RADL)
-        enc = cabac.CabacEncoder(w, ctx.init_states(ctx.I, cfg.qp))
-        st = State(cfg.width, cfg.height, cfg.log2_ctb)
-        self._syn_serial = 0
-        n = len(roots)
-        ctb = 1 << cfg.log2_ctb
-        i = 0
-        for cy in range(0, cfg.height, ctb):
-            for cx in range(0, cfg.width, ctb):
-                self._encode_node_syntax(enc, st, roots[i], cx, cy,
-                                         cfg.log2_ctb, 0)
-                i += 1
-                enc.encode_terminate(1 if i == n else 0)
-        enc.finish_slice()
-        return bs.nal_unit(bs.NAL_IDR_W_RADL, w.data())
+        return encode_slice_qt(self.cfg, roots)
 
-    def _encode_node_syntax(self, enc, st: State, node, x, y, log2, depth):
-        kind, payload = node
-        if log2 > 3:
-            sctx = st.split_ctx(x, y, depth)
-            enc.encode_bin(ctx.off("split_cu_flag", sctx),
-                           1 if kind == "split" else 0)
-        if kind == "split":
-            half = 1 << (log2 - 1)
-            for q, child in enumerate(payload):
-                self._encode_node_syntax(
-                    enc, st, child, x + (q & 1) * half,
-                    y + (q >> 1) * half, log2 - 1, depth + 1)
-            return
-        self._encode_cu_syntax(enc, st, payload)
 
-    def _encode_cu_syntax(self, enc, st: State, cu: CuInfo):
-        cfg = self.cfg
-        sbh = cfg.sign_data_hiding
-        if cu.size == 8:
-            enc.encode_bin(ctx.off("part_size"), 0 if cu.nxn else 1)
-        pus = 4 if cu.nxn else 1
-        half = cu.size // 2
-        flags = []
-        for p in range(pus):
-            px = cu.x + (p & 1) * (half if cu.nxn else 0)
-            py = cu.y + (p >> 1) * (half if cu.nxn else 0)
-            mpm = st.mpm(px, py)
-            mode = cu.modes[p]
-            flags.append((mode in mpm, mpm, mode))
-            enc.encode_bin(ctx.off("prev_intra_luma_pred"),
-                           1 if mode in mpm else 0)
-            _set_pu_mode(st, cu, p)
-        for in_mpm, mpm, mode in flags:
-            if in_mpm:
-                idx = mpm.index(mode)
-                enc.encode_bypass(0 if idx == 0 else 1)
-                if idx:
-                    enc.encode_bypass(idx - 1)
-            else:
-                rem = mode
-                for c in sorted(mpm, reverse=True):
-                    if mode > c:
-                        rem -= 1
-                enc.encode_bypass_bins(rem, 5)
-        enc.encode_bin(ctx.off("chroma_pred_mode"), 0)  # DM
+def encode_slice_qt(cfg: headers.HevcConfig, roots) -> bytes:
+    """Serialize a quadtree I slice from per-CTB trees ("split"/"cu" nodes).
 
-        cbf_cb = cu.levels_cb is not None
-        cbf_cr = cu.levels_cr is not None
-        enc.encode_bin(ctx.off("cbf_chroma"), 1 if cbf_cb else 0)
-        enc.encode_bin(ctx.off("cbf_chroma"), 1 if cbf_cr else 0)
-        if cu.nxn:
-            for p in range(4):
-                lv = cu.levels_y[p]
-                enc.encode_bin(ctx.off("cbf_luma", 0), 0 if lv is None else 1)
-                if lv is not None:
-                    stype = rom.intra_scan_type(2, cu.modes[p], True)
-                    residual.encode_residual(enc, lv, 2, stype, True,
-                                             sign_hiding=sbh)
+    Boundary CTBs use the spec's implicit split (7.4.9.4): no split flag
+    when the CU does not fit the picture, children entirely outside are
+    skipped (the tree carries None for them).
+    """
+    w = headers.write_slice_header(cfg, bs.NAL_IDR_W_RADL)
+    enc = cabac.CabacEncoder(w, ctx.init_states(ctx.I, cfg.qp))
+    st = State(cfg.width, cfg.height, cfg.log2_ctb)
+    n = len(roots)
+    ctb = 1 << cfg.log2_ctb
+    i = 0
+    for cy in range(0, cfg.height, ctb):
+        for cx in range(0, cfg.width, ctb):
+            _encode_node_syntax(enc, st, cfg, roots[i], cx, cy,
+                                cfg.log2_ctb, 0)
+            i += 1
+            enc.encode_terminate(1 if i == n else 0)
+    enc.finish_slice()
+    return bs.nal_unit(bs.NAL_IDR_W_RADL, w.data())
+
+
+def _encode_node_syntax(enc, st: State, cfg, node, x, y, log2, depth):
+    kind, payload = node
+    size = 1 << log2
+    inside = (x + size <= st.w) and (y + size <= st.h)
+    if inside and log2 > 3:
+        sctx = st.split_ctx(x, y, depth)
+        enc.encode_bin(ctx.off("split_cu_flag", sctx),
+                       1 if kind == "split" else 0)
+    else:
+        assert inside or kind == "split", "boundary CU must be split"
+    if kind == "split":
+        half = 1 << (log2 - 1)
+        for q, child in enumerate(payload):
+            cx = x + (q & 1) * half
+            cy = y + (q >> 1) * half
+            if cx >= st.w or cy >= st.h:
+                assert child is None
+                continue
+            _encode_node_syntax(enc, st, cfg, child, cx, cy,
+                                log2 - 1, depth + 1)
+        return
+    _encode_cu_syntax(enc, st, payload, cfg.sign_data_hiding)
+
+
+def _encode_cu_syntax(enc, st: State, cu: CuInfo, sbh: bool):
+    if cu.size == 8:
+        enc.encode_bin(ctx.off("part_size"), 0 if cu.nxn else 1)
+    pus = 4 if cu.nxn else 1
+    half = cu.size // 2
+    flags = []
+    for p in range(pus):
+        px = cu.x + (p & 1) * (half if cu.nxn else 0)
+        py = cu.y + (p >> 1) * (half if cu.nxn else 0)
+        mpm = st.mpm(px, py)
+        mode = cu.modes[p]
+        flags.append((mode in mpm, mpm, mode))
+        enc.encode_bin(ctx.off("prev_intra_luma_pred"),
+                       1 if mode in mpm else 0)
+        _set_pu_mode(st, cu, p)
+    for in_mpm, mpm, mode in flags:
+        if in_mpm:
+            idx = mpm.index(mode)
+            enc.encode_bypass(0 if idx == 0 else 1)
+            if idx:
+                enc.encode_bypass(idx - 1)
         else:
-            lv = cu.levels_y[0]
-            enc.encode_bin(ctx.off("cbf_luma", 1), 0 if lv is None else 1)
+            rem = mode
+            for c in sorted(mpm, reverse=True):
+                if mode > c:
+                    rem -= 1
+            enc.encode_bypass_bins(rem, 5)
+    enc.encode_bin(ctx.off("chroma_pred_mode"), 0)  # DM
+
+    cbf_cb = cu.levels_cb is not None
+    cbf_cr = cu.levels_cr is not None
+    enc.encode_bin(ctx.off("cbf_chroma"), 1 if cbf_cb else 0)
+    enc.encode_bin(ctx.off("cbf_chroma"), 1 if cbf_cr else 0)
+    if cu.nxn:
+        for p in range(4):
+            lv = cu.levels_y[p]
+            enc.encode_bin(ctx.off("cbf_luma", 0), 0 if lv is None else 1)
             if lv is not None:
-                log2 = cu.size.bit_length() - 1
-                stype = rom.intra_scan_type(log2, cu.modes[0], True)
-                residual.encode_residual(enc, lv, log2, stype, True,
+                stype = rom.intra_scan_type(2, cu.modes[p], True)
+                residual.encode_residual(enc, lv, 2, stype, True,
                                          sign_hiding=sbh)
-        cs = max(cu.size // 2, 4)
-        clog2 = cs.bit_length() - 1
-        cst = rom.intra_scan_type(clog2, cu.modes[0], False)
-        if cbf_cb:
-            residual.encode_residual(enc, cu.levels_cb, clog2, cst, False,
+    else:
+        lv = cu.levels_y[0]
+        enc.encode_bin(ctx.off("cbf_luma", 1), 0 if lv is None else 1)
+        if lv is not None:
+            log2 = cu.size.bit_length() - 1
+            stype = rom.intra_scan_type(log2, cu.modes[0], True)
+            residual.encode_residual(enc, lv, log2, stype, True,
                                      sign_hiding=sbh)
-        if cbf_cr:
-            residual.encode_residual(enc, cu.levels_cr, clog2, cst, False,
-                                     sign_hiding=sbh)
-        self._syn_serial += 1
-        st.set_cu(cu, self._syn_serial)
+    cs = max(cu.size // 2, 4)
+    clog2 = cs.bit_length() - 1
+    cst = rom.intra_scan_type(clog2, cu.modes[0], False)
+    if cbf_cb:
+        residual.encode_residual(enc, cu.levels_cb, clog2, cst, False,
+                                 sign_hiding=sbh)
+    if cbf_cr:
+        residual.encode_residual(enc, cu.levels_cr, clog2, cst, False,
+                                 sign_hiding=sbh)
+    st.serial += 1
+    st.set_cu(cu, st.serial)
 
 
 def _set_pu_mode(st: State, cu: CuInfo, p: int):
@@ -541,7 +559,7 @@ class QuadtreeIntraDecoder(ic.IntraDecoder):
         self._serial = 0
         sbh = pps.sign_data_hiding
         ctb = 1 << cfg.log2_ctb
-        n_ctbs = (w // ctb) * (h // ctb)
+        n_ctbs = ((w + ctb - 1) // ctb) * ((h + ctb - 1) // ctb)
         i = 0
         for cy in range(0, h, ctb):
             for cx in range(0, w, ctb):
@@ -558,15 +576,22 @@ class QuadtreeIntraDecoder(ic.IntraDecoder):
         return rec_y, rec_u, rec_v
 
     def _decode_node(self, dec, st: State, x, y, log2, depth, qp, qp_c, sbh):
-        split = False
-        if log2 > 3:
-            sctx = st.split_ctx(x, y, depth)
-            split = bool(dec.decode_bin(ctx.off("split_cu_flag", sctx)))
+        size = 1 << log2
+        if x + size <= st.w and y + size <= st.h:
+            split = False
+            if log2 > 3:
+                sctx = st.split_ctx(x, y, depth)
+                split = bool(dec.decode_bin(ctx.off("split_cu_flag", sctx)))
+        else:
+            split = True   # implicit split at the picture boundary (7.4.9.4)
         if split:
             half = 1 << (log2 - 1)
             for q in range(4):
-                self._decode_node(dec, st, x + (q & 1) * half,
-                                  y + (q >> 1) * half, log2 - 1, depth + 1,
+                cx = x + (q & 1) * half
+                cy = y + (q >> 1) * half
+                if cx >= st.w or cy >= st.h:
+                    continue   # child entirely outside: not coded
+                self._decode_node(dec, st, cx, cy, log2 - 1, depth + 1,
                                   qp, qp_c, sbh)
             return
         self._decode_cu(dec, st, x, y, 1 << log2, depth, qp, qp_c, sbh)
@@ -652,3 +677,119 @@ def _recon(pred, lv, qp, log2, dst):
     dq = quant_ops.dequantize_np(lv, qp, log2)
     r = tr_ops.inverse_transform_np(dq, log2, dst=dst)
     return np.clip(pred + r, 0, 255).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# TPU fast path (device quadtree: models/hevc/encoder_jax_qt.py)
+# ---------------------------------------------------------------------------
+
+def build_qt_tree(cfg: headers.HevcConfig, depth8, m8, m16, m32,
+                  coef_y, coef_u, coef_v) -> list:
+    """Per-CTB trees from the device outputs (depth map + mode maps +
+    coefficient planes).  Children entirely outside the picture are None."""
+    w, h = cfg.width, cfg.height
+    mode_maps = {3: m8, 4: m16, 5: m32}
+
+    def leaf(x, y, log2):
+        size = 1 << log2
+        mode = int(mode_maps[log2][y // size, x // size])
+        cu = CuInfo(x, y, size, cfg.log2_ctb - log2, False, [mode])
+        lv = np.asarray(coef_y[y:y + size, x:x + size], np.int32)
+        cu.levels_y = [lv if lv.any() else None]
+        cs = max(size // 2, 4)
+        cx, cy = x // 2, y // 2
+        for name, plane in (("levels_cb", coef_u), ("levels_cr", coef_v)):
+            lvc = np.asarray(plane[cy:cy + cs, cx:cx + cs], np.int32)
+            setattr(cu, name, lvc if lvc.any() else None)
+        return ("cu", cu)
+
+    def rec(x, y, log2):
+        size = 1 << log2
+        fits = x + size <= w and y + size <= h
+        if fits and int(depth8[y // 8, x // 8]) == cfg.log2_ctb - log2:
+            return leaf(x, y, log2)
+        half = size // 2
+        children = []
+        for q in range(4):
+            cx, cy = x + (q & 1) * half, y + (q >> 1) * half
+            children.append(None if (cx >= w or cy >= h)
+                            else rec(cx, cy, log2 - 1))
+        return ("split", children)
+
+    ctb = 1 << cfg.log2_ctb
+    return [rec(cx, cy, cfg.log2_ctb)
+            for cy in range(0, h, ctb) for cx in range(0, w, ctb)]
+
+
+class QuadtreeFastEncoder:
+    """All-intra encoder at the quality operating point on TPU.
+
+    Device (encoder_jax_qt): batched per-size mode sweeps + trial-coded
+    tree-DP decision, Z-availability wavefront recon, RDOQ-lite, SBH,
+    CU-boundary deblocking.  Host: quadtree CABAC serializer.  Streams
+    are HM-conformant (hash-SEI verified in tests); pictures need not be
+    CTB multiples (implicit boundary splits).
+    """
+
+    def __init__(self, cfg: headers.HevcConfig) -> None:
+        assert cfg.log2_ctb == 5 and cfg.log2_min_cb == 3, \
+            "device quadtree build is CTB32 / min CU 8"
+        assert cfg.log2_max_tb == 5, "TU tree is CU-aligned (max TB 32)"
+        assert cfg.width % 8 == 0 and cfg.height % 8 == 0
+        assert cfg.tile_columns == 1 and not cfg.sao and not cfg.wpp, \
+            "tiles/SAO/WPP on the quadtree device path: later round"
+        self.cfg = cfg
+
+    stream_headers = ic.IntraEncoder.stream_headers
+    _hash_sei = ic.IntraEncoder._hash_sei
+
+    def _dispatch(self, y, u, v):
+        from video_codecs_tpu.models.hevc import encoder_jax_qt
+
+        cfg = self.cfg
+        return encoder_jax_qt.encode_frame_qt_jit(
+            y, u, v, cfg.qp, cfg.width, cfg.height,
+            deblock=not cfg.deblocking_disabled,
+            sbh=cfg.sign_data_hiding, rdoq=bool(cfg.rdoq))
+
+    def serialize_frame(self, st):
+        import jax
+
+        st = jax.device_get(st)
+        roots = build_qt_tree(self.cfg, st["depth8"], st["m8"], st["m16"],
+                              st["m32"], st["coef_y"], st["coef_u"],
+                              st["coef_v"])
+        slice_nal = self._serialize_slice(roots, st)
+        rec = (st["rec_y"].astype(np.int32), st["rec_u"].astype(np.int32),
+               st["rec_v"].astype(np.int32))
+        sei_nal = self._hash_sei(*rec)
+        return [slice_nal, sei_nal], rec
+
+    def _serialize_slice(self, roots, st) -> bytes:
+        from video_codecs_tpu.entropy import native
+
+        if native.available() and hasattr(native, "encode_slice_qt_native"):
+            payload = native.encode_slice_qt_native(self.cfg, st)
+            if payload is not None:
+                h0 = bs.NAL_IDR_W_RADL << 1
+                return bytes([h0, 1]) + payload
+        return encode_slice_qt(self.cfg, roots)
+
+    def encode_frame_fast(self, y, u, v):
+        return self.serialize_frame(self._dispatch(y, u, v))
+
+    def encode_sequence(self, frames) -> tuple[bytes, list]:
+        """Pipelined: all device frames dispatched up front; the host
+        CABAC tail of frame i overlaps device compute of frames i+1..."""
+        nals = self.stream_headers()
+        states = [self._dispatch(y, u, v) for (y, u, v) in frames]
+        for st in states:
+            for a in st.values():
+                if hasattr(a, "copy_to_host_async"):
+                    a.copy_to_host_async()
+        recons = []
+        for st in states:
+            frame_nals, rec = self.serialize_frame(st)
+            nals.extend(frame_nals)
+            recons.append(rec)
+        return bs.annexb(nals), recons

@@ -169,14 +169,8 @@ def apply_sbh_np(levels: np.ndarray, log2_size: int) -> np.ndarray:
     return out.reshape(n, n)
 
 
-def apply_sbh(levels: jnp.ndarray, log2_size: int) -> jnp.ndarray:
-    """Vectorized SBH parity fix over [..., N, N] level blocks (device)."""
-    from video_codecs_tpu.utils import rom
-
-    n = 1 << log2_size
-    scan = rom.scan_order(log2_size, rom.SCAN_DIAG)
-    flat = levels.reshape(levels.shape[:-2] + (n * n,))
-    coeffs = flat[..., scan].reshape(levels.shape[:-2] + (-1, 16))
+def _sbh_fix_cgs(coeffs: jnp.ndarray) -> jnp.ndarray:
+    """SBH parity fix over scan-ordered coefficient groups [..., G, 16]."""
     sig = coeffs != 0
     pos = jnp.arange(16, dtype=jnp.int32)
     first = jnp.min(jnp.where(sig, pos, 16), axis=-1)
@@ -199,9 +193,47 @@ def apply_sbh(levels: jnp.ndarray, log2_size: int) -> jnp.ndarray:
     use_inc = mismatch & (last_big < 0)
     inc_adj = jnp.where(use_inc, jnp.where(neg, -1, 1), 0)
     coeffs = coeffs + inc_adj[..., None] * (pos[None, :] == first_c[..., None])
+    return coeffs
+
+
+def apply_sbh(levels: jnp.ndarray, log2_size: int) -> jnp.ndarray:
+    """Vectorized SBH parity fix over [..., N, N] level blocks (device),
+    diagonal scan (the only scan for TBs > 8x8 luma / 4x4 chroma)."""
+    from video_codecs_tpu.utils import rom
+
+    n = 1 << log2_size
+    scan = rom.scan_order(log2_size, rom.SCAN_DIAG)
+    flat = levels.reshape(levels.shape[:-2] + (n * n,))
+    coeffs = flat[..., scan].reshape(levels.shape[:-2] + (-1, 16))
+    coeffs = _sbh_fix_cgs(coeffs)
     out = jnp.zeros_like(flat)
     out = out.at[..., scan].set(
         coeffs.reshape(levels.shape[:-2] + (n * n,)))
+    return out.reshape(levels.shape)
+
+
+def apply_sbh_scan(levels: jnp.ndarray, log2_size: int,
+                   scan_type: jnp.ndarray) -> jnp.ndarray:
+    """SBH parity fix with a per-block coefficient scan (device).
+
+    levels: [B, N, N]; scan_type: [B] int32 in {SCAN_DIAG, SCAN_HOR,
+    SCAN_VER}.  Needed for 8x8 luma and 4x4 chroma intra TBs, whose scan
+    is mode-dependent (spec 7.4.9.11) and determines the CG grouping the
+    sign-hiding parity is computed over.
+    """
+    from video_codecs_tpu.utils import rom
+
+    n = 1 << log2_size
+    scans = np.stack([rom.scan_order(log2_size, t) for t in range(3)])
+    invs = np.argsort(scans, axis=-1).astype(np.int32)  # raster -> scan pos
+    flat = levels.reshape(levels.shape[:-1] + (-1,)).reshape(
+        levels.shape[:-2] + (n * n,))
+    perm = jnp.asarray(scans)[scan_type]                # [B, n*n]
+    coeffs = jnp.take_along_axis(flat, perm, axis=-1)
+    coeffs = _sbh_fix_cgs(coeffs.reshape(levels.shape[:-2] + (-1, 16)))
+    out_scan = coeffs.reshape(levels.shape[:-2] + (n * n,))
+    inv = jnp.asarray(invs)[scan_type]
+    out = jnp.take_along_axis(out_scan, inv, axis=-1)
     return out.reshape(levels.shape)
 
 
