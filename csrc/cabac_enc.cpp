@@ -167,29 +167,50 @@ struct Offsets {
   int last_x, last_y, sig_cg, sig_flag, one_flag, abs_flag;
 };
 
-// 4x4 up-right diagonal scan: scan position -> raster position in 4x4.
+// 4x4 scans: scan position -> raster position in 4x4, per scan type
+// (0 = up-right diagonal, 1 = horizontal, 2 = vertical; rom.scan_order).
 static const int kDiag4[16] = {0, 4, 1, 8, 5, 2, 12, 9,
                                6, 3, 13, 10, 7, 14, 11, 15};
+static const int kHor4[16] = {0, 1, 2, 3, 4, 5, 6, 7,
+                              8, 9, 10, 11, 12, 13, 14, 15};
+static const int kVer4[16] = {0, 4, 8, 12, 1, 5, 9, 13,
+                              2, 6, 10, 14, 3, 7, 11, 15};
+
+enum { SCAN_DIAG = 0, SCAN_HOR = 1, SCAN_VER = 2 };
+
+static const int* inner_scan(int scan_type) {
+  return scan_type == SCAN_HOR ? kHor4 : (scan_type == SCAN_VER ? kVer4
+                                                                : kDiag4);
+}
 
 struct ScanTables {
-  // For a 2^log2 square TB with diagonal scan: CG scan list and flags.
-  std::vector<int> cg_scan;  // scan idx -> cg raster
+  // For a 2^log2 square TB: CG scan list (scan idx -> cg raster).
+  std::vector<int> cg_scan;
   int cg_w;
-  void init(int log2) {
+  void init(int log2, int scan_type = SCAN_DIAG) {
     int n = 1 << log2;
     cg_w = n >> 2;
     if (cg_w == 0) cg_w = 1;
     cg_scan.clear();
-    // up-right diagonal over cg grid
-    int x = 0, y = 0, size = cg_w;
-    while ((int)cg_scan.size() < size * size) {
-      while (y >= 0) {
-        if (x < size && y < size) cg_scan.push_back(y * size + x);
-        --y;
-        ++x;
+    int size = cg_w;
+    if (scan_type == SCAN_HOR) {
+      for (int gy = 0; gy < size; ++gy)
+        for (int gx = 0; gx < size; ++gx) cg_scan.push_back(gy * size + gx);
+    } else if (scan_type == SCAN_VER) {
+      for (int gx = 0; gx < size; ++gx)
+        for (int gy = 0; gy < size; ++gy) cg_scan.push_back(gy * size + gx);
+    } else {
+      // up-right diagonal over cg grid
+      int x = 0, y = 0;
+      while ((int)cg_scan.size() < size * size) {
+        while (y >= 0) {
+          if (x < size && y < size) cg_scan.push_back(y * size + x);
+          --y;
+          ++x;
+        }
+        y = x;
+        x = 0;
       }
-      y = x;
-      x = 0;
     }
   }
 };
@@ -254,10 +275,12 @@ static int sig_ctx_inc(int pattern, int px, int py, int log2, bool luma,
 }
 
 static void encode_residual(Cabac& c, const Offsets& o, const int32_t* lv,
-                            int log2, bool luma, bool sign_hiding) {
+                            int log2, bool luma, bool sign_hiding,
+                            int scan_type = SCAN_DIAG) {
   int n = 1 << log2;
   ScanTables st;
-  st.init(log2);
+  st.init(log2, scan_type);
+  const int* inner = inner_scan(scan_type);
   int num_cg = (n * n) >> 4;
   int cg_w = st.cg_w;
 
@@ -269,7 +292,7 @@ static void encode_residual(Cabac& c, const Offsets& o, const int32_t* lv,
     int cgr = st.cg_scan[i];
     int cgx = cgr % cg_w, cgy = cgr / cg_w;
     for (int k = 0; k < 16; ++k) {
-      int rin = kDiag4[k];
+      int rin = inner[k];
       int px = (cgx << 2) + (rin & 3), py = (cgy << 2) + (rin >> 2);
       int32_t v = lv[py * n + px];
       coeffs[i * 16 + k] = v;
@@ -281,14 +304,20 @@ static void encode_residual(Cabac& c, const Offsets& o, const int32_t* lv,
   }
   int last_cg = last_scan >> 4;
   int lr = st.cg_scan[last_cg];
-  int rin = kDiag4[last_scan & 15];
+  int rin = inner[last_scan & 15];
   int lx = ((lr % cg_w) << 2) + (rin & 3);
   int ly = ((lr / cg_w) << 2) + (rin >> 2);
+  if (scan_type == SCAN_VER) {
+    int t = lx;
+    lx = ly;
+    ly = t;
+  }
   encode_last_xy(c, o, lx, ly, log2, luma);
 
   int first_ctx, single_ctx;
   if (luma) {
     first_ctx = log2 == 2 ? 0 : (log2 == 3 ? 9 : 21);
+    if (log2 == 3 && scan_type != SCAN_DIAG) first_ctx += 6;
     single_ctx = 27;
   } else {
     first_ctx = log2 == 2 ? 0 : (log2 == 3 ? 9 : 12);
@@ -317,7 +346,7 @@ static void encode_residual(Cabac& c, const Offsets& o, const int32_t* lv,
     for (int k = start_n; k >= 0; --k) {
       int sig = cgc[k] != 0;
       if (k > 0 || !infer_dc) {
-        int ri = kDiag4[k];
+        int ri = inner[k];
         int px = (cgx << 2) + (ri & 3), py = (cgy << 2) + (ri >> 2);
         int sc = (first_ctx == single_ctx)
                      ? first_ctx
@@ -454,6 +483,275 @@ int vct_encode_slice(int bw, int bh, int /*qp*/, const int32_t* modes,
   if (bwr.nbits) bwr.put(0, 8 - bwr.nbits);
 
   // emulation prevention
+  int zeros = 0, pos = 0;
+  for (size_t k = 0; k < rbsp.size(); ++k) {
+    uint8_t byte = rbsp[k];
+    if (zeros >= 2 && byte <= 3) {
+      if (pos >= out_capacity) return -1;
+      out[pos++] = 3;
+      zeros = 0;
+    }
+    if (pos >= out_capacity) return -1;
+    out[pos++] = byte;
+    zeros = byte == 0 ? zeros + 1 : 0;
+  }
+  return pos;
+}
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Quadtree slice serializer (device quadtree path, CTB 32 / CU 32..8)
+// Behavioral twin of quadtree_codec.encode_slice_qt; byte-identical output
+// is asserted in tests.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// Mode-dependent coefficient scan (rom.intra_scan_type): 4x4/8x8 luma and
+// 4x4 chroma only.
+static int intra_scan_type(int log2, int mode, bool luma) {
+  if (log2 > 3 || (!luma && log2 > 2)) return SCAN_DIAG;
+  if (mode >= 6 && mode <= 14) return SCAN_VER;
+  if (mode >= 22 && mode <= 30) return SCAN_HOR;
+  return SCAN_DIAG;
+}
+
+struct QtEnc {
+  Cabac* c;
+  const Offsets* o;
+  int off_split;
+  int w, h, log2_ctb;
+  const int8_t *depth8, *m8, *m16, *m32;
+  int pw8, pw16, pw32;  // row strides of the (padded) maps
+  const int16_t *coef_y, *coef_u, *coef_v;
+  bool sbh;
+  // coded-state grids at 8-px granularity (2Nx2N CUs only)
+  std::vector<int8_t> cdepth;   // coded depth (0 until coded; ctx rule)
+  std::vector<int8_t> cmode;    // intra mode per coded 8-cell
+  std::vector<uint8_t> cintra;  // coded flag
+  int gw, gh;
+
+  void init() {
+    gw = w / 8;
+    gh = h / 8;
+    cdepth.assign(gw * gh, 0);
+    cmode.assign(gw * gh, 1);
+    cintra.assign(gw * gh, 0);
+  }
+
+  int split_ctx(int x, int y, int depth) const {
+    int ctx = 0;
+    if (x > 0 && cdepth[(y / 8) * gw + (x - 1) / 8] > depth) ++ctx;
+    if (y > 0 && cdepth[((y - 1) / 8) * gw + x / 8] > depth) ++ctx;
+    return ctx;
+  }
+
+  int mode_at(int sx, int sy, int cur_y, bool clamp_ctb) const {
+    if (sx < 0 || sy < 0 || sx >= w || sy >= h) return 1;
+    if (clamp_ctb && (sy >> log2_ctb) != (cur_y >> log2_ctb)) return 1;
+    int cell = (sy / 8) * gw + sx / 8;
+    if (!cintra[cell]) return 1;
+    return cmode[cell];
+  }
+
+  void mpm(int x, int y, int out3[3]) const {
+    int a = mode_at(x - 1, y, y, false);
+    int b = mode_at(x, y - 1, y, true);
+    if (a == b) {
+      if (a < 2) {
+        out3[0] = 0;
+        out3[1] = 1;
+        out3[2] = 26;
+      } else {
+        out3[0] = a;
+        out3[1] = 2 + ((a + 29) % 32);
+        out3[2] = 2 + ((a - 2 + 1) % 32);
+      }
+      return;
+    }
+    out3[0] = a;
+    out3[1] = b;
+    for (int third : {0, 1, 26}) {
+      if (third != a && third != b) {
+        out3[2] = third;
+        break;
+      }
+    }
+  }
+
+  bool any_nz16(const int16_t* plane, int stride, int x, int y,
+                int size) const {
+    for (int j = 0; j < size; ++j)
+      for (int i = 0; i < size; ++i)
+        if (plane[(y + j) * stride + x + i]) return true;
+    return false;
+  }
+
+  void copy_block(const int16_t* plane, int stride, int x, int y, int size,
+                  std::vector<int32_t>& out) const {
+    out.resize(size * size);
+    for (int j = 0; j < size; ++j)
+      for (int i = 0; i < size; ++i)
+        out[j * size + i] = plane[(y + j) * stride + x + i];
+  }
+
+  void encode_cu(int x, int y, int log2) {
+    int size = 1 << log2;
+    if (size == 8) c->bin(o->part_size, 1);  // 2Nx2N
+    int mode;
+    {
+      int d = log2_ctb - log2;
+      if (log2 == 5)
+        mode = m32[(y / 32) * pw32 + x / 32];
+      else if (log2 == 4)
+        mode = m16[(y / 16) * pw16 + x / 16];
+      else
+        mode = m8[(y / 8) * pw8 + x / 8];
+      (void)d;
+    }
+    int m3[3];
+    mpm(x, y, m3);
+    int idx = mode == m3[0] ? 0 : (mode == m3[1] ? 1 : (mode == m3[2] ? 2 : -1));
+    c->bin(o->prev_intra, idx >= 0);
+    // mark coded cells (decode order: before the next CU's MPM derivation)
+    for (int j = 0; j < size / 8; ++j)
+      for (int i = 0; i < size / 8; ++i) {
+        int cell = (y / 8 + j) * gw + x / 8 + i;
+        cmode[cell] = (int8_t)mode;
+        cintra[cell] = 1;
+        cdepth[cell] = (int8_t)(log2_ctb - log2);
+      }
+    if (idx >= 0) {
+      c->bypass(idx == 0 ? 0 : 1);
+      if (idx) c->bypass(idx - 1);
+    } else {
+      int rem = mode;
+      // subtract per candidate larger-first (sorted descending)
+      int s0 = m3[0], s1 = m3[1], s2 = m3[2];
+      // simple 3-element sort descending
+      if (s0 < s1) { int t = s0; s0 = s1; s1 = t; }
+      if (s1 < s2) { int t = s1; s1 = s2; s2 = t; }
+      if (s0 < s1) { int t = s0; s0 = s1; s1 = t; }
+      if (mode > s0) --rem;
+      if (mode > s1) --rem;
+      if (mode > s2) --rem;
+      c->bypass_bins(rem, 5);
+    }
+    c->bin(o->chroma_pred, 0);  // DM
+
+    int cs = size / 2 < 4 ? 4 : size / 2;
+    int clog2 = cs == 4 ? 2 : (cs == 8 ? 3 : 4);
+    int cx = x / 2, cy = y / 2;
+    bool cbf_cb = any_nz16(coef_u, w / 2, cx, cy, cs);
+    bool cbf_cr = any_nz16(coef_v, w / 2, cx, cy, cs);
+    bool cbf_y = any_nz16(coef_y, w, x, y, size);
+    c->bin(o->cbf_chroma, cbf_cb);
+    c->bin(o->cbf_chroma, cbf_cr);
+    c->bin(o->cbf_luma + 1, cbf_y);
+    std::vector<int32_t> blk;
+    if (cbf_y) {
+      copy_block(coef_y, w, x, y, size, blk);
+      encode_residual(*c, *o, blk.data(), log2, true, sbh,
+                      intra_scan_type(log2, mode, true));
+    }
+    int cst = intra_scan_type(clog2, mode, false);
+    if (cbf_cb) {
+      copy_block(coef_u, w / 2, cx, cy, cs, blk);
+      encode_residual(*c, *o, blk.data(), clog2, false, sbh, cst);
+    }
+    if (cbf_cr) {
+      copy_block(coef_v, w / 2, cx, cy, cs, blk);
+      encode_residual(*c, *o, blk.data(), clog2, false, sbh, cst);
+    }
+  }
+
+  void encode_node(int x, int y, int log2, int depth) {
+    int size = 1 << log2;
+    bool inside = (x + size <= w) && (y + size <= h);
+    bool leaf = inside &&
+                depth8[(y / 8) * pw8 + x / 8] == (int8_t)(log2_ctb - log2);
+    if (inside && log2 > 3)
+      c->bin(off_split + split_ctx(x, y, depth), leaf ? 0 : 1);
+    if (leaf) {
+      encode_cu(x, y, log2);
+      return;
+    }
+    int half = size / 2;
+    for (int q = 0; q < 4; ++q) {
+      int cx2 = x + (q & 1) * half;
+      int cy2 = y + (q >> 1) * half;
+      if (cx2 >= w || cy2 >= h) continue;
+      encode_node(cx2, cy2, log2 - 1, depth + 1);
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+int vct_encode_slice_qt(int w, int h, int log2_ctb,
+                        const int8_t* depth8, int pw8,
+                        const int8_t* m8, const int8_t* m16, int pw16,
+                        const int8_t* m32, int pw32,
+                        const int16_t* coef_y, const int16_t* coef_u,
+                        const int16_t* coef_v,
+                        const uint8_t* header, int header_len,
+                        const uint8_t* init_states, int num_ctx,
+                        const int* offs,  // 12: Offsets order + split_cu_flag
+                        uint8_t* out, int out_capacity, int sign_hiding) {
+  Offsets o;
+  o.part_size = offs[0];
+  o.prev_intra = offs[1];
+  o.chroma_pred = offs[2];
+  o.cbf_luma = offs[3];
+  o.cbf_chroma = offs[4];
+  o.last_x = offs[5];
+  o.last_y = offs[6];
+  o.sig_cg = offs[7];
+  o.sig_flag = offs[8];
+  o.one_flag = offs[9];
+  o.abs_flag = offs[10];
+
+  std::vector<uint8_t> rbsp(header, header + header_len);
+  BitWriter bwr;
+  bwr.out = &rbsp;
+  std::vector<uint8_t> states(init_states, init_states + num_ctx);
+  Cabac c;
+  c.bw = &bwr;
+  c.states = states.data();
+
+  QtEnc e;
+  e.c = &c;
+  e.o = &o;
+  e.off_split = offs[11];
+  e.w = w;
+  e.h = h;
+  e.log2_ctb = log2_ctb;
+  e.depth8 = depth8;
+  e.pw8 = pw8;
+  e.m8 = m8;
+  e.m16 = m16;
+  e.pw16 = pw16;
+  e.m32 = m32;
+  e.pw32 = pw32;
+  e.coef_y = coef_y;
+  e.coef_u = coef_u;
+  e.coef_v = coef_v;
+  e.sbh = sign_hiding != 0;
+  e.init();
+
+  int ctb = 1 << log2_ctb;
+  int cw = (w + ctb - 1) / ctb, ch = (h + ctb - 1) / ctb;
+  int n = cw * ch, i = 0;
+  for (int cy = 0; cy < h; cy += ctb)
+    for (int cx = 0; cx < w; cx += ctb) {
+      e.encode_node(cx, cy, log2_ctb, 0);
+      ++i;
+      c.terminate(i == n ? 1 : 0);
+    }
+  if (bwr.nbits) bwr.put(0, 8 - bwr.nbits);
+
   int zeros = 0, pos = 0;
   for (size_t k = 0; k < rbsp.size(); ++k) {
     uint8_t byte = rbsp[k];

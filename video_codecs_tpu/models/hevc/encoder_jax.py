@@ -160,7 +160,7 @@ def _code_blocks(orig, pred, qp, log2, intra_slice=True, sbh=False,
     else:
         levels = quant_ops.quantize(coeff, qp, log2)
     if sbh:
-        levels = quant_ops.apply_sbh(levels, log2)
+        levels = quant_ops.apply_sbh(levels, log2, coeff, qp)
     cbf = jnp.any(levels != 0, axis=(-2, -1))
     dq = quant_ops.dequantize(levels, qp, log2)
     r = tr_ops.inverse_transform(dq, log2)

@@ -53,6 +53,11 @@ CTB = 32
 # bench clip by QP-sweep BD-rate.
 _CU_OVERHEAD_BITS = {8: 10.0, 16: 9.0, 32: 9.0}
 
+# RDOQ-lite rate-model lambda calibration for the quadtree path (QP-sweep
+# BD-rate tuned on the bench clip; the fixed-16 path keeps its own 2.0).
+RDOQ_LAM_SCALE = float(__import__("os").environ.get("VCT_QT_RDOQ_SCALE",
+                                                    "1.0"))
+
 
 def _ceil_to(v: int, m: int) -> int:
     return (v + m - 1) // m * m
@@ -158,7 +163,8 @@ def _trial_cost(y: jnp.ndarray, qp: int, n: int, modes: jnp.ndarray,
     res = oblk - pred
     coeff = tr_ops.forward_transform(res, log2)
     if rdoq:
-        levels = quant_ops.rdoq_lite(coeff, qp, log2, lam=lam)
+        levels = quant_ops.rdoq_lite(coeff, qp, log2, lam=lam,
+                                     lam_scale=RDOQ_LAM_SCALE)
     else:
         levels = quant_ops.quantize(coeff, qp, log2)
     dq = quant_ops.dequantize(levels, qp, log2)
@@ -243,14 +249,15 @@ def _code_tb_batch(oblk, pred, qp: int, log2: int, sbh: bool, rdoq: bool,
     coeff = tr_ops.forward_transform(res, log2)
     if rdoq:
         lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
-        levels = quant_ops.rdoq_lite(coeff, qp, log2, lam=lam)
+        levels = quant_ops.rdoq_lite(coeff, qp, log2, lam=lam,
+                                     lam_scale=RDOQ_LAM_SCALE)
     else:
         levels = quant_ops.quantize(coeff, qp, log2)
     if sbh:
         if scan_t is None:
-            levels = quant_ops.apply_sbh(levels, log2)
+            levels = quant_ops.apply_sbh(levels, log2, coeff, qp)
         else:
-            levels = quant_ops.apply_sbh_scan(levels, log2, scan_t)
+            levels = quant_ops.apply_sbh_scan(levels, log2, scan_t, coeff, qp)
     dq = quant_ops.dequantize(levels, qp, log2)
     r = tr_ops.inverse_transform(dq, log2)
     rec = jnp.clip(pred + r, 0, 255)
@@ -303,29 +310,34 @@ def encode_frame_qt_device(y, u, v, depth8, m8, m16, m32, qp: int, qp_c: int,
             st[ck] = _scatter(st[ck], lvc, cxs, cys, cs, sel)
         return st
 
+    def sel(vmask, xs, ys, want_depth):
+        return vmask & (xs < w) & (ys < h) & \
+            (depth8[ys // 8, xs // 8] == want_depth)
+
     def body(d, st):
         c = jax.lax.dynamic_slice(coords, (d, 0, 0), (1, max_len, 2))[0]
         vmask = jax.lax.dynamic_slice(valid, (d, 0), (1, max_len))[0]
         cx = c[:, 0] * CTB
         cy = c[:, 1] * CTB
-        # 16 statically-unrolled Z-order micro-steps of 8x8 quanta
-        for q in range(4):
-            qx, qy = (q & 1) * 16, (q >> 1) * 16
-            for s in range(4):
-                x8 = cx + qx + (s & 1) * 8
-                y8 = cy + qy + (s >> 1) * 8
-                if q == 0 and s == 0:
-                    sel32 = vmask & (cx < w) & (cy < h) & \
-                        (depth8[cy // 8, cx // 8] == 0)
-                    st = code_cu(st, cx, cy, 32, m32, sel32)
-                if s == 0:
-                    x16, y16 = cx + qx, cy + qy
-                    sel16 = vmask & (x16 < w) & (y16 < h) & \
-                        (depth8[y16 // 8, x16 // 8] == 1)
-                    st = code_cu(st, x16, y16, 16, m16, sel16)
-                sel8 = vmask & (x8 < w) & (y8 < h) & \
-                    (depth8[y8 // 8, x8 // 8] == 2)
-                st = code_cu(st, x8, y8, 8, m8, sel8)
+        # Z-order micro-steps as nested scans (16 sequential 8x8 quanta per
+        # CTB); each CU size is traced ONCE, keeping the XLA graph small.
+        st = code_cu(st, cx, cy, 32, m32, sel(vmask, cx, cy, 0))
+
+        def qstep(st, q):
+            qx = cx + (q & 1) * 16
+            qy = cy + (q >> 1) * 16
+            st = code_cu(st, qx, qy, 16, m16, sel(vmask, qx, qy, 1))
+
+            def sstep(st, s):
+                x8 = qx + (s & 1) * 8
+                y8 = qy + (s >> 1) * 8
+                return code_cu(st, x8, y8, 8, m8,
+                               sel(vmask, x8, y8, 2)), None
+
+            st, _ = jax.lax.scan(sstep, st, jnp.arange(4, dtype=jnp.int32))
+            return st, None
+
+        st, _ = jax.lax.scan(qstep, st, jnp.arange(4, dtype=jnp.int32))
         return st
 
     return jax.lax.fori_loop(0, steps, body, state)

@@ -103,11 +103,14 @@ def chroma_qp(qp: int) -> int:
 
 def code_tb_np(orig: np.ndarray, pred: np.ndarray, qp: int, log2: int,
                dst: bool, sbh: bool = False, rdoq: bool | str = False,
-               is_luma: bool = True) -> tuple[np.ndarray, np.ndarray]:
+               is_luma: bool = True,
+               scan_type: int | None = None) -> tuple[np.ndarray, np.ndarray]:
     """Transform+quant one TB; returns (levels, recon).
 
     rdoq: False = hard quantization, True/"lite" = soft-decision RDOQ-lite,
     "full" = full CG/last-pos RDOQ (ops/rdoq.py, HM xRateDistOptQuant twin).
+    scan_type: coefficient scan of the TB (needed so SBH parity is fixed
+    over the CGs of the scan the residual is actually coded with).
     """
     res = orig.astype(np.int32) - pred
     coeff = tr_ops.forward_transform_np(res, log2, dst=dst)
@@ -120,7 +123,8 @@ def code_tb_np(orig: np.ndarray, pred: np.ndarray, qp: int, log2: int,
     else:
         levels = quant_ops.quantize_np(coeff, qp, log2)
     if sbh and levels.any():
-        levels = quant_ops.apply_sbh_np(levels, log2)
+        levels = quant_ops.apply_sbh_np(levels, log2, coeff, qp,
+                                        scan_type=scan_type)
     if not levels.any():
         return levels, pred.astype(np.int32)
     dq = quant_ops.dequantize_np(levels, qp, log2)

@@ -216,7 +216,7 @@ class State:
         self.cu_id[dy:dy + s8, dx:dx + s8] = cu_serial
 
 
-def code_tb(orig, pred, qp, log2, dst, rdoq, sbh, is_luma=True):
+def code_tb(orig, pred, qp, log2, dst, rdoq, sbh, is_luma=True, mode=DC):
     res = orig.astype(np.int32) - pred
     coeff = tr_ops.forward_transform_np(res, log2, dst=dst)
     lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
@@ -228,7 +228,9 @@ def code_tb(orig, pred, qp, log2, dst, rdoq, sbh, is_luma=True):
     else:
         levels = quant_ops.quantize_np(coeff, qp, log2)
     if sbh and levels.any():
-        levels = quant_ops.apply_sbh_np(levels, log2)
+        levels = quant_ops.apply_sbh_np(
+            levels, log2, coeff, qp,
+            scan_type=rom.intra_scan_type(log2, mode, is_luma))
     if not levels.any():
         return levels, pred.astype(np.int32)
     dq = quant_ops.dequantize_np(levels, qp, log2)
@@ -388,7 +390,7 @@ class QuadtreeIntraEncoder(ic.IntraEncoder):
                                   st.ctb_shift)
                 pred = intra_ops.predict_intra_np(ref, cu.modes[p], 2)
                 lv, rec = code_tb(yv[py:py + 4, px:px + 4], pred, qp, 2,
-                                  True, rdoq, sbh)
+                                  True, rdoq, sbh, mode=cu.modes[p])
                 cu.levels_y.append(lv if lv.any() else None)
                 st.rec_y[py:py + 4, px:px + 4] = rec
         else:
@@ -396,7 +398,7 @@ class QuadtreeIntraEncoder(ic.IntraEncoder):
             ref = build_ref_z(st.rec_y, x, y, size, st.w, st.h, st.ctb_shift)
             pred = intra_ops.predict_intra_np(ref, cu.modes[0], log2)
             lv, rec = code_tb(yv[y:y + size, x:x + size], pred, qp, log2,
-                              False, rdoq, sbh)
+                              False, rdoq, sbh, mode=cu.modes[0])
             cu.levels_y.append(lv if lv.any() else None)
             st.rec_y[y:y + size, x:x + size] = rec
         cs = max(size // 2, 4)
@@ -408,7 +410,8 @@ class QuadtreeIntraEncoder(ic.IntraEncoder):
             predc = intra_ops.predict_intra_np(refc, cu.modes[0], clog2,
                                                is_luma=False)
             lvc, recc = code_tb(po[cy:cy + cs, cx:cx + cs], predc, qp_c,
-                                clog2, False, rdoq, sbh, is_luma=False)
+                                clog2, False, rdoq, sbh, is_luma=False,
+                                mode=cu.modes[0])
             if comp == 0:
                 cu.levels_cb = lvc if lvc.any() else None
             else:

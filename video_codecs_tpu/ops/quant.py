@@ -65,7 +65,8 @@ def _rate_bits(levels):
 
 
 def rdoq_lite(coeff: jnp.ndarray, qp: int, log2_size: int, *,
-              lam: float, bit_depth: int = 8) -> jnp.ndarray:
+              lam: float, bit_depth: int = 8,
+              lam_scale: float = 2.0) -> jnp.ndarray:
     """Device twin of rdoq_lite_np: per-coefficient floor/ceil/zero
     choice by J = D_td + lambda_td * R, fully elementwise (jit-safe).
     Distortion squared in f32 (decisions may differ from the f64 host
@@ -76,11 +77,12 @@ def rdoq_lite(coeff: jnp.ndarray, qp: int, log2_size: int, *,
     c = coeff.astype(jnp.int32)
     mag = jnp.abs(c)
     l_floor = (mag * scale) >> q_bits
-    # 2.0: rate-model calibration — the crude per-level bit estimate
-    # undercounts, and a QP-sweep on the bench clip puts the BD-rate
-    # optimum at twice the nominal lambda (-0.4% vs hard quant; 1x is
-    # +1.2%, 4x collapses quality)
-    lam_td = 2.0 * float(lam) * float(4 ** (15 - bit_depth - log2_size))
+    # lam_scale: rate-model calibration (the crude per-level bit estimate
+    # undercounts).  2.0 was the fixed-16x16 path's QP-sweep optimum; the
+    # quadtree path measures better at 1.0 (its tree decision already
+    # charges rate) and passes its own value.
+    lam_td = float(lam_scale) * float(lam) * float(
+        4 ** (15 - bit_depth - log2_size))
 
     def cost(lv):
         dq = dequantize(lv, qp, log2_size, bit_depth=bit_depth)
@@ -96,7 +98,8 @@ def rdoq_lite(coeff: jnp.ndarray, qp: int, log2_size: int, *,
 
 
 def rdoq_lite_np(coeff: np.ndarray, qp: int, log2_size: int, *,
-                 lam: float, bit_depth: int = 8) -> np.ndarray:
+                 lam: float, bit_depth: int = 8,
+                 lam_scale: float = 1.0) -> np.ndarray:
     """Soft-decision quantization (RDOQ-lite).
 
     Parity reference (behavioral): HM xRateDistOptQuant TComTrQuant.cpp:2129.
@@ -112,7 +115,7 @@ def rdoq_lite_np(coeff: np.ndarray, qp: int, log2_size: int, *,
     c = coeff.astype(np.int64)
     mag = np.abs(c)
     l_floor = (mag * scale) >> q_bits
-    lam_td = lam * float(4 ** (15 - bit_depth - log2_size))
+    lam_td = lam_scale * lam * float(4 ** (15 - bit_depth - log2_size))
 
     best_l = np.zeros_like(l_floor)
     best_j = None
@@ -131,22 +134,28 @@ def rdoq_lite_np(coeff: np.ndarray, qp: int, log2_size: int, *,
     return (np.sign(c) * best_l).astype(np.int32)
 
 
-def apply_sbh_np(levels: np.ndarray, log2_size: int) -> np.ndarray:
+def apply_sbh_np(levels: np.ndarray, log2_size: int,
+                 coeff: np.ndarray | None = None, qp: int | None = None,
+                 scan_type: int | None = None,
+                 bit_depth: int = 8) -> np.ndarray:
     """Sign-data-hiding parity fix (encoder side, host twin).
 
     Per 4x4 coefficient group with lastSig-firstSig >= 4 in scan order, the
     sign of the first significant coefficient is inferred from the parity
-    of the absolute-level sum (spec 7.3.8.11); when the parity disagrees,
-    bump that coefficient's magnitude by one (HM's signBitHidingHDQ picks
-    the cheapest deltaU position; magnitude+1 at firstSig keeps the
-    significance map unchanged, trading a little rate).
+    of the absolute-level sum (spec 7.3.8.11).  With the original
+    coefficients `coeff` + `qp` given, the parity-fixing +-1 move is chosen
+    by minimum transform-domain distortion delta (HM signBitHidingHDQ,
+    TComTrQuant.cpp:991); otherwise a cheap heuristic is used.
     """
     from video_codecs_tpu.utils import rom
 
     n = 1 << log2_size
-    scan = rom.scan_order(log2_size, rom.SCAN_DIAG)
+    if scan_type is None:
+        scan_type = rom.SCAN_DIAG
+    scan = rom.scan_order(log2_size, scan_type)
     flat = levels.reshape(-1).copy()
     coeffs = flat[scan]
+    orig = coeff.reshape(-1)[scan] if coeff is not None else None
     for cg in range(0, n * n, 16):
         c = coeffs[cg:cg + 16]
         nz = np.nonzero(c)[0]
@@ -154,23 +163,59 @@ def apply_sbh_np(levels: np.ndarray, log2_size: int) -> np.ndarray:
             continue
         sum_abs = int(np.abs(c).sum())
         neg = c[nz[0]] < 0
-        if (sum_abs & 1) != (1 if neg else 0):
-            # Prefer decrementing a magnitude >= 2 (saves rate and cannot
-            # change the significance map / hidden condition); fall back to
-            # incrementing the first significant coefficient.
+        if (sum_abs & 1) == (1 if neg else 0):
+            continue
+        if orig is None:
             big = nz[np.abs(c[nz]) >= 2]
             if big.size:
-                pos = big[-1]  # highest-frequency large coefficient
+                pos = big[-1]
                 c[pos] -= np.sign(c[pos])
             else:
                 c[nz[0]] += -1 if neg else 1
+            continue
+        o = orig[cg:cg + 16]
+        first, last = int(nz[0]), int(nz[-1])
+        lmag = np.abs(c).astype(np.int64)
+        cmag = np.abs(o).astype(np.float64)
+
+        def dq(lv):
+            return dequantize_np(lv.astype(np.int32), qp, log2_size,
+                                 bit_depth=bit_depth).astype(np.float64)
+
+        err0 = (cmag - dq(lmag)) ** 2
+        cost_inc = (cmag - dq(lmag + 1)) ** 2 - err0
+        cost_dec = (cmag - dq(np.maximum(lmag - 1, 0))) ** 2 - err0
+        pos_r = np.arange(16)
+        in_span = (pos_r >= first) & (pos_r <= last)
+        interior = (pos_r > first) & (pos_r < last)
+        inc_ok = in_span
+        dec_ok = (lmag >= 2) | ((lmag == 1) & interior)
+        big = 1e30
+        cand = np.concatenate([np.where(inc_ok, cost_inc, big),
+                               np.where(dec_ok, cost_dec, big)])
+        best = int(np.argmin(cand))
+        is_dec = best >= 16
+        p = best - 16 if is_dec else best
+        if c[p] != 0:
+            c[p] += (-1 if is_dec else 1) * np.sign(c[p])
+        else:
+            c[p] = -1 if o[p] < 0 else 1
     out = np.zeros_like(flat)
     out[scan] = coeffs
     return out.reshape(n, n)
 
 
-def _sbh_fix_cgs(coeffs: jnp.ndarray) -> jnp.ndarray:
-    """SBH parity fix over scan-ordered coefficient groups [..., G, 16]."""
+def _sbh_fix_cgs(coeffs: jnp.ndarray, orig: jnp.ndarray, qp: int,
+                 log2_size: int, bit_depth: int = 8) -> jnp.ndarray:
+    """SBH parity fix over scan-ordered coefficient groups [..., G, 16].
+
+    HM signBitHidingHDQ semantics (TComTrQuant.cpp:991): when the parity
+    of the CG's absolute-level sum disagrees with the sign to hide, apply
+    the single +-1 level change with the SMALLEST transform-domain
+    distortion delta against the original coefficients `orig` (scan order,
+    same shape).  Candidate moves keep the CG's first/last significant
+    positions intact so the hidden-sign condition re-derives identically.
+    """
     sig = coeffs != 0
     pos = jnp.arange(16, dtype=jnp.int32)
     first = jnp.min(jnp.where(sig, pos, 16), axis=-1)
@@ -181,39 +226,65 @@ def _sbh_fix_cgs(coeffs: jnp.ndarray) -> jnp.ndarray:
     first_val = jnp.take_along_axis(coeffs, first_c[..., None], axis=-1)[..., 0]
     neg = first_val < 0
     mismatch = hidden & ((sum_abs & 1) != neg.astype(jnp.int32))
-    # Prefer decrementing the highest-frequency |level| >= 2 coefficient.
-    big = jnp.abs(coeffs) >= 2
-    last_big = jnp.max(jnp.where(big, pos, -1), axis=-1)
-    use_dec = mismatch & (last_big >= 0)
-    dec_pos = jnp.maximum(last_big, 0)
-    dec_val = jnp.take_along_axis(coeffs, dec_pos[..., None], axis=-1)[..., 0]
-    dec_adj = jnp.where(use_dec, -jnp.sign(dec_val), 0)
-    coeffs = coeffs + dec_adj[..., None] * (pos[None, :] == dec_pos[..., None])
-    # Fallback: increment the first significant coefficient's magnitude.
-    use_inc = mismatch & (last_big < 0)
-    inc_adj = jnp.where(use_inc, jnp.where(neg, -1, 1), 0)
-    coeffs = coeffs + inc_adj[..., None] * (pos[None, :] == first_c[..., None])
-    return coeffs
+
+    lmag = jnp.abs(coeffs)
+    cmag = jnp.abs(orig).astype(jnp.float32)
+
+    def dq(lv):
+        return dequantize(lv, qp, log2_size,
+                          bit_depth=bit_depth).astype(jnp.float32)
+
+    err0 = (cmag - dq(lmag)) ** 2
+    cost_inc = (cmag - dq(lmag + 1)) ** 2 - err0
+    cost_dec = (cmag - dq(jnp.maximum(lmag - 1, 0))) ** 2 - err0
+
+    interior = (pos > first[..., None]) & (pos < last[..., None])
+    in_span = (pos >= first[..., None]) & (pos <= last[..., None])
+    inc_ok = in_span
+    dec_ok = (lmag >= 2) | ((lmag == 1) & interior)
+
+    big = jnp.float32(1e30)
+    cand = jnp.concatenate([jnp.where(inc_ok, cost_inc, big),
+                            jnp.where(dec_ok, cost_dec, big)], axis=-1)
+    best = jnp.argmin(cand, axis=-1)
+    is_dec = best >= 16
+    bpos = jnp.where(is_dec, best - 16, best)
+
+    cur = jnp.take_along_axis(coeffs, bpos[..., None], axis=-1)[..., 0]
+    cur_o = jnp.take_along_axis(orig, bpos[..., None], axis=-1)[..., 0]
+    new_sign = jnp.where(cur != 0, jnp.sign(cur),
+                         jnp.where(cur_o < 0, -1, 1))
+    delta = jnp.where(is_dec, -1, 1) * new_sign
+    newval = jnp.where(cur != 0, cur + jnp.where(is_dec, -1, 1) * jnp.sign(cur),
+                       delta)
+    adj = jnp.where(mismatch, newval - cur, 0)
+    return coeffs + adj[..., None] * (pos == bpos[..., None])
 
 
-def apply_sbh(levels: jnp.ndarray, log2_size: int) -> jnp.ndarray:
+def apply_sbh(levels: jnp.ndarray, log2_size: int, coeff: jnp.ndarray,
+              qp: int, bit_depth: int = 8) -> jnp.ndarray:
     """Vectorized SBH parity fix over [..., N, N] level blocks (device),
-    diagonal scan (the only scan for TBs > 8x8 luma / 4x4 chroma)."""
+    diagonal scan (the only scan for TBs > 8x8 luma / 4x4 chroma).
+    `coeff` = original transform coefficients (same shape) for the
+    minimum-distortion move selection."""
     from video_codecs_tpu.utils import rom
 
     n = 1 << log2_size
     scan = rom.scan_order(log2_size, rom.SCAN_DIAG)
-    flat = levels.reshape(levels.shape[:-2] + (n * n,))
-    coeffs = flat[..., scan].reshape(levels.shape[:-2] + (-1, 16))
-    coeffs = _sbh_fix_cgs(coeffs)
+    shp = levels.shape[:-2]
+    flat = levels.reshape(shp + (n * n,))
+    cflat = coeff.reshape(shp + (n * n,))
+    cgs = flat[..., scan].reshape(shp + (-1, 16))
+    ocgs = cflat[..., scan].reshape(shp + (-1, 16))
+    cgs = _sbh_fix_cgs(cgs, ocgs, qp, log2_size, bit_depth)
     out = jnp.zeros_like(flat)
-    out = out.at[..., scan].set(
-        coeffs.reshape(levels.shape[:-2] + (n * n,)))
+    out = out.at[..., scan].set(cgs.reshape(shp + (n * n,)))
     return out.reshape(levels.shape)
 
 
 def apply_sbh_scan(levels: jnp.ndarray, log2_size: int,
-                   scan_type: jnp.ndarray) -> jnp.ndarray:
+                   scan_type: jnp.ndarray, coeff: jnp.ndarray,
+                   qp: int, bit_depth: int = 8) -> jnp.ndarray:
     """SBH parity fix with a per-block coefficient scan (device).
 
     levels: [B, N, N]; scan_type: [B] int32 in {SCAN_DIAG, SCAN_HOR,
@@ -226,12 +297,14 @@ def apply_sbh_scan(levels: jnp.ndarray, log2_size: int,
     n = 1 << log2_size
     scans = np.stack([rom.scan_order(log2_size, t) for t in range(3)])
     invs = np.argsort(scans, axis=-1).astype(np.int32)  # raster -> scan pos
-    flat = levels.reshape(levels.shape[:-1] + (-1,)).reshape(
-        levels.shape[:-2] + (n * n,))
+    shp = levels.shape[:-2]
+    flat = levels.reshape(shp + (n * n,))
+    cflat = coeff.reshape(shp + (n * n,))
     perm = jnp.asarray(scans)[scan_type]                # [B, n*n]
-    coeffs = jnp.take_along_axis(flat, perm, axis=-1)
-    coeffs = _sbh_fix_cgs(coeffs.reshape(levels.shape[:-2] + (-1, 16)))
-    out_scan = coeffs.reshape(levels.shape[:-2] + (n * n,))
+    cgs = jnp.take_along_axis(flat, perm, axis=-1).reshape(shp + (-1, 16))
+    ocgs = jnp.take_along_axis(cflat, perm, axis=-1).reshape(shp + (-1, 16))
+    cgs = _sbh_fix_cgs(cgs, ocgs, qp, log2_size, bit_depth)
+    out_scan = cgs.reshape(shp + (n * n,))
     inv = jnp.asarray(invs)[scan_type]
     out = jnp.take_along_axis(out_scan, inv, axis=-1)
     return out.reshape(levels.shape)
