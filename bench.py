@@ -2,12 +2,16 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Round 2 benchmarks the QUALITY operating point: the device CU-quadtree
+encoder (CTB32, CUs 32/16/8, tree-DP decision, RDOQ-lite, SBH, CU-boundary
+deblocking).  QP-sweep quality vs HM full RDO on this clip: BD-rate +23.7%
+(round-1 fixed-16x16 fast path: +25.3% at 57.9 fps).
+
 Baseline: HM-16.5 TAppEncoderStatic (single thread, -O3) measured on THIS
 machine encoding the same deterministic 416x240x17 clip with
 cfg/encoder_intra_main.cfg (CTU64 full RDO + RDOQ + SAO): 17 frames in
-13.595 s = 1.2505 fps, 4315 kbps @ Y-PSNR 30.62 dB (2026-08-17, see
-BASELINE.md).  Our stream at the same QP: ~4360 kbps @ 29.75 dB
-(fixed 16x16 CUs, no RDOQ yet) and decodes bit-exact in HM's decoder.
+13.595 s = 1.2505 fps (2026-08-17, BASELINE.md).  Our quadtree stream at
+QP32 decodes bit-exact in HM's decoder (hash SEI OK; tests).
 """
 
 import json
@@ -38,30 +42,31 @@ def synth_clip():
 
 
 def main() -> None:
-    from video_codecs_tpu.models.hevc import headers, intra_codec
+    from video_codecs_tpu.models.hevc import headers, quadtree_codec
 
     frames = synth_clip()
-    cfg = headers.HevcConfig(width=W, height=H, qp=QP)
-    enc = intra_codec.IntraEncoder(cfg)
+    cfg = headers.HevcConfig(width=W, height=H, qp=QP, log2_ctb=5,
+                             log2_min_cb=3, log2_max_tb=5,
+                             sign_data_hiding=True, rdoq="lite")
+    enc = quadtree_codec.QuadtreeFastEncoder(cfg)
 
-    # Warm-up: compile the device pipeline on frame 0.
+    # Warm-up: compile the device quadtree pipeline on frame 0.
     enc.encode_frame_fast(*frames[0])
 
     # best-of-3: transfer latency over the device tunnel is noisy
     fps = 0.0
     for _ in range(3):
         t0 = time.time()
-        stream, _ = enc.encode_sequence(frames, fast=True)
+        stream, _ = enc.encode_sequence(frames)
         dt = time.time() - t0
         fps = max(fps, FRAMES / dt)
 
     print(json.dumps({
-        "metric": "hevc_all_intra_encode_416x240_qp32",
+        "metric": "hevc_all_intra_quadtree_encode_416x240_qp32",
         "value": round(fps, 3),
         "unit": "frames/s/chip",
-        "vs_baseline": round(fps / HM_BASELINE_FPS, 3),
+        "vs_baseline": round(fps / HM_BASELINE_FPS, 2),
     }))
-    sys.stdout.flush()
 
 
 if __name__ == "__main__":
