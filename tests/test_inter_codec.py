@@ -121,3 +121,46 @@ def test_checkpoint_resume_bit_identical(tmp_path):
     resumed = bs_mod.annexb(enc_b.stream_headers() if False else
                             enc_a.stream_headers() + nals_a + nals_b)
     assert resumed == straight
+
+
+def test_ldp_multiref_merge5_tmvp_hm_conformance(tmp_path):
+    """The upgraded LD-P operating point: 4 L0 references, 5 merge
+    candidates incl. TMVP, AMVP with POC scaling.  HM's decoder re-derives
+    every candidate list itself, so a hash-OK decode validates our
+    derivations (TComDataCU getInterMergeCandidates/fillMvpCand parity)."""
+    import subprocess
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from bench import synth_clip
+
+    clip = synth_clip()[:8]
+    crop = [(f[0][:48, :80], f[1][:24, :40], f[2][:24, :40]) for f in clip]
+    cfg = headers.HevcConfig(width=80, height=48, qp=30, num_refs=4,
+                             merge_cands=5, temporal_mvp=True)
+    enc = inter_codec.LowDelayEncoder(cfg, search_range=8)
+    stream, recons = enc.encode_sequence_ldp(crop)
+
+    dec = inter_codec.LowDelayDecoder()
+    out = dec.decode(stream)
+    assert dec.hash_status == [True] * 8
+    for o, r in zip(out, recons):
+        np.testing.assert_array_equal(o[0], r[0])
+        np.testing.assert_array_equal(o[1], r[1])
+        np.testing.assert_array_equal(o[2], r[2])
+    # the new tools must actually be exercised by this stream
+    assert sum(dec.stats["merge_idx"].values()) > 0
+    assert any(i > 0 for i in dec.stats["merge_idx"])
+
+    if not os.path.exists(HM_DECODER):
+        pytest.skip("HM reference decoder not built")
+    p = tmp_path / "ldp4.bin"
+    p.write_bytes(stream)
+    r = subprocess.run([HM_DECODER, "-b", str(p),
+                        "-o", str(tmp_path / "r.yuv")],
+                       capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert r.stdout.count("(OK)") == 8 and "ERROR" not in r.stdout
+    from video_codecs_tpu.utils import yuv as yuv_mod
+    ry, _, _ = yuv_mod.read_frames(str(tmp_path / "r.yuv"), 80, 48)
+    for i in range(8):
+        np.testing.assert_array_equal(ry[i], recons[i][0].astype(np.uint8))

@@ -37,6 +37,9 @@ class HevcConfig:
     reorder_pics: int = 0      # DPB reorder depth (1 for hierarchical B)
     wpp: bool = False          # entropy_coding_sync (WPP substreams)
     weighted_pred: bool = False  # explicit WP for P slices (TComWeightPrediction)
+    num_refs: int = 1          # active L0 references (P slices)
+    merge_cands: int = 1       # MaxNumMergeCand (1..5)
+    temporal_mvp: bool = False  # sps/slice temporal MVP (TMVP candidate)
 
     @property
     def tiles_enabled(self) -> bool:
@@ -119,7 +122,7 @@ def write_sps(cfg: HevcConfig) -> bytes:
     w.ue(cfg.bit_depth - 8)
     w.ue(4)         # log2_max_pic_order_cnt_lsb_minus4 -> 8-bit POC lsb
     w.flag(1)       # sps_sub_layer_ordering_info_present_flag
-    w.ue(2 + cfg.reorder_pics)  # sps_max_dec_pic_buffering_minus1
+    w.ue(max(2, cfg.num_refs) + cfg.reorder_pics)  # sps_max_dec_pic_buffering_minus1
     w.ue(cfg.reorder_pics)      # sps_max_num_reorder_pics
     w.ue(0)         # sps_max_latency_increase_plus1
     w.ue(cfg.log2_min_cb - 3)
@@ -134,7 +137,7 @@ def write_sps(cfg: HevcConfig) -> bytes:
     w.flag(0)       # pcm_enabled_flag
     w.ue(0)         # num_short_term_ref_pic_sets
     w.flag(0)       # long_term_ref_pics_present_flag
-    w.flag(0)       # sps_temporal_mvp_enabled_flag
+    w.flag(1 if cfg.temporal_mvp else 0)  # sps_temporal_mvp_enabled_flag
     w.flag(0)       # strong_intra_smoothing_enabled_flag
     w.flag(0)       # vui_parameters_present_flag
     w.flag(0)       # sps_extension_present_flag
@@ -171,12 +174,12 @@ def parse_sps(rbsp: bytes) -> HevcConfig:
     assert not r.flag(), "PCM unsupported"
     assert r.ue() == 0, "RPS unsupported (all-intra build)"
     assert not r.flag()
-    r.flag()  # temporal mvp
+    tmvp = bool(r.flag())  # temporal mvp
     assert not r.flag(), "strong intra smoothing unsupported"
     # ignore VUI/extensions
     return HevcConfig(width=width, height=height, log2_ctb=log2_ctb,
                       log2_min_cb=log2_min_cb, log2_min_tb=log2_min_tb,
-                      log2_max_tb=log2_max_tb, sao=sao)
+                      log2_max_tb=log2_max_tb, sao=sao, temporal_mvp=tmvp)
 
 
 def write_pps(cfg: HevcConfig) -> bytes:

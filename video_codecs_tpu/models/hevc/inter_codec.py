@@ -47,9 +47,12 @@ class BlockInfo:
     pred_mode: int = MODE_INTRA   # MODE_INTER / MODE_INTRA
     skip: bool = False
     merge: bool = False
+    merge_idx: int = 0
     mvp_idx: int = 0
     mvd: tuple[int, int] = (0, 0)
     mv: tuple[int, int] = (0, 0)  # final quarter-pel MV (inter only)
+    ref_idx: int = 0              # L0 reference index
+    ref_poc: int = 0              # POC of the used reference
     intra_mode: int = DC
     cbf_y: bool = False
     cbf_cb: bool = False
@@ -171,20 +174,32 @@ WP_IDENTITY = dict(denom=6, denom_c=6, w=(64, 64, 64), o=(0, 0, 0))
 
 
 def write_p_slice_header(cfg: headers.HevcConfig, poc: int,
-                         wp: dict | None = None):
+                         wp: dict | None = None, n_refs: int = 1):
     w = bs.BitWriter()
     w.flag(1)          # first_slice_segment_in_pic_flag
     w.ue(0)            # slice_pic_parameter_set_id
     w.ue(1)            # slice_type = P
     w.write(poc & 255, 8)  # slice_pic_order_cnt_lsb
     w.flag(0)          # short_term_ref_pic_set_sps_flag
-    # st_ref_pic_set(0): 1 negative ref at delta 1
-    w.ue(1)            # num_negative_pics
+    # st_ref_pic_set: n_refs negative refs at deltas 1..n_refs
+    w.ue(n_refs)       # num_negative_pics
     w.ue(0)            # num_positive_pics
-    w.ue(0)            # delta_poc_s0_minus1[0]
-    w.flag(1)          # used_by_curr_pic_s0_flag[0]
-    w.flag(0)          # num_ref_idx_active_override_flag
+    for _ in range(n_refs):
+        w.ue(0)        # delta_poc_s0_minus1[i]
+        w.flag(1)      # used_by_curr_pic_s0_flag[i]
+    if cfg.temporal_mvp:
+        w.flag(1)      # slice_temporal_mvp_enabled_flag
+    if n_refs != 1:    # pps default is 1 active reference
+        w.flag(1)      # num_ref_idx_active_override_flag
+        w.ue(n_refs - 1)
+    else:
+        w.flag(0)
+    if cfg.temporal_mvp:
+        # P slice: collocated_from_l0 inferred 1; idx coded when >1 refs
+        if n_refs > 1:
+            w.ue(0)    # collocated_ref_idx = 0
     if cfg.weighted_pred:
+        assert n_refs == 1, "WP with multiple references: later round"
         # pred_weight_table (spec 7.3.6.3), single L0 reference
         wp = wp or WP_IDENTITY
         denom, denom_c = wp["denom"], wp["denom_c"]
@@ -204,7 +219,7 @@ def write_p_slice_header(cfg: headers.HevcConfig, poc: int,
                 # delta_chroma_offset (TDecCAVLC xParsePredWeightTable
                 # inverse: offset = clip(delta + 128 - (128*w >> denom)))
                 w.se(wp["o"][j] + ((128 * wp["w"][j]) >> denom_c) - 128)
-    w.ue(4)            # five_minus_max_num_merge_cand -> MaxNumMergeCand=1
+    w.ue(5 - cfg.merge_cands)  # five_minus_max_num_merge_cand
     w.se(cfg.qp - 26)  # slice_qp_delta
     if not cfg.deblocking_disabled:
         w.flag(1)      # slice_loop_filter_across_slices_enabled_flag
@@ -212,7 +227,8 @@ def write_p_slice_header(cfg: headers.HevcConfig, poc: int,
     return w
 
 
-def parse_p_slice_header(rbsp: bytes, pps: headers.PpsInfo):
+def parse_p_slice_header(rbsp: bytes, pps: headers.PpsInfo,
+                         sps_tmvp: bool = False):
     r = bs.BitReader(rbsp)
     assert r.flag() == 1
     assert r.ue() == 0
@@ -220,10 +236,18 @@ def parse_p_slice_header(rbsp: bytes, pps: headers.PpsInfo):
     assert st == 1, "only P slices supported here"
     poc = r.read(8)
     assert r.flag() == 0
-    assert r.ue() == 1 and r.ue() == 0, "single-ref RPS expected"
-    r.ue()   # delta_poc_s0_minus1
-    assert r.flag() == 1
-    assert r.flag() == 0  # no num_ref override
+    n_neg = r.ue()
+    assert r.ue() == 0, "no positive refs in LD-P"
+    for _ in range(n_neg):
+        assert r.ue() == 0 and r.flag() == 1, "unit-delta RPS expected"
+    tmvp = False
+    if sps_tmvp:
+        tmvp = bool(r.flag())
+    n_refs = 1
+    if r.flag():       # num_ref_idx_active_override
+        n_refs = r.ue() + 1
+    if tmvp and n_refs > 1:
+        assert r.ue() == 0, "collocated_ref_idx must be 0 in this build"
     wp = None
     if pps.weighted_pred:
         denom = r.ue()
@@ -242,13 +266,25 @@ def parse_p_slice_header(rbsp: bytes, pps: headers.PpsInfo):
                 os_[j] = max(-128, min(
                     127, delta + 128 - ((128 * ws[j]) >> denom_c)))
         wp = dict(denom=denom, denom_c=denom_c, w=tuple(ws), o=tuple(os_))
-    assert r.ue() == 4, "MaxNumMergeCand must be 1 in this build"
+    merge_cands = 5 - r.ue()
     qp = pps.init_qp + r.se()
     if not pps.deblocking_disabled:
         r.flag()
     assert r.flag() == 1
     r.byte_align()
-    return poc, qp, r.bit_pos(), wp
+    return PSliceInfo(poc=poc, qp=qp, data_offset_bits=r.bit_pos(), wp=wp,
+                      n_refs=n_refs, merge_cands=merge_cands, tmvp=tmvp)
+
+
+@dataclasses.dataclass
+class PSliceInfo:
+    poc: int
+    qp: int
+    data_offset_bits: int
+    wp: dict | None = None
+    n_refs: int = 1
+    merge_cands: int = 1
+    tmvp: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -280,11 +316,17 @@ class LowDelayEncoder(ic.IntraEncoder):
 
         nals: list[bytes] = []
         recons = []
-        ref = None
+        dpb: list[tuple] = []    # [(poc, planes, MotionField)] newest first
         poc0 = 0
         if start_state is not None:
-            ref = start_state.ref
             poc0 = start_state.poc
+            dpb = list(getattr(start_state, "dpb", ()) or ())
+            if not dpb and start_state.ref is not None:
+                from video_codecs_tpu.models.hevc import motion
+                bw = self.cfg.width // 16
+                bh = self.cfg.height // 16
+                dpb = [(poc0 - 1, start_state.ref,
+                        motion.MotionField.empty(bw, bh, poc0 - 1))]
             checkpoint.restore_rc(start_state, rate_control)
         self.frame_qps: list[int] = []
         for k, (y, u, v) in enumerate(frames):
@@ -293,9 +335,12 @@ class LowDelayEncoder(ic.IntraEncoder):
                 self.cfg.qp = rate_control.pick_qp()
             self.frame_qps.append(self.cfg.qp)
             if poc == 0:
+                from video_codecs_tpu.models.hevc import motion
                 frame_nals, rec = self.encode_frame(y, u, v)
+                bw, bh = self.cfg.width // 16, self.cfg.height // 16
+                mf = motion.MotionField.empty(bw, bh, poc)
             else:
-                frame_nals, rec = self.encode_p_frame(y, u, v, ref, poc)
+                frame_nals, rec, mf = self.encode_p_frame(y, u, v, dpb, poc)
             if rate_control is not None:
                 bits = 8 * sum(len(n) for n in frame_nals)
                 mad = float(np.mean(np.abs(
@@ -303,14 +348,20 @@ class LowDelayEncoder(ic.IntraEncoder):
                 rate_control.update(bits, mad)
             nals.extend(frame_nals)
             recons.append(rec)
-            ref = rec
+            dpb.insert(0, (poc, rec, mf))
+            del dpb[self.cfg.num_refs:]
         from video_codecs_tpu.models.hevc import checkpoint as _cp
-        final = _cp.capture(poc0 + len(recons), ref, rate_control)
+        final = _cp.capture(poc0 + len(recons),
+                            dpb[0][1] if dpb else None, rate_control)
+        final.dpb = tuple(dpb)
         return nals, recons, final
 
-    def encode_p_frame(self, y, u, v, ref, poc):
+    def encode_p_frame(self, y, u, v, dpb, poc):
+        """Encode one P picture against the DPB (newest-first list of
+        (poc, planes, MotionField)); returns (nals, recon, MotionField)."""
         import jax.numpy as jnp
 
+        from video_codecs_tpu.models.hevc import motion
         from video_codecs_tpu.ops import cost as cost_ops
         from video_codecs_tpu.ops import me as me_ops
 
@@ -319,40 +370,49 @@ class LowDelayEncoder(ic.IntraEncoder):
         nb = bw * bh
         qp = cfg.qp
         qp_c = ic.chroma_qp(qp)
-        ref_y, ref_u, ref_v = (r.astype(np.int32) for r in ref)
+        refs = dpb[:cfg.num_refs]
+        n_refs = len(refs)
+        ref_pocs = [p for (p, _, _) in refs]
+        ref_planes = [tuple(pl.astype(np.int32) for pl in planes)
+                      for (_, planes, _) in refs]
+        col_field = refs[0][2] if cfg.temporal_mvp else None
         yv, uv, vv = (p.astype(np.int32) for p in (y, u, v))
 
         wp = None
         if cfg.weighted_pred:
-            wp = estimate_wp_params((yv, uv, vv), (ref_y, ref_u, ref_v))
+            wp = estimate_wp_params((yv, uv, vv), ref_planes[0])
 
-        def mcl(xx, yy, mvx, mvy):
+        def mcl(r, xx, yy, mvx, mvy):
+            ref_y = ref_planes[r][0]
             if wp is None:
                 return interp.mc_luma_np(ref_y, xx, yy, mvx, mvy, 16)
             return interp.mc_luma_wp_np(ref_y, xx, yy, mvx, mvy, 16,
                                         wp["w"][0], wp["o"][0], wp["denom"])
 
-        def mcc(plane, comp, cx, cy, mvx, mvy):
+        def mcc(r, comp, cx, cy, mvx, mvy):
+            plane = ref_planes[r][1 + comp]
             if wp is None:
                 return interp.mc_chroma_np(plane, cx, cy, mvx, mvy, 8)
             return interp.mc_chroma_wp_np(plane, cx, cy, mvx, mvy, 8,
                                           wp["w"][1 + comp],
                                           wp["o"][1 + comp], wp["denom_c"])
 
-        # ---- pass 1 (batched): ME + intra sweep ----
+        # ---- pass 1 (batched): ME per reference + intra sweep ----
         x0 = np.tile(np.arange(bw, dtype=np.int32) * 16, bh)
         y0 = np.repeat(np.arange(bh, dtype=np.int32) * 16, bw)
         cur = np.stack([yv[b // bw * 16:b // bw * 16 + 16,
                            b % bw * 16:b % bw * 16 + 16] for b in range(nb)])
-        mvx, mvy, me_satd = me_ops.motion_search(
-            jnp.asarray(ref_y), jnp.asarray(cur), jnp.asarray(x0),
-            jnp.asarray(y0), 16, self.search_range, self.me_method)
-        mvx, mvy, me_satd = (np.asarray(a) for a in (mvx, mvy, me_satd))
+        me_per_ref = []
+        for r in range(n_refs):
+            mvx, mvy, satd = me_ops.motion_search(
+                jnp.asarray(ref_planes[r][0]), jnp.asarray(cur),
+                jnp.asarray(x0), jnp.asarray(y0), 16, self.search_range,
+                self.me_method)
+            me_per_ref.append((np.asarray(mvx), np.asarray(mvy),
+                               np.asarray(satd)))
 
         intra_modes = self.decide_modes(y)  # [bh, bw] (orig-neighbor sweep)
-        # SATD of the chosen intra mode per block:
         from video_codecs_tpu.ops import intra as intra_ops
-        intra_satd = np.zeros(nb, np.int64)
         sl = math.sqrt(0.57 * 2.0 ** ((qp - 12) / 3.0))
 
         # ---- pass 2 (raster): decide + recon ----
@@ -361,42 +421,48 @@ class LowDelayEncoder(ic.IntraEncoder):
         rec_v = np.zeros_like(vv)
         info: list[list[BlockInfo | None]] = [
             [None] * bw for _ in range(bh)]
+        grid = motion.NeighborGrid(info, bw, bh)
 
         for by in range(bh):
             for bx in range(bw):
                 i = by * bw + bx
                 xx, yy = bx * 16, by * 16
                 oy = cur[i]
-                merge_mv = derive_merge_candidate(info, bx, by, bw, bh)
-                amvp = derive_amvp(info, bx, by, bw, bh)
 
-                # candidate predictions (luma SATD costs)
-                pred_merge = mcl(xx, yy, *merge_mv)
-                satd_merge = _satd8(oy, pred_merge)
-                me_mv = (int(mvx[i]), int(mvy[i]))
-                if me_mv == tuple(merge_mv):
-                    pred_me = pred_merge
-                else:
-                    pred_me = mcl(xx, yy, *me_mv)
-                satd_me = _satd8(oy, pred_me)
-                # AMVP predictor choice: cheaper mvd
-                mvds = [(me_mv[0] - p[0], me_mv[1] - p[1]) for p in amvp]
-                bits0 = mvd_bits_estimate(mvds[0])
-                bits1 = mvd_bits_estimate(mvds[1])
-                mvp_idx = 0 if bits0 <= bits1 else 1
-                mvd = mvds[mvp_idx]
+                # merge candidates (full list, spec order + pruning)
+                merge_list = motion.merge_candidates(
+                    grid, bx, by, ref_pocs, poc, col_field,
+                    cfg.merge_cands, cfg.temporal_mvp)
+                best_merge = None
+                for m_idx, (m_mv, m_ref) in enumerate(merge_list):
+                    pm = mcl(m_ref, xx, yy, *m_mv)
+                    c = _satd8(oy, pm) + round(sl * (2 + m_idx))
+                    if best_merge is None or c < best_merge[0]:
+                        best_merge = (c, m_idx, m_mv, m_ref, pm)
+                cost_merge = best_merge[0]
 
-                left = info[by][bx - 1] if bx else None
-                left_intra_mode = (left.intra_mode
-                                   if left and left.pred_mode == MODE_INTRA
-                                   else DC)
+                # explicit ME: best reference by SATD + rate
+                best_me = None
+                for r in range(n_refs):
+                    mvx_r, mvy_r, satd_r = me_per_ref[r]
+                    me_mv = (int(mvx_r[i]), int(mvy_r[i]))
+                    amvp = motion.amvp_candidates(
+                        grid, bx, by, r, ref_pocs, poc, col_field,
+                        cfg.temporal_mvp)
+                    mvds = [(me_mv[0] - p[0], me_mv[1] - p[1]) for p in amvp]
+                    bits = [mvd_bits_estimate(d) for d in mvds]
+                    mvp_idx = 0 if bits[0] <= bits[1] else 1
+                    c = int(satd_r[i]) + round(
+                        sl * (4 + r + bits[mvp_idx]))
+                    if best_me is None or c < best_me[0]:
+                        best_me = (c, r, me_mv, mvp_idx, mvds[mvp_idx])
+                cost_me = best_me[0]
+
                 imode = int(intra_modes[by, bx])
+                left = info[by][bx - 1] if bx else None
                 ref_arr = ic.build_ref_np(rec_y, xx, yy, 16)
                 pred_intra = intra_ops.predict_intra_np(ref_arr, imode, 4)
                 satd_intra = _satd8(oy, pred_intra)
-
-                cost_merge = satd_merge + round(sl * 2)
-                cost_me = satd_me + round(sl * (6 + mvd_bits_estimate(mvd)))
                 cost_intra = satd_intra + round(sl * 9)
 
                 b = BlockInfo()
@@ -407,15 +473,22 @@ class LowDelayEncoder(ic.IntraEncoder):
                 else:
                     b.pred_mode = MODE_INTER
                     if cost_merge <= cost_me:
+                        _, m_idx, m_mv, m_ref, pm = best_merge
                         b.merge = True
-                        b.mv = tuple(merge_mv)
-                        pred = pred_merge
+                        b.merge_idx = m_idx
+                        b.mv = tuple(m_mv)
+                        b.ref_idx = m_ref
+                        b.ref_poc = ref_pocs[m_ref]
+                        pred = pm
                     else:
+                        _, r, me_mv, mvp_idx, mvd = best_me
                         b.merge = False
                         b.mv = me_mv
+                        b.ref_idx = r
+                        b.ref_poc = ref_pocs[r]
                         b.mvp_idx = mvp_idx
                         b.mvd = mvd
-                        pred = pred_me
+                        pred = mcl(r, xx, yy, *me_mv)
 
                 # luma TB
                 lv, rec = ic.code_tb_np(oy, pred, qp, 4, dst=False,
@@ -430,8 +503,7 @@ class LowDelayEncoder(ic.IntraEncoder):
                         predc = intra_ops.predict_intra_np(refc, imode, 3,
                                                            is_luma=False)
                     else:
-                        refc_plane = ref_u if comp == 0 else ref_v
-                        predc = mcc(refc_plane, comp, cx, cy,
+                        predc = mcc(b.ref_idx, comp, cx, cy,
                                     b.mv[0], b.mv[1])
                     lvc, recc = ic.code_tb_np(po[cy:cy + 8, cx:cx + 8],
                                               predc, qp_c, 3, dst=False,
@@ -452,10 +524,19 @@ class LowDelayEncoder(ic.IntraEncoder):
                     b.skip = True
                 rec_y[yy:yy + 16, xx:xx + 16] = rec if b.cbf_y else pred
                 info[by][bx] = b
-                intra_satd[i] = satd_intra
+
+        # motion field of this picture (TMVP source for later pictures)
+        mf = motion.MotionField.empty(bw, bh, poc)
+        for by in range(bh):
+            for bx in range(bw):
+                b = info[by][bx]
+                if b.pred_mode == MODE_INTER:
+                    mf.inter[by, bx] = True
+                    mf.mv[by, bx] = b.mv
+                    mf.ref_poc[by, bx] = b.ref_poc
 
         # ---- pass 3: CABAC ----
-        slice_nal = self._encode_p_slice(info, poc, wp)
+        slice_nal = self._encode_p_slice(info, poc, wp, n_refs)
 
         # ---- deblock with BS maps ----
         if not cfg.deblocking_disabled:
@@ -463,23 +544,52 @@ class LowDelayEncoder(ic.IntraEncoder):
             rec_y, rec_u, rec_v = deblock_ops.deblock_420_bs_np(
                 rec_y, rec_u, rec_v, qp, bs_ver, bs_hor)
         sei_nal = self._hash_sei(rec_y, rec_u, rec_v)
-        return [slice_nal, sei_nal], (rec_y, rec_u, rec_v)
+        return [slice_nal, sei_nal], (rec_y, rec_u, rec_v), mf
 
-    def _encode_p_slice(self, info, poc, wp=None) -> bytes:
+    def _encode_p_slice(self, info, poc, wp=None, n_refs: int = 1) -> bytes:
         cfg = self.cfg
         bw, bh = cfg.width // 16, cfg.height // 16
-        w = write_p_slice_header(cfg, poc, wp)
+        w = write_p_slice_header(cfg, poc, wp, n_refs)
         states = ctx.init_states(ctx.P, cfg.qp)
         enc = cabac.CabacEncoder(w, states)
         for by in range(bh):
             for bx in range(bw):
-                self._encode_p_ctu(enc, info, bx, by, bw, bh)
+                self._encode_p_ctu(enc, info, bx, by, bw, bh, n_refs)
                 last = (by == bh - 1 and bx == bw - 1)
                 enc.encode_terminate(1 if last else 0)
         enc.finish_slice()
         return bs.nal_unit(NAL_TRAIL_R, w.data())
 
-    def _encode_p_ctu(self, enc, info, bx, by, bw, bh):
+    def _encode_merge_idx(self, enc, idx: int) -> None:
+        """merge_idx TR binarization: first bin ctx, rest bypass
+        (TEncSbac codeMergeIndex)."""
+        if self.cfg.merge_cands <= 1:
+            return
+        enc.encode_bin(ctx.off("merge_idx"), 1 if idx > 0 else 0)
+        if idx > 0:
+            for k in range(1, idx):
+                enc.encode_bypass(1)
+            if idx < self.cfg.merge_cands - 1:
+                enc.encode_bypass(0)
+
+    @staticmethod
+    def _encode_ref_idx(enc, idx: int, n_refs: int) -> None:
+        """ref_idx TR binarization: bins 0/1 ctx-coded, rest bypass
+        (TEncSbac codeRefFrmIdx; spec 9.3.3 Table 9-40)."""
+        if n_refs <= 1:
+            return
+        enc.encode_bin(ctx.off("ref_idx", 0), 1 if idx > 0 else 0)
+        if idx > 0 and n_refs > 2:
+            for k in range(1, n_refs - 1):
+                bin_v = 1 if idx > k else 0
+                if k == 1:
+                    enc.encode_bin(ctx.off("ref_idx", 1), bin_v)
+                else:
+                    enc.encode_bypass(bin_v)
+                if not bin_v:
+                    break
+
+    def _encode_p_ctu(self, enc, info, bx, by, bw, bh, n_refs):
         b: BlockInfo = info[by][bx]
         left = info[by][bx - 1] if bx else None
         above = info[by - 1][bx] if by else None
@@ -487,7 +597,8 @@ class LowDelayEncoder(ic.IntraEncoder):
                    (1 if (above and above.skip) else 0)
         enc.encode_bin(ctx.off("skip_flag", skip_ctx), 1 if b.skip else 0)
         if b.skip:
-            return  # merge candidate implied (MaxNumMergeCand=1)
+            self._encode_merge_idx(enc, b.merge_idx)
+            return
         enc.encode_bin(ctx.off("pred_mode"),
                        1 if b.pred_mode == MODE_INTRA else 0)
         if b.pred_mode == MODE_INTRA:
@@ -497,7 +608,10 @@ class LowDelayEncoder(ic.IntraEncoder):
         else:
             enc.encode_bin(ctx.off("part_size"), 1)  # PART_2Nx2N
             enc.encode_bin(ctx.off("merge_flag"), 1 if b.merge else 0)
+            if b.merge:
+                self._encode_merge_idx(enc, b.merge_idx)
             if not b.merge:
+                self._encode_ref_idx(enc, b.ref_idx, n_refs)
                 self._encode_mvd(enc, b.mvd)
                 enc.encode_bin(ctx.off("mvp_idx"), b.mvp_idx)
             has_resid = b.cbf_y or b.cbf_cb or b.cbf_cr
@@ -608,9 +722,25 @@ class LowDelayDecoder(ic.IntraDecoder):
 
     def __init__(self, conceal: bool = False) -> None:
         super().__init__()
-        self._ref = None
+        self._dpb: list[tuple] = []   # (poc, planes, MotionField) newest 1st
         self.conceal = conceal
         self.concealed: list[int] = []
+        # decoder-analyser style mode statistics (dec_statistics.c parity)
+        self.stats: dict = {"merge_idx": {}, "ref_idx": {}}
+
+    @property
+    def _ref(self):
+        return self._dpb[0][1] if self._dpb else None
+
+    def _store(self, poc, frame, mf=None):
+        from video_codecs_tpu.models.hevc import motion
+
+        if mf is None:
+            bw = self.cfg.width // 16
+            bh = self.cfg.height // 16
+            mf = motion.MotionField.empty(bw, bh, poc)
+        self._dpb.insert(0, (poc, frame, mf))
+        del self._dpb[8:]
 
     def decode(self, stream: bytes):
         frames = []
@@ -626,18 +756,21 @@ class LowDelayDecoder(ic.IntraDecoder):
             elif nal_type in (bs.NAL_IDR_W_RADL, bs.NAL_IDR_N_LP, bs.NAL_CRA):
                 frame = self._decode_slice(rbsp, nal_type)
                 frames.append(frame)
-                self._ref = frame
+                self._dpb = []
+                self._store(0, frame)
             elif nal_type == NAL_TRAIL_R:
                 if self.conceal:
                     try:
-                        frame = self._decode_p_slice(rbsp)
+                        frame, poc, mf = self._decode_p_slice(rbsp)
                     except Exception:
                         frame = tuple(p.copy() for p in self._ref)
+                        poc = self._dpb[0][0] + 1
+                        mf = None
                         self.concealed.append(len(frames))
                 else:
-                    frame = self._decode_p_slice(rbsp)
+                    frame, poc, mf = self._decode_p_slice(rbsp)
                 frames.append(frame)
-                self._ref = frame
+                self._store(poc, frame, mf)
             elif nal_type == bs.NAL_SUFFIX_SEI:
                 import hashlib
                 md5s = self._parse_hash_sei(rbsp)
@@ -649,15 +782,22 @@ class LowDelayDecoder(ic.IntraDecoder):
         return frames
 
     def _decode_p_slice(self, rbsp: bytes):
+        from video_codecs_tpu.models.hevc import motion
         from video_codecs_tpu.ops import intra as intra_ops
 
         cfg, pps = self.cfg, self.pps
-        poc, qp, offset_bits, wp = parse_p_slice_header(rbsp, pps)
+        h = parse_p_slice_header(rbsp, pps, sps_tmvp=cfg.temporal_mvp)
+        poc, qp, wp = h.poc, h.qp, h.wp
         qp_c = ic.chroma_qp(qp)
         bw, bh = cfg.width // 16, cfg.height // 16
-        ref_y, ref_u, ref_v = (r.astype(np.int32) for r in self._ref)
+        refs = self._dpb[:h.n_refs]
+        assert len(refs) == h.n_refs, "missing reference pictures"
+        ref_pocs = [p for (p, _, _) in refs]
+        ref_planes = [tuple(pl.astype(np.int32) for pl in planes)
+                      for (_, planes, _) in refs]
+        col_field = refs[0][2] if h.tmvp else None
 
-        data = rbsp[offset_bits // 8:]
+        data = rbsp[h.data_offset_bits // 8:]
         states = ctx.init_states(ctx.P, qp)
         dec = cabac.CabacDecoder(bs.BitReader(data), states)
 
@@ -665,10 +805,12 @@ class LowDelayDecoder(ic.IntraDecoder):
         rec_u = np.zeros((cfg.height // 2, cfg.width // 2), np.int32)
         rec_v = np.zeros_like(rec_u)
         info: list[list[BlockInfo | None]] = [[None] * bw for _ in range(bh)]
+        grid = motion.NeighborGrid(info, bw, bh)
 
         for by in range(bh):
             for bx in range(bw):
-                b = self._decode_p_ctu(dec, info, bx, by, bw, bh)
+                b = self._decode_p_ctu(dec, info, grid, bx, by, h, ref_pocs,
+                                       poc, col_field)
                 info[by][bx] = b
                 xx, yy = bx * 16, by * 16
                 cx, cy = xx // 2, yy // 2
@@ -676,6 +818,7 @@ class LowDelayDecoder(ic.IntraDecoder):
                     ref_arr = ic.build_ref_np(rec_y, xx, yy, 16)
                     pred = intra_ops.predict_intra_np(ref_arr, b.intra_mode, 4)
                 else:
+                    ref_y = ref_planes[b.ref_idx][0]
                     pred = (interp.mc_luma_np(ref_y, xx, yy, *b.mv, 16)
                             if wp is None else
                             interp.mc_luma_wp_np(ref_y, xx, yy, *b.mv, 16,
@@ -689,7 +832,7 @@ class LowDelayDecoder(ic.IntraDecoder):
                         predc = intra_ops.predict_intra_np(
                             refc, b.intra_mode, 3, is_luma=False)
                     else:
-                        rp = ref_u if comp == 0 else ref_v
+                        rp = ref_planes[b.ref_idx][1 + comp]
                         predc = (interp.mc_chroma_np(rp, cx, cy, *b.mv, 8)
                                  if wp is None else
                                  interp.mc_chroma_wp_np(
@@ -702,23 +845,71 @@ class LowDelayDecoder(ic.IntraDecoder):
                 last = (by == bh - 1 and bx == bw - 1)
                 assert end == (1 if last else 0)
 
+        mf = motion.MotionField.empty(bw, bh, poc)
+        for by in range(bh):
+            for bx in range(bw):
+                b = info[by][bx]
+                if b.pred_mode == MODE_INTER:
+                    mf.inter[by, bx] = True
+                    mf.mv[by, bx] = b.mv
+                    mf.ref_poc[by, bx] = b.ref_poc
+
         if not pps.deblocking_disabled:
             bs_ver, bs_hor = compute_bs_maps(info, bw, bh)
             rec_y, rec_u, rec_v = deblock_ops.deblock_420_bs_np(
                 rec_y, rec_u, rec_v, qp, bs_ver, bs_hor)
-        return rec_y, rec_u, rec_v
+        return (rec_y, rec_u, rec_v), poc, mf
 
-    def _decode_p_ctu(self, dec, info, bx, by, bw, bh) -> BlockInfo:
+    def _decode_merge_idx(self, dec, merge_cands: int) -> int:
+        if merge_cands <= 1:
+            return 0
+        if not dec.decode_bin(ctx.off("merge_idx")):
+            return 0
+        idx = 1
+        while idx < merge_cands - 1 and dec.decode_bypass():
+            idx += 1
+        return idx
+
+    @staticmethod
+    def _decode_ref_idx(dec, n_refs: int) -> int:
+        if n_refs <= 1:
+            return 0
+        if not dec.decode_bin(ctx.off("ref_idx", 0)):
+            return 0
+        idx = 1
+        for k in range(1, n_refs - 1):
+            bin_v = (dec.decode_bin(ctx.off("ref_idx", 1)) if k == 1
+                     else dec.decode_bypass())
+            if not bin_v:
+                break
+            idx += 1
+        return idx
+
+    def _decode_p_ctu(self, dec, info, grid, bx, by, h, ref_pocs, poc,
+                      col_field) -> BlockInfo:
+        from video_codecs_tpu.models.hevc import motion
+
         b = BlockInfo()
+        bw, bh = self.cfg.width // 16, self.cfg.height // 16
         left = info[by][bx - 1] if bx else None
         above = info[by - 1][bx] if by else None
         skip_ctx = (1 if (left and left.skip) else 0) + \
                    (1 if (above and above.skip) else 0)
+
+        def apply_merge(idx):
+            cands = motion.merge_candidates(grid, bx, by, ref_pocs, poc,
+                                            col_field, h.merge_cands, h.tmvp)
+            b.merge_idx = idx
+            b.mv, b.ref_idx = cands[idx]
+            b.ref_poc = ref_pocs[b.ref_idx]
+            self.stats["merge_idx"][idx] = \
+                self.stats["merge_idx"].get(idx, 0) + 1
+
         if dec.decode_bin(ctx.off("skip_flag", skip_ctx)):
             b.skip = True
             b.merge = True
             b.pred_mode = MODE_INTER
-            b.mv = derive_merge_candidate(info, bx, by, bw, bh)
+            apply_merge(self._decode_merge_idx(dec, h.merge_cands))
             return b
         if dec.decode_bin(ctx.off("pred_mode")):
             b.pred_mode = MODE_INTRA
@@ -744,11 +935,17 @@ class LowDelayDecoder(ic.IntraDecoder):
             assert dec.decode_bin(ctx.off("part_size")) == 1
             b.merge = bool(dec.decode_bin(ctx.off("merge_flag")))
             if b.merge:
-                b.mv = derive_merge_candidate(info, bx, by, bw, bh)
+                apply_merge(self._decode_merge_idx(dec, h.merge_cands))
             else:
+                b.ref_idx = self._decode_ref_idx(dec, h.n_refs)
+                self.stats["ref_idx"][b.ref_idx] = \
+                    self.stats["ref_idx"].get(b.ref_idx, 0) + 1
+                b.ref_poc = ref_pocs[b.ref_idx]
                 b.mvd = self._decode_mvd(dec)
                 b.mvp_idx = dec.decode_bin(ctx.off("mvp_idx"))
-                amvp = derive_amvp(info, bx, by, bw, bh)
+                amvp = motion.amvp_candidates(grid, bx, by, b.ref_idx,
+                                              ref_pocs, poc, col_field,
+                                              h.tmvp)
                 p = amvp[b.mvp_idx]
                 b.mv = (p[0] + b.mvd[0], p[1] + b.mvd[1])
             if not b.merge:
