@@ -72,9 +72,12 @@ def mv_scale(mv: tuple[int, int], tb: int, td: int) -> tuple[int, int]:
     return (out[0], out[1])
 
 
-def derive_merge(info, bx, by, bw, bh) -> tuple[int, dict]:
+def derive_merge(info, bx, by, bw, bh,
+                 is_b_slice: bool = False) -> tuple[int, dict]:
     """First merge candidate: copies interDir + MVs of the first available
-    inter neighbor (A1, B1, B0, A0, B2), else zero-MV L0."""
+    inter neighbor (A1, B1, B0, A0, B2); the zero fallback is
+    BI-predictive in B slices (spec 8.5.3.2.3: zero candidates set both
+    predFlagL0 and predFlagL1 for B)."""
     def nb(nbx, nby):
         if nbx < 0 or nby < 0 or nbx >= bw or nby >= bh:
             return None
@@ -90,6 +93,8 @@ def derive_merge(info, bx, by, bw, bh) -> tuple[int, dict]:
         b = nb(nbx, nby)
         if b is not None:
             return b.inter_dir, dict(b.mv)
+    if is_b_slice:
+        return 3, {L0: (0, 0), L1: (0, 0)}
     return 1, {L0: (0, 0)}
 
 
@@ -302,7 +307,8 @@ class HierarchicalBEncoder(pc.LowDelayEncoder):
                 i = by * bw + bx
                 xx, yy = bx * 16, by * 16
                 oy = cur[i]
-                mdir, mmv = derive_merge(info, bx, by, bw, bh)
+                mdir, mmv = derive_merge(info, bx, by, bw, bh,
+                                         is_b_slice=not is_anchor)
                 if mdir == 3:
                     pred_merge = interp.mc_luma_bi_np(
                         ref_planes[L0][0], ref_planes[L1][0], xx, yy,
@@ -665,7 +671,8 @@ class HierarchicalBDecoder(ic.IntraDecoder):
             b.skip = True
             b.merge = True
             b.pred_mode = MODE_INTER
-            b.inter_dir, b.mv = derive_merge(info, bx, by, bw, bh)
+            b.inter_dir, b.mv = derive_merge(info, bx, by, bw, bh,
+                                             is_b_slice=not is_anchor)
             return b
         if dec.decode_bin(ctx.off("pred_mode")):
             b.pred_mode = MODE_INTRA
@@ -691,7 +698,8 @@ class HierarchicalBDecoder(ic.IntraDecoder):
             assert dec.decode_bin(ctx.off("part_size")) == 1
             b.merge = bool(dec.decode_bin(ctx.off("merge_flag")))
             if b.merge:
-                b.inter_dir, b.mv = derive_merge(info, bx, by, bw, bh)
+                b.inter_dir, b.mv = derive_merge(info, bx, by, bw, bh,
+                                                 is_b_slice=not is_anchor)
             else:
                 bi = False
                 lx = L0
