@@ -5,8 +5,13 @@ Usage (HM conventions, cfg files from hm-16.5rc1/cfg parse as-is):
       -c encoder_intra_main.cfg -c per-sequence/Foo.cfg \
       -i in.yuv -b out.bin -o rec.yuv --QP=32 [--fast=1]
 
-IntraPeriod 1 selects the all-intra build; anything else the low-delay P
-(IPPP) build.  Prints an HM-style summary (TEncAnalyze.h:139 printOut).
+Build selection mirrors the cfg's coding structure: IntraPeriod 1 = all
+intra (--fast=1 picks the device CU-quadtree encoder, otherwise the host
+16x16 path); GOPEntry tables with future references (stock
+encoder_randomaccess_main.cfg) = the GOP-driven hierarchical-B encoder;
+anything else = low-delay P with the cfg's MaxNumMergeCand/TMVPMode and
+GOPEntry-derived reference count.  Prints an HM-style summary
+(TEncAnalyze.h:139 printOut).
 """
 
 from __future__ import annotations
@@ -36,11 +41,22 @@ def main(argv=None) -> None:
     y, u, v = yuv.read_frames(s.input_file, s.width, s.height,
                               s.frames, s.frame_skip)
     frames = [(y[i], u[i], v[i]) for i in range(y.shape[0])]
+
+    ra = any(d > 0 for e in s.gop_entries for d in e.ref_pics)
     cfg = headers.HevcConfig(
         width=s.width, height=s.height, qp=s.qp,
         sign_data_hiding=s.sign_data_hiding,
         deblocking_disabled=s.deblocking_disabled,
-        tile_columns=s.tile_columns, sao=s.sao, rdoq=s.rdoq)
+        tile_columns=s.tile_columns, sao=s.sao, rdoq=s.rdoq,
+        merge_cands=max(1, min(5, s.merge_cands)),
+        temporal_mvp=s.temporal_mvp,
+        num_refs=max(1, min(4, s.num_refs)),
+        reorder_pics=3 if ra else 0)
+
+    if s.intra_period != 1 and cfg.sao:
+        print("** warning: SAO on inter builds not implemented yet — "
+              "disabled", file=sys.stderr)
+        cfg.sao = False
 
     rc = None
     if s.target_bitrate:
@@ -48,11 +64,29 @@ def main(argv=None) -> None:
                                         s.width, s.height, base_qp=s.qp)
     t0 = time.time()
     if s.intra_period == 1:
-        enc = intra_codec.IntraEncoder(cfg)
-        stream, recons = enc.encode_sequence(frames, fast=fast)
+        if fast:
+            from video_codecs_tpu.models.hevc import quadtree_codec
+            cfg.log2_ctb, cfg.log2_min_cb, cfg.log2_max_tb = 5, 3, 5
+            cfg.sao = False
+            enc = quadtree_codec.QuadtreeFastEncoder(cfg)
+            stream, recons = enc.encode_sequence(frames)
+        else:
+            enc = intra_codec.IntraEncoder(cfg)
+            stream, recons = enc.encode_sequence(frames)
+    elif ra:
+        from video_codecs_tpu.models.hevc import ra_codec
+        cfg.merge_cands = 1   # RA build codes 1 merge candidate
+        cfg.temporal_mvp = False
+        # DPB sizing must cover every RETAINED picture (ref_pics deltas),
+        # not just the active list lengths
+        cfg.num_refs = max(len(e.ref_pics) for e in s.gop_entries)
+        enc = ra_codec.RandomAccessEncoder(
+            cfg, gop=s.gop_entries, search_range=s.search_range,
+            me_method=s.me_method)
+        stream, recons = enc.encode_sequence_ra(frames)
     else:
         enc = inter_codec.LowDelayEncoder(
-            cfg, search_range=min(s.search_range, 32), me_method=s.me_method)
+            cfg, search_range=s.search_range, me_method=s.me_method)
         stream, recons = enc.encode_sequence_ldp(frames, rate_control=rc)
     dt = time.time() - t0
 

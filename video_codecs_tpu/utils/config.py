@@ -57,6 +57,10 @@ class EncoderSettings:
     search_range: int = 64         # HM SearchRange default
     me_method: str = "auto"        # FastSearch: 0=full, 1=tz
     target_bitrate: int = 0        # 0 = rate control off
+    merge_cands: int = 1           # MaxNumMergeCand
+    temporal_mvp: bool = False     # TMVPMode
+    num_refs: int = 1              # L0 refs (from GOPEntry actives)
+    gop_entries: tuple = ()        # parsed FrameN lines (RA/LD tables)
     unsupported: dict[str, str] = dataclasses.field(default_factory=dict)
 
 
@@ -66,6 +70,7 @@ _SUPPORTED = {
     "GOPSize", "SignHideFlag", "LoopFilterDisable", "NumTileColumnsMinus1",
     "RateControl", "TargetBitrate", "InputBitDepth", "InputChromaFormat",
     "Profile", "Level", "SAO", "RDOQ", "SearchRange", "FastSearch",
+    "MaxNumMergeCand", "TMVPMode", "DecodingRefreshType",
 }
 
 
@@ -97,6 +102,16 @@ def to_encoder_settings(opts: dict[str, str]) -> EncoderSettings:
     s.me_method = "full" if fs == "0" else ("tz" if fs == "1" else "auto")
     if g("RateControl", "0") not in ("0", "false"):
         s.target_bitrate = int(g("TargetBitrate", "0"))
+    s.merge_cands = int(g("MaxNumMergeCand", "1"))
+    s.temporal_mvp = g("TMVPMode", "0") not in ("0", "false")
+    # GOPEntry tables (FrameN lines) drive the RA/LD coding structure
+    frame_lines = [f"Frame{k}: {opts[f'Frame{k}']}"
+                   for k in range(1, 65) if f"Frame{k}" in opts]
+    if frame_lines:
+        from video_codecs_tpu.models.hevc import ra_codec
+        s.gop_entries = tuple(
+            ra_codec.parse_gop_entries("\n".join(frame_lines)))
+        s.num_refs = max(e.num_ref_pics_active for e in s.gop_entries)
     if g("InputBitDepth", "8") != "8":
         s.unsupported["InputBitDepth"] = opts["InputBitDepth"]
     if g("InputChromaFormat", "420") != "420":
@@ -104,6 +119,8 @@ def to_encoder_settings(opts: dict[str, str]) -> EncoderSettings:
     # Record the tool requests this build does not implement yet, so the
     # caller can warn instead of silently ignoring them.
     for name, value in opts.items():
+        if name.startswith("Frame") and name[5:].isdigit():
+            continue
         if name not in _SUPPORTED and value not in ("", "0", "false"):
             s.unsupported.setdefault(name, value)
     return s
