@@ -77,9 +77,11 @@ def test_ldp_hm_conformance(tmp_path):
 
 @pytest.mark.parametrize("ctrl", ["rlambda", "urq"])
 def test_rate_control_hits_target(ctrl):
+    """30-frame encode must land within +-10% of the target bitrate
+    (real-controller accuracy; VERDICT round-1 weak #4)."""
     from video_codecs_tpu.models.hevc import ratectrl
     w, h, fps = 64, 48, 30.0
-    frames = moving_clip(w, h, 10)
+    frames = moving_clip(w, h, 30)
     target_bps = 120_000.0
     cfg = headers.HevcConfig(width=w, height=h, qp=32)
     enc = inter_codec.LowDelayEncoder(cfg)
@@ -88,14 +90,42 @@ def test_rate_control_hits_target(ctrl):
     rc = cls(target_bps, fps, w, h, base_qp=32)
     stream, recons = enc.encode_sequence_ldp(frames, rate_control=rc)
     achieved = len(stream) * 8 * fps / len(frames)
-    assert 0.55 * target_bps < achieved < 1.6 * target_bps, \
+    assert 0.9 * target_bps < achieved < 1.1 * target_bps, \
         (achieved, enc.frame_qps)
     assert len(set(enc.frame_qps)) > 1, "QP never adapted"
     # stream remains decodable (per-slice QP via slice_qp_delta)
     dec = inter_codec.LowDelayDecoder()
     out = dec.decode(stream)
-    assert len(out) == 10
+    assert len(out) == 30
     np.testing.assert_array_equal(out[-1][0], recons[-1][0])
+
+
+def test_ctu_rate_control_cu_qp_delta_conformance(tmp_path):
+    """CTU-level QP signalling: varying per-CU QPs (cu_qp_delta_abs/sign,
+    spec 9.3.3.8; 8.6.1 QP prediction) round-trip in our decoder and in
+    HM's, including the QP-aware deblocking (8.7.2.5.3 edge QPs)."""
+    import subprocess
+    w, h = 80, 48
+    frames = moving_clip(w, h, 6)
+    cfg = headers.HevcConfig(width=w, height=h, qp=32, num_refs=2,
+                             merge_cands=5, cu_qp_delta=True)
+    enc = inter_codec.LowDelayEncoder(cfg, search_range=8)
+    stream, recons = enc.encode_sequence_ldp(frames)
+    dec = inter_codec.LowDelayDecoder()
+    out = dec.decode(stream)
+    assert dec.hash_status == [True] * 6
+    for o, r in zip(out, recons):
+        np.testing.assert_array_equal(o[0], r[0])
+        np.testing.assert_array_equal(o[1], r[1])
+    if not os.path.exists(HM_DECODER):
+        pytest.skip("HM reference decoder not built")
+    p = tmp_path / "dqp.bin"
+    p.write_bytes(stream)
+    r = subprocess.run([HM_DECODER, "-b", str(p),
+                        "-o", str(tmp_path / "r.yuv")],
+                       capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stdout[-1500:]
+    assert r.stdout.count("(OK)") == 6 and "ERROR" not in r.stdout
 
 
 def test_checkpoint_resume_bit_identical(tmp_path):

@@ -38,6 +38,7 @@ class HevcConfig:
     wpp: bool = False          # entropy_coding_sync (WPP substreams)
     weighted_pred: bool = False  # explicit WP for P slices (TComWeightPrediction)
     num_refs: int = 1          # active L0 references (P slices)
+    cu_qp_delta: bool = False  # CTU-level QP (rate control dQP signalling)
     merge_cands: int = 1       # MaxNumMergeCand (1..5)
     temporal_mvp: bool = False  # sps/slice temporal MVP (TMVP candidate)
 
@@ -196,7 +197,9 @@ def write_pps(cfg: HevcConfig) -> bytes:
     w.se(0)         # init_qp_minus26
     w.flag(0)       # constrained_intra_pred_flag
     w.flag(0)       # transform_skip_enabled_flag
-    w.flag(0)       # cu_qp_delta_enabled_flag
+    w.flag(1 if cfg.cu_qp_delta else 0)  # cu_qp_delta_enabled_flag
+    if cfg.cu_qp_delta:
+        w.ue(0)     # diff_cu_qp_delta_depth (QG = CTB)
     w.se(0)         # pps_cb_qp_offset
     w.se(0)         # pps_cr_qp_offset
     w.flag(0)       # pps_slice_chroma_qp_offsets_present_flag
@@ -234,6 +237,7 @@ class PpsInfo:
     tile_columns: int = 1
     wpp: bool = False
     weighted_pred: bool = False
+    cu_qp_delta: bool = False
 
 
 def parse_pps(rbsp: bytes) -> PpsInfo:
@@ -248,7 +252,9 @@ def parse_pps(rbsp: bytes) -> PpsInfo:
     init_qp = 26 + r.se()
     assert not r.flag(), "constrained intra pred unsupported"
     assert not r.flag(), "transform skip unsupported"
-    assert not r.flag(), "cu_qp_delta unsupported"
+    cu_dqp = bool(r.flag())
+    if cu_dqp:
+        assert r.ue() == 0, "QG below CTB depth unsupported"
     assert r.se() == 0 and r.se() == 0, "chroma QP offsets unsupported"
     assert not r.flag()
     wp = bool(r.flag())        # weighted_pred_flag
@@ -271,7 +277,8 @@ def parse_pps(rbsp: bytes) -> PpsInfo:
             r.se(), r.se()
     return PpsInfo(sign_data_hiding=sdh, init_qp=init_qp,
                    deblocking_disabled=dbf_disabled,
-                   tile_columns=tile_columns, wpp=wpp, weighted_pred=wp)
+                   tile_columns=tile_columns, wpp=wpp, weighted_pred=wp,
+                   cu_qp_delta=cu_dqp)
 
 
 def write_slice_header(cfg: HevcConfig, nal_type: int,

@@ -54,6 +54,8 @@ class BlockInfo:
     ref_idx: int = 0              # L0 reference index
     ref_poc: int = 0              # POC of the used reference
     intra_mode: int = DC
+    qp: int = 0                   # final CU QP (cu_qp_delta pictures)
+    qp_delta: int = 0
     cbf_y: bool = False
     cbf_cb: bool = False
     cbf_cr: bool = False
@@ -415,6 +417,20 @@ class LowDelayEncoder(ic.IntraEncoder):
         from video_codecs_tpu.ops import intra as intra_ops
         sl = math.sqrt(0.57 * 2.0 ** ((qp - 12) / 3.0))
 
+        qp_map = None
+        if cfg.cu_qp_delta:
+            # CTU-level rate control: per-block QP from ME complexity
+            # (TEncRateCtrl getLCUTargetBpp/getLCUEstLambdaAndQP analog)
+            satd_map = me_per_ref[0][2].reshape(bh, bw).astype(np.float64)
+            if getattr(self, "ctu_rc", None) is not None:
+                qp_map = self.ctu_rc.ctu_qps(qp, satd_map)
+            else:
+                w_ = satd_map + 1.0
+                rel = np.log2(w_ / np.exp(np.log(w_).mean()))
+                qp_map = np.clip(qp - np.round(rel).astype(int), qp - 3,
+                                 qp + 3).clip(1, 51)
+        prev_qp = qp
+
         # ---- pass 2 (raster): decide + recon ----
         rec_y = np.zeros_like(yv)
         rec_u = np.zeros_like(uv)
@@ -490,8 +506,10 @@ class LowDelayEncoder(ic.IntraEncoder):
                         b.mvd = mvd
                         pred = mcl(r, xx, yy, *me_mv)
 
-                # luma TB
-                lv, rec = ic.code_tb_np(oy, pred, qp, 4, dst=False,
+                # luma TB (per-CU QP when cu_qp_delta is on)
+                bqp = int(qp_map[by, bx]) if qp_map is not None else qp
+                bqp_c = ic.chroma_qp(bqp)
+                lv, rec = ic.code_tb_np(oy, pred, bqp, 4, dst=False,
                                         sbh=cfg.sign_data_hiding)
                 b.cbf_y = bool(lv.any())
                 b.levels_y = lv if b.cbf_y else None
@@ -506,7 +524,7 @@ class LowDelayEncoder(ic.IntraEncoder):
                         predc = mcc(b.ref_idx, comp, cx, cy,
                                     b.mv[0], b.mv[1])
                     lvc, recc = ic.code_tb_np(po[cy:cy + 8, cx:cx + 8],
-                                              predc, qp_c, 3, dst=False,
+                                              predc, bqp_c, 3, dst=False,
                                               sbh=cfg.sign_data_hiding)
                     cbf = bool(lvc.any())
                     if comp == 0:
@@ -522,6 +540,15 @@ class LowDelayEncoder(ic.IntraEncoder):
                 no_resid = not (b.cbf_y or b.cbf_cb or b.cbf_cr)
                 if b.pred_mode == MODE_INTER and b.merge and no_resid:
                     b.skip = True
+                if cfg.cu_qp_delta:
+                    if no_resid:
+                        b.qp = prev_qp     # no delta coded: QP = qPY_PRED
+                    else:
+                        b.qp = bqp
+                        b.qp_delta = bqp - prev_qp
+                        prev_qp = bqp
+                else:
+                    b.qp = qp
                 rec_y[yy:yy + 16, xx:xx + 16] = rec if b.cbf_y else pred
                 info[by][bx] = b
 
@@ -538,11 +565,15 @@ class LowDelayEncoder(ic.IntraEncoder):
         # ---- pass 3: CABAC ----
         slice_nal = self._encode_p_slice(info, poc, wp, n_refs)
 
-        # ---- deblock with BS maps ----
+        # ---- deblock with BS maps (per-CU QP aware) ----
         if not cfg.deblocking_disabled:
             bs_ver, bs_hor = compute_bs_maps(info, bw, bh)
+            dq_map = None
+            if cfg.cu_qp_delta:
+                dq_map = np.array([[info[r][c].qp for c in range(bw)]
+                                   for r in range(bh)], np.int32)
             rec_y, rec_u, rec_v = deblock_ops.deblock_420_bs_np(
-                rec_y, rec_u, rec_v, qp, bs_ver, bs_hor)
+                rec_y, rec_u, rec_v, qp, bs_ver, bs_hor, qp_map=dq_map)
         sei_nal = self._hash_sei(rec_y, rec_u, rec_v)
         return [slice_nal, sei_nal], (rec_y, rec_u, rec_v), mf
 
@@ -626,6 +657,8 @@ class LowDelayEncoder(ic.IntraEncoder):
                 enc.encode_bin(ctx.off("cbf_luma", 1), 1 if b.cbf_y else 0)
             else:
                 assert b.cbf_y, "inter rootCbf=1 with all-zero cbfs"
+            if self.cfg.cu_qp_delta and has_resid:
+                encode_cu_qp_delta(enc, b.qp_delta)
             if b.cbf_y:
                 residual.encode_residual(enc, b.levels_y, 4, rom.SCAN_DIAG, True, sign_hiding=self.cfg.sign_data_hiding)
             if b.cbf_cb:
@@ -637,6 +670,8 @@ class LowDelayEncoder(ic.IntraEncoder):
         enc.encode_bin(ctx.off("cbf_chroma"), 1 if b.cbf_cb else 0)
         enc.encode_bin(ctx.off("cbf_chroma"), 1 if b.cbf_cr else 0)
         enc.encode_bin(ctx.off("cbf_luma", 1), 1 if b.cbf_y else 0)
+        if self.cfg.cu_qp_delta and (b.cbf_y or b.cbf_cb or b.cbf_cr):
+            encode_cu_qp_delta(enc, b.qp_delta)
         if b.cbf_y:
             residual.encode_residual(enc, b.levels_y, 4, rom.SCAN_DIAG, True, sign_hiding=self.cfg.sign_data_hiding)
         if b.cbf_cb:
@@ -699,6 +734,53 @@ def _read_eg1(dec) -> int:
         value += 1 << count
         count += 1
     return value + dec.decode_bypass_bins(count)
+
+
+def encode_cu_qp_delta(enc, delta: int) -> None:
+    """cu_qp_delta_abs TU(5)+EG0 with ctx dqp[0]/dqp[1], then sign
+    (TEncSbac codeDeltaQP; spec 9.3.3.8)."""
+    a = abs(delta)
+    pre = min(a, 5)
+    if pre == 0:
+        enc.encode_bin(ctx.off("dqp", 0), 0)
+    else:
+        enc.encode_bin(ctx.off("dqp", 0), 1)
+        for _ in range(1, pre):
+            enc.encode_bin(ctx.off("dqp", 1), 1)
+        if pre < 5:
+            enc.encode_bin(ctx.off("dqp", 1), 0)
+    if a >= 5:
+        sym = a - 5            # 0th-order Exp-Golomb, bypass
+        count = 0
+        while sym >= (1 << count):
+            enc.encode_bypass(1)
+            sym -= 1 << count
+            count += 1
+        enc.encode_bypass(0)
+        if count:
+            enc.encode_bypass_bins(sym, count)
+    if a:
+        enc.encode_bypass(1 if delta < 0 else 0)
+
+
+def decode_cu_qp_delta(dec) -> int:
+    a = 0
+    if dec.decode_bin(ctx.off("dqp", 0)):
+        a = 1
+        while a < 5 and dec.decode_bin(ctx.off("dqp", 1)):
+            a += 1
+    if a >= 5:
+        count = 0
+        value = 0
+        while dec.decode_bypass():
+            value += 1 << count
+            count += 1
+        if count:
+            value += dec.decode_bypass_bins(count)
+        a = 5 + value
+    if a and dec.decode_bypass():
+        return -a
+    return a
 
 
 def _satd8(a: np.ndarray, b: np.ndarray) -> int:
@@ -806,6 +888,7 @@ class LowDelayDecoder(ic.IntraDecoder):
         rec_v = np.zeros_like(rec_u)
         info: list[list[BlockInfo | None]] = [[None] * bw for _ in range(bh)]
         grid = motion.NeighborGrid(info, bw, bh)
+        self._prev_qp = qp           # qPY_PREV (QG == CTB == CU here)
 
         for by in range(bh):
             for bx in range(bw):
@@ -825,7 +908,8 @@ class LowDelayDecoder(ic.IntraDecoder):
                                                  wp["w"][0], wp["o"][0],
                                                  wp["denom"]))
                 rec_y[yy:yy + 16, xx:xx + 16] = _recon_tb(
-                    pred, b.levels_y, qp, 4)
+                    pred, b.levels_y, b.qp, 4)
+                bqp_c = ic.chroma_qp(b.qp)
                 for comp, pr in ((0, rec_u), (1, rec_v)):
                     if b.pred_mode == MODE_INTRA:
                         refc = ic.build_ref_np(pr, cx, cy, 8)
@@ -840,7 +924,7 @@ class LowDelayDecoder(ic.IntraDecoder):
                                      wp["w"][1 + comp], wp["o"][1 + comp],
                                      wp["denom_c"]))
                     lvc = b.levels_cb if comp == 0 else b.levels_cr
-                    pr[cy:cy + 8, cx:cx + 8] = _recon_tb(predc, lvc, qp_c, 3)
+                    pr[cy:cy + 8, cx:cx + 8] = _recon_tb(predc, lvc, bqp_c, 3)
                 end = dec.decode_terminate()
                 last = (by == bh - 1 and bx == bw - 1)
                 assert end == (1 if last else 0)
@@ -856,9 +940,28 @@ class LowDelayDecoder(ic.IntraDecoder):
 
         if not pps.deblocking_disabled:
             bs_ver, bs_hor = compute_bs_maps(info, bw, bh)
+            dq_map = None
+            if pps.cu_qp_delta:
+                dq_map = np.array([[info[r][c].qp for c in range(bw)]
+                                   for r in range(bh)], np.int32)
             rec_y, rec_u, rec_v = deblock_ops.deblock_420_bs_np(
-                rec_y, rec_u, rec_v, qp, bs_ver, bs_hor)
+                rec_y, rec_u, rec_v, qp, bs_ver, bs_hor, qp_map=dq_map)
         return (rec_y, rec_u, rec_v), poc, mf
+
+    def _apply_dqp(self, dec, b, parse: bool = True) -> None:
+        """Per-CU QP derivation (spec 8.6.1 with QG == CTB == CU: the
+        predictor collapses to the previous CU's QP in decode order)."""
+        if not self.pps.cu_qp_delta:
+            b.qp = self._prev_qp
+            return
+        has_res = b.cbf_y or b.cbf_cb or b.cbf_cr
+        if parse and has_res:
+            delta = decode_cu_qp_delta(dec)
+            b.qp_delta = delta
+            b.qp = ((self._prev_qp + delta + 52) % 52)
+            self._prev_qp = b.qp
+        else:
+            b.qp = self._prev_qp
 
     def _decode_merge_idx(self, dec, merge_cands: int) -> int:
         if merge_cands <= 1:
@@ -896,6 +999,7 @@ class LowDelayDecoder(ic.IntraDecoder):
         skip_ctx = (1 if (left and left.skip) else 0) + \
                    (1 if (above and above.skip) else 0)
 
+        # skip CUs carry no residual: QP = qPY_PRED (no delta coded)
         def apply_merge(idx):
             cands = motion.merge_candidates(grid, bx, by, ref_pocs, poc,
                                             col_field, h.merge_cands, h.tmvp)
@@ -910,6 +1014,7 @@ class LowDelayDecoder(ic.IntraDecoder):
             b.merge = True
             b.pred_mode = MODE_INTER
             apply_merge(self._decode_merge_idx(dec, h.merge_cands))
+            b.qp = self._prev_qp
             return b
         if dec.decode_bin(ctx.off("pred_mode")):
             b.pred_mode = MODE_INTRA
@@ -930,6 +1035,7 @@ class LowDelayDecoder(ic.IntraDecoder):
             b.cbf_cb = bool(dec.decode_bin(ctx.off("cbf_chroma")))
             b.cbf_cr = bool(dec.decode_bin(ctx.off("cbf_chroma")))
             b.cbf_y = bool(dec.decode_bin(ctx.off("cbf_luma", 1)))
+            self._apply_dqp(dec, b)
         else:
             b.pred_mode = MODE_INTER
             assert dec.decode_bin(ctx.off("part_size")) == 1
@@ -950,6 +1056,7 @@ class LowDelayDecoder(ic.IntraDecoder):
                 b.mv = (p[0] + b.mvd[0], p[1] + b.mvd[1])
             if not b.merge:
                 if not dec.decode_bin(ctx.off("qt_root_cbf")):
+                    self._apply_dqp(dec, b, parse=False)
                     return b
             b.cbf_cb = bool(dec.decode_bin(ctx.off("cbf_chroma")))
             b.cbf_cr = bool(dec.decode_bin(ctx.off("cbf_chroma")))
@@ -957,6 +1064,7 @@ class LowDelayDecoder(ic.IntraDecoder):
                 b.cbf_y = bool(dec.decode_bin(ctx.off("cbf_luma", 1)))
             else:
                 b.cbf_y = True  # inferred (rootCbf promised residual)
+            self._apply_dqp(dec, b)
         if b.cbf_y:
             b.levels_y = residual.decode_residual(dec, 4, rom.SCAN_DIAG, True, sign_hiding=self.pps.sign_data_hiding)
         if b.cbf_cb:

@@ -467,6 +467,13 @@ class IntraEncoder:
         enc.encode_bin(ctx.off("cbf_chroma"), 0 if ctu.levels_cb is None else 1)
         enc.encode_bin(ctx.off("cbf_chroma"), 0 if ctu.levels_cr is None else 1)
         enc.encode_bin(ctx.off("cbf_luma", 1), 0 if ctu.levels_y is None else 1)
+        if getattr(self.cfg, "cu_qp_delta", False) and (
+                ctu.levels_y is not None or ctu.levels_cb is not None or
+                ctu.levels_cr is not None):
+            # PPS cu_qp_delta applies to I slices too; intra uses delta 0
+            from video_codecs_tpu.models.hevc.inter_codec import \
+                encode_cu_qp_delta
+            encode_cu_qp_delta(enc, 0)
         sbh = self.cfg.sign_data_hiding
         if ctu.levels_y is not None:
             residual.encode_residual(enc, ctu.levels_y, 4, rom.SCAN_DIAG, True,
@@ -811,6 +818,11 @@ class IntraDecoder:
         cbf_cb = dec.decode_bin(ctx.off("cbf_chroma"))
         cbf_cr = dec.decode_bin(ctx.off("cbf_chroma"))
         cbf_y = dec.decode_bin(ctx.off("cbf_luma", 1))
+        if self.pps.cu_qp_delta and (cbf_y or cbf_cb or cbf_cr):
+            from video_codecs_tpu.models.hevc.inter_codec import \
+                decode_cu_qp_delta
+            assert decode_cu_qp_delta(dec) == 0, \
+                "I slices of this build code zero cu_qp_delta"
         sbh = self.pps.sign_data_hiding
         lv_y = residual.decode_residual(dec, 4, rom.SCAN_DIAG, True,
                                         sign_hiding=sbh) if cbf_y else None

@@ -113,3 +113,73 @@ class UrqQuadraticControl:
         self.mad_a1 = 0.75 * self.mad_a1 + 0.25 * (mad / max(self.prev_mad, 1e-3))
         self.mad_a1 = min(max(self.mad_a1, 0.2), 3.0)
         self.prev_mad = mad
+
+
+class GopRateLambdaControl(RateLambdaControl):
+    """R-lambda control with GOP-level bit allocation and hierarchical
+    per-level weights (TEncRateCtrl.cpp:311-321 xCalEquaCoeff/adaptive
+    ratio semantics, collapsed to the lambda-ratio weight table).
+
+    gop_qp_offsets: per-position QP offsets of the GOP structure (e.g.
+    GOPEntry qp_offset column); bits are allocated proportionally to
+    2^(-offset/3) — the R-lambda equivalent of HM's hierarchical lambda
+    ratios — then each picture runs the frame-level model on its share.
+    """
+
+    def __init__(self, target_bps: float, fps: float, width: int,
+                 height: int, base_qp: int = 32,
+                 gop_qp_offsets: tuple = (0,)) -> None:
+        super().__init__(target_bps, fps, width, height, base_qp)
+        self.weights = [2.0 ** (-o / 3.0) for o in gop_qp_offsets]
+        self.gop_size = len(self.weights)
+        self._pos = 0
+
+    def pick_qp(self) -> int:
+        if self._pos == 0:
+            # GOP target: gop_size frame budgets, paying back 20% of the
+            # accumulated buffer error over the GOP (fluid buffer)
+            gop_bits = self.gop_size * self.target_bits_per_frame \
+                - 0.2 * self.buffer_error
+            gop_bits = max(gop_bits,
+                           0.1 * self.gop_size * self.target_bits_per_frame)
+            wsum = sum(self.weights)
+            self._alloc = [gop_bits * w / wsum for w in self.weights]
+        target = max(self._alloc[self._pos],
+                     0.05 * self.target_bits_per_frame)
+        self._pos = (self._pos + 1) % self.gop_size
+        bpp = target / self.pixels
+        lam = self.alpha * (bpp ** self.beta)
+        qp = int(round(4.2005 * math.log(lam) + 13.7122))
+        qp = max(self.prev_qp - 3, min(self.prev_qp + 3, qp))
+        qp = max(1, min(51, qp))
+        self._last_target_bpp = bpp
+        self._last_lambda = lam
+        self.prev_qp = qp
+        return qp
+
+
+class CtuRateControl:
+    """CTU-level QP allocation (TEncRateCtrl getLCUTargetBpp +
+    getLCUEstLambdaAndQP semantics).
+
+    Per picture: each CTU's bit share is proportional to its complexity
+    weight (the ME SATD of the block — HM uses the per-LCU MAD/SATD
+    estimate); the per-CTU lambda follows from the frame R-lambda model
+    and maps to a QP offset, clipped to frame QP +-2 (HM's LCU QP clip).
+    """
+
+    def __init__(self, clip: int = 2) -> None:
+        self.clip = clip
+
+    def ctu_qps(self, frame_qp: int, weights):
+        import numpy as np
+
+        w = np.asarray(weights, np.float64) + 1.0
+        # lambda_i / lambda_frame = (bpp_frame / bpp_i)^|beta| with
+        # bpp_i proportional to w_i: cheaper CTUs get larger lambda (higher
+        # QP), complex CTUs smaller lambda (HM equation 5.3 shape).
+        rel = np.log2(w / np.exp(np.log(w).mean()))
+        dqp = -np.round(rel).astype(int)
+        qps = np.clip(frame_qp + dqp, frame_qp - self.clip,
+                      frame_qp + self.clip)
+        return np.clip(qps, 1, 51)

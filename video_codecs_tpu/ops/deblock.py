@@ -47,20 +47,30 @@ def _chroma_params(qp: int, bit_depth: int = 8) -> int:
     return int(TC_TABLE[min(max(qpc + INTRA_TC_OFFSET, 0), 53)]) * scale
 
 
-def _filter_ver_edges_luma(plane: jnp.ndarray, edges: np.ndarray, qp: int,
+def _filter_ver_edges_luma(plane: jnp.ndarray, edges: np.ndarray, qp,
                            bit_depth: int = 8,
                            bs: jnp.ndarray | None = None) -> jnp.ndarray:
     """Filter vertical luma edges at columns `edges`.
 
     bs: optional [E, H//4] boundary strength per 4-line segment (0/1/2);
-    None means BS=2 everywhere (all-intra picture)."""
+    None means BS=2 everywhere (all-intra picture).
+    qp: scalar, or [E, H//4] per-segment edge QP ((QP_P + QP_Q + 1) >> 1,
+    spec 8.7.2.5.3) when CU QPs vary (cu_qp_delta)."""
     if edges.size == 0:
         return plane
-    tc2, beta = _luma_params(qp, bit_depth)
     scale = 1 << (bit_depth - 8)
-    tc1 = int(TC_TABLE[min(max(qp, 0), 53)]) * scale  # BS=1 index (no +2)
-    if beta == 0 and tc2 == 0:
-        return plane
+    scalar_qp = isinstance(qp, (int, np.integer))
+    if scalar_qp:
+        tc2, beta = _luma_params(qp, bit_depth)
+        tc1 = int(TC_TABLE[min(max(qp, 0), 53)]) * scale
+        if beta == 0 and tc2 == 0:
+            return plane
+    else:
+        qpa = jnp.clip(jnp.asarray(qp, jnp.int32), 0, 51)     # [E, S]
+        tc2 = jnp.asarray(TC_TABLE)[jnp.clip(qpa + INTRA_TC_OFFSET,
+                                             0, 53)] * scale
+        tc1 = jnp.asarray(TC_TABLE)[jnp.clip(qpa, 0, 53)] * scale
+        beta = jnp.asarray(BETA_TABLE)[qpa] * scale
     h = plane.shape[0]
     maxval = (1 << bit_depth) - 1
     idx = edges[:, None] + np.arange(-4, 4)[None, :]          # [E, 8]
@@ -74,9 +84,10 @@ def _filter_ver_edges_luma(plane: jnp.ndarray, edges: np.ndarray, qp: int,
     d0 = dp[..., 0] + dq[..., 0]      # [E, S]
     d3 = dp[..., 3] + dq[..., 3]
     d = d0 + d3
+    vec = (bs is not None) or not scalar_qp
     if bs is None:
-        tc = tc2
         filt = d < beta
+        tc = (tc2 * jnp.ones_like(d))[..., None] if vec else tc2
     else:
         tc = jnp.where(bs == 2, tc2, tc1)[..., None]   # [E, S, 1] -> bcast
         filt = (d < beta) & (bs > 0)
@@ -87,7 +98,7 @@ def _filter_ver_edges_luma(plane: jnp.ndarray, edges: np.ndarray, qp: int,
                   jnp.abs(q0[..., i] - q3[..., i])) < (beta >> 3)) &
                 (jnp.abs(p0[..., i] - q0[..., i]) < ((5 * tc + 1) >> 1)))
 
-    if bs is not None:
+    if vec:
         tc = tc[..., 0]  # [E, S] for the per-segment decisions below
     strong = filt & strong_line(0) & strong_line(3)            # [E, S]
     dp_s = dp[..., 0] + dp[..., 3]
@@ -97,7 +108,7 @@ def _filter_ver_edges_luma(plane: jnp.ndarray, edges: np.ndarray, qp: int,
     deq1 = dq_s < side_thr
 
     # ---- strong filter (3 samples each side) ----
-    tcl = tc[..., None] if bs is not None else tc  # [E,S,1] vs scalar
+    tcl = tc[..., None] if vec else tc  # [E,S,1] vs scalar
     sp0 = jnp.clip((p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3,
                    p0 - 2 * tcl, p0 + 2 * tcl)
     sp1 = jnp.clip((p2 + p1 + p0 + q0 + 2) >> 2, p1 - 2 * tcl, p1 + 2 * tcl)
@@ -138,17 +149,26 @@ def _filter_ver_edges_luma(plane: jnp.ndarray, edges: np.ndarray, qp: int,
     return plane.at[:, widx].set(new)
 
 
-def _filter_ver_edges_chroma(plane: jnp.ndarray, edges: np.ndarray, qp: int,
+def _filter_ver_edges_chroma(plane: jnp.ndarray, edges: np.ndarray, qp,
                              bit_depth: int = 8,
                              mask: jnp.ndarray | None = None) -> jnp.ndarray:
     """Chroma vertical edges, filtered where BS==2 (spec 8.7.2.5.5).
 
-    mask: optional [E, H_c] bool (BS==2 per line); None = everywhere."""
+    mask: optional [E, H_c] bool (BS==2 per line); None = everywhere.
+    qp: scalar luma edge QP, or [E, H_c] per-line luma edge QPs."""
     if edges.size == 0:
         return plane
-    tc = _chroma_params(qp, bit_depth)
-    if tc == 0:
-        return plane
+    if isinstance(qp, (int, np.integer)):
+        tc = _chroma_params(qp, bit_depth)
+        if tc == 0:
+            return plane
+    else:
+        scale = 1 << (bit_depth - 8)
+        qpc = jnp.asarray(rom.CHROMA_QP_TABLE_420)[
+            jnp.clip(jnp.asarray(qp, jnp.int32), 0, 57)]
+        tc_arr = jnp.asarray(TC_TABLE)[jnp.clip(qpc + INTRA_TC_OFFSET,
+                                                0, 53)] * scale
+        tc = jnp.swapaxes(tc_arr, 0, 1)  # [H_c, E]
     maxval = (1 << bit_depth) - 1
     idx = edges[:, None] + np.arange(-2, 2)[None, :]
     blk = plane[:, idx]                                        # [H, E, 4]
@@ -156,6 +176,10 @@ def _filter_ver_edges_chroma(plane: jnp.ndarray, edges: np.ndarray, qp: int,
     delta = jnp.clip(((((q0 - p0) << 2) + p1 - q1 + 4) >> 3), -tc, tc)
     np0 = jnp.clip(p0 + delta, 0, maxval)
     nq0 = jnp.clip(q0 - delta, 0, maxval)
+    if not isinstance(qp, (int, np.integer)):
+        keep = tc == 0
+        np0 = jnp.where(keep, p0, np0)
+        nq0 = jnp.where(keep, q0, nq0)
     if mask is not None:
         m = jnp.swapaxes(mask, 0, 1)                           # [H, E]
         np0 = jnp.where(m, np0, p0)
@@ -200,13 +224,16 @@ def deblock_420_np(rec_y: np.ndarray, rec_u: np.ndarray, rec_v: np.ndarray,
     return tuple(np.asarray(o) for o in out)
 
 
-def deblock_420_bs(rec_y, rec_u, rec_v, qp: int,
+def deblock_420_bs(rec_y, rec_u, rec_v, qp,
                    bs_ver: np.ndarray, bs_hor: np.ndarray,
-                   block: int = 16, bit_depth: int = 8):
+                   block: int = 16, bit_depth: int = 8,
+                   qp_map=None):
     """Deblock with per-block-pair boundary strengths (inter pictures).
 
     bs_ver: [n_ver_edges, bh] BS between horizontally adjacent blocks;
     bs_hor: [n_hor_edges, bw] BS between vertically adjacent blocks.
+    qp_map: optional [bh, bw] per-block luma QP (cu_qp_delta pictures);
+    edge QPs follow spec 8.7.2.5.3: (QP_P + QP_Q + 1) >> 1.
     """
     h, w = rec_y.shape
     ey = np.arange(block, w, block, dtype=np.int32)
@@ -215,8 +242,20 @@ def deblock_420_bs(rec_y, rec_u, rec_v, qp: int,
 
     bs_v = jnp.repeat(jnp.asarray(bs_ver), segs, axis=1)   # [E, H//4]
     bs_h = jnp.repeat(jnp.asarray(bs_hor), segs, axis=1)
-    rec_y = _filter_ver_edges_luma(rec_y, ey, qp, bit_depth, bs=bs_v)
-    rec_y = _filter_ver_edges_luma(rec_y.T, ex, qp, bit_depth, bs=bs_h).T
+    qp_v = qp_h = qp
+    cqp_v = cqp_h = qp
+    if qp_map is not None:
+        qm = jnp.asarray(qp_map, jnp.int32)
+        qe_v = (qm[:, :-1] + qm[:, 1:] + 1) >> 1           # [bh, E]
+        qe_h = (qm[:-1, :] + qm[1:, :] + 1) >> 1           # [E, bw]
+        qp_v = jnp.repeat(qe_v.T, segs, axis=1)            # [E, H//4]
+        qp_h = jnp.repeat(qe_h, segs, axis=1)              # [E, W//4]
+        step_ = 16 // block
+        crep_ = block // 2
+        cqp_v = jnp.repeat(qe_v.T[step_ - 1::step_], crep_, axis=1)
+        cqp_h = jnp.repeat(qe_h[step_ - 1::step_], crep_, axis=1)
+    rec_y = _filter_ver_edges_luma(rec_y, ey, qp_v, bit_depth, bs=bs_v)
+    rec_y = _filter_ver_edges_luma(rec_y.T, ex, qp_h, bit_depth, bs=bs_h).T
 
     # Chroma edges always lie on the 16-luma-sample grid (spec 8.7.2); for
     # block=8 only every second luma edge has a chroma counterpart.
@@ -228,15 +267,15 @@ def deblock_420_bs(rec_y, rec_u, rec_v, qp: int,
     cm_h = jnp.repeat(jnp.asarray(bs_hor)[step - 1::step] == 2, crep, axis=1)
     out_c = []
     for p in (rec_u, rec_v):
-        p = _filter_ver_edges_chroma(p, cey, qp, bit_depth, mask=cm_v)
-        p = _filter_ver_edges_chroma(p.T, cex, qp, bit_depth, mask=cm_h).T
+        p = _filter_ver_edges_chroma(p, cey, cqp_v, bit_depth, mask=cm_v)
+        p = _filter_ver_edges_chroma(p.T, cex, cqp_h, bit_depth, mask=cm_h).T
         out_c.append(p)
     return rec_y, out_c[0], out_c[1]
 
 
 def deblock_420_bs_np(rec_y, rec_u, rec_v, qp, bs_ver, bs_hor,
-                      block: int = 16, bit_depth: int = 8):
+                      block: int = 16, bit_depth: int = 8, qp_map=None):
     out = deblock_420_bs(jnp.asarray(rec_y), jnp.asarray(rec_u),
                          jnp.asarray(rec_v), qp, bs_ver, bs_hor,
-                         block, bit_depth)
+                         block, bit_depth, qp_map=qp_map)
     return tuple(np.asarray(o) for o in out)
