@@ -135,6 +135,71 @@ def bs_maps_p(intra_mb, nz_y, mvg, refg):
     return bs_ver, bs_hor
 
 
+def wp_apply(pred, w: int, o: int, logd: int):
+    """Explicit weighted prediction on an interpolated block
+    (spec 8.4.2.3.2 / jm18.5 weighted_prediction.c)."""
+    p = pred.astype(np.int64)
+    if logd > 0:
+        out = ((p * w + (1 << (logd - 1))) >> logd) + o
+    else:
+        out = p * w + o
+    return np.clip(out, 0, 255).astype(np.int32)
+
+
+def estimate_wp(cur_planes, ref_planes, logd: int = 6):
+    """AC/DC weight+offset estimation per plane (wp_lms.c:887 shape)."""
+    ws, os_ = [], []
+    for c, r in zip(cur_planes, ref_planes):
+        c = np.asarray(c, np.float64)
+        r = np.asarray(r, np.float64)
+        dc_c, dc_r = c.mean(), r.mean()
+        ac_c = np.abs(c - dc_c).sum()
+        ac_r = np.abs(r - dc_r).sum()
+        w = int(round((1 << logd) * ac_c / ac_r)) if ac_r > 0 else (1 << logd)
+        w = max(-128, min(127, w))
+        o = int(round(dc_c - (w * dc_r) / (1 << logd)))
+        ws.append(w)
+        os_.append(max(-128, min(127, o)))
+    return dict(w=tuple(ws), o=tuple(os_), logd=logd)
+
+
+def write_pred_weight_table(w, wp_list, logd: int):
+    """pred_weight_table (spec 7.3.3.2), P slice, list0 only."""
+    w.ue(logd)                       # luma_log2_weight_denom
+    w.ue(logd)                       # chroma_log2_weight_denom
+    for wp in wp_list:
+        default_l = wp["w"][0] == (1 << logd) and wp["o"][0] == 0
+        w.flag(0 if default_l else 1)
+        if not default_l:
+            w.se(wp["w"][0])
+            w.se(wp["o"][0])
+        default_c = all(wp["w"][j] == (1 << logd) and wp["o"][j] == 0
+                        for j in (1, 2))
+        w.flag(0 if default_c else 1)
+        if not default_c:
+            for j in (1, 2):
+                w.se(wp["w"][j])
+                w.se(wp["o"][j])
+
+
+def parse_pred_weight_table(r, n_active: int):
+    logd = r.ue()
+    logdc = r.ue()
+    out = []
+    for _ in range(n_active):
+        ws = [1 << logd, 1 << logdc, 1 << logdc]
+        os_ = [0, 0, 0]
+        if r.flag():
+            ws[0] = r.se()
+            os_[0] = r.se()
+        if r.flag():
+            for j in (1, 2):
+                ws[j] = r.se()
+                os_[j] = r.se()
+        out.append(dict(w=tuple(ws), o=tuple(os_), logd=logd, logdc=logdc))
+    return out
+
+
 def _code_residual_16(w, lv, nc_grid, gx, gy):
     coeffs = lv.reshape(16)[cavlc.ZIGZAG_4x4]
     total = cavlc.encode_block(w, [int(c) for c in coeffs],
@@ -149,7 +214,7 @@ class H264Encoder(H264IntraEncoder):
                  search_range: int = 16, gop: int = 0,
                  entropy: str = "cavlc", perceptual: str = "",
                  n_refs: int = 1, quant: str = "normal",
-                 me: str = "full") -> None:
+                 me: str = "full", weighted_pred: bool = False) -> None:
         super().__init__(width, height, qp=qp, deblock=True, entropy=entropy,
                          perceptual=perceptual, quant=quant)
         assert me in ("full", "epzs", "umhex")
@@ -157,6 +222,8 @@ class H264Encoder(H264IntraEncoder):
         self.gop = gop                 # 0 = only first frame is IDR
         self.n_refs = n_refs           # sliding-window DPB size (list0)
         self.me = me                   # integer ME engine (mv_search.c:143)
+        self.weighted_pred = weighted_pred
+        self._wp = None                # per-ref WP params of this slice
         self._prev_mvg = None          # temporal predictor source (EPZS)
 
     def encode_sequence(self, frames):
@@ -164,7 +231,8 @@ class H264Encoder(H264IntraEncoder):
         nals = [nal_unit(NAL_SPS, write_sps(self.w // 16, self.h // 16,
                                             profile=77 if cabac else 66,
                                             num_ref_frames=self.n_refs)),
-                nal_unit(NAL_PPS, write_pps(cabac=cabac))]
+                nal_unit(NAL_PPS, write_pps(
+                    cabac=cabac, weighted_pred=self.weighted_pred))]
         recons = []
         refs = []            # DPB list0: most recently decoded first
         frame_num = 0
@@ -486,6 +554,11 @@ class H264Encoder(H264IntraEncoder):
         else:
             w.flag(0)            # num_ref_idx_active_override_flag
         w.flag(0)                # ref_pic_list_modification_flag_l0
+        self._wp = None
+        if self.weighted_pred:
+            self._wp = [estimate_wp((yv, uv, vv), refs[ri])
+                        for ri in range(n_active)]
+            write_pred_weight_table(w, self._wp, 6)
         w.flag(0)                # adaptive_ref_pic_marking_mode_flag
         if self.entropy == "cabac":
             w.ue(0)              # cabac_init_idc
@@ -581,6 +654,11 @@ class H264Encoder(H264IntraEncoder):
                 pred = mc_luma_np(ref_y, x, yy, mvx, mvy, 16, 16)
                 pu = mc_chroma_np(ref_u, cx, cy, mvx, mvy, 8, 8)
                 pv = mc_chroma_np(ref_v, cx, cy, mvx, mvy, 8, 8)
+                if self._wp is not None:
+                    wp = self._wp[best_ref]
+                    pred = wp_apply(pred, wp["w"][0], wp["o"][0], wp["logd"])
+                    pu = wp_apply(pu, wp["w"][1], wp["o"][1], wp["logd"])
+                    pv = wp_apply(pv, wp["w"][2], wp["o"][2], wp["logd"])
 
                 res = orig - pred
                 blk = res.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3)
@@ -791,6 +869,7 @@ class H264Decoder(H264IntraDecoder):
                 self.dbf_present, self.cabac, ppsinfo = \
                     parse_pps(rbsp, full=True)
                 self.default_l0 = ppsinfo["num_ref_idx_l0_default_active"]
+                self.wp_enabled = ppsinfo.get("weighted_pred", False)
             elif nal_type in (NAL_SLICE_IDR, 1):
                 if nal_type == NAL_SLICE_IDR:
                     self.dpb = []        # IDR: sliding window resets
@@ -842,6 +921,9 @@ class H264Decoder(H264IntraDecoder):
             n_active = r.ue() + 1   # num_ref_idx_l0_active_minus1
         assert n_active <= len(self.dpb), "ref list underrun"
         assert r.flag() == 0        # ref_pic_list_modification_flag_l0
+        self._wp = None
+        if getattr(self, "wp_enabled", False):
+            self._wp = parse_pred_weight_table(r, n_active)
         assert r.flag() == 0        # adaptive_ref_pic_marking_mode_flag
         cabac = getattr(self, "cabac", False)
         model = r.ue() if cabac else 0  # cabac_init_idc
@@ -892,12 +974,12 @@ class H264Decoder(H264IntraDecoder):
             refg[gy:gy + 4, gx:gx + 4] = 0
             x, yy = mbx * 16, mby * 16
             cx, cy = mbx * 8, mby * 8
-            rec_y[yy:yy + 16, x:x + 16] = mc_luma_np(skip_ref[0], x, yy,
-                                                     mvx, mvy, 16, 16)
-            rec_u[cy:cy + 8, cx:cx + 8] = mc_chroma_np(skip_ref[1], cx, cy,
-                                                       mvx, mvy, 8, 8)
-            rec_v[cy:cy + 8, cx:cx + 8] = mc_chroma_np(skip_ref[2], cx, cy,
-                                                       mvx, mvy, 8, 8)
+            rec_y[yy:yy + 16, x:x + 16] = self._mc_wp(
+                mc_luma_np(skip_ref[0], x, yy, mvx, mvy, 16, 16), 0, 0)
+            rec_u[cy:cy + 8, cx:cx + 8] = self._mc_wp(
+                mc_chroma_np(skip_ref[1], cx, cy, mvx, mvy, 8, 8), 0, 1)
+            rec_v[cy:cy + 8, cx:cx + 8] = self._mc_wp(
+                mc_chroma_np(skip_ref[2], cx, cy, mvx, mvy, 8, 8), 0, 2)
             for bx4 in range(4):
                 for by4 in range(4):
                     nc_y.set(gx + bx4, gy + by4, 0)
@@ -991,14 +1073,17 @@ class H264Decoder(H264IntraDecoder):
                     else:
                         grid.set(mbx * 2 + x4, mby * 2 + y4, 0)
 
-            pred = mc_luma_np(ref_y, x, yy, mvx, mvy, 16, 16)
+            pred = self._mc_wp(
+                mc_luma_np(ref_y, x, yy, mvx, mvy, 16, 16), ref_i, 0)
             d = ht.dequant_ac(lv, qp)
             rec_y[yy:yy + 16, x:x + 16] = np.clip(
                 pred + ht.inverse4x4(d)
                 .transpose(0, 2, 1, 3).reshape(16, 16), 0, 255)
             for comp, (plane, refp) in enumerate(
                     ((rec_u, ref_u), (rec_v, ref_v))):
-                cp = mc_chroma_np(refp, cx, cy, mvx, mvy, 8, 8)
+                cp = self._mc_wp(
+                    mc_chroma_np(refp, cx, cy, mvx, mvy, 8, 8),
+                    ref_i, 1 + comp)
                 cdc_deq = (ht.dequant_chroma_dc(c_dc_q[comp], qpc)
                            if cbp_chroma else np.zeros((2, 2), np.int64))
                 cd = ht.dequant_ac(
@@ -1015,6 +1100,15 @@ class H264Decoder(H264IntraDecoder):
                                                 bs_ver, bs_hor, aoff, boff)
         self._last_mv = (mvg.copy(), refg.copy())
         return rec_y, rec_u, rec_v
+
+    def _mc_wp(self, pred, ref_idx: int, comp: int):
+        """Apply the slice's explicit WP to an interpolated block."""
+        wp = getattr(self, "_wp", None)
+        if wp is None:
+            return pred
+        e = wp[ref_idx]
+        logd = e["logd"] if comp == 0 else e["logdc"]
+        return wp_apply(pred, e["w"][comp], e["o"][comp], logd)
 
     def _decode_p_mbs_cabac(self, r, qp, qpc, model, rec_y, rec_u, rec_v,
                             ref_y, ref_u, ref_v, nc_y, nc_u, nc_v, mvg,
@@ -1146,14 +1240,17 @@ class H264Decoder(H264IntraDecoder):
                             cbf.set_bit(mbx, mby, base + 4 * y4 + x4)
                 cbf.mark(mbx, mby)
 
-                pred = mc_luma_np(ref_y, x, yy, mvx, mvy, 16, 16)
+                pred = self._mc_wp(
+                    mc_luma_np(ref_y, x, yy, mvx, mvy, 16, 16), ref_i, 0)
                 d = ht.dequant_ac(lv, qp)
                 rec_y[yy:yy + 16, x:x + 16] = np.clip(
                     pred + ht.inverse4x4(d)
                     .transpose(0, 2, 1, 3).reshape(16, 16), 0, 255)
                 for comp, (plane, refp) in enumerate(
                         ((rec_u, ref_u), (rec_v, ref_v))):
-                    cp = mc_chroma_np(refp, cx, cy, mvx, mvy, 8, 8)
+                    cp = self._mc_wp(
+                        mc_chroma_np(refp, cx, cy, mvx, mvy, 8, 8),
+                        ref_i, 1 + comp)
                     cdc_deq = (ht.dequant_chroma_dc(c_dc_q[comp], qpc)
                                if cbp_chroma
                                else np.zeros((2, 2), np.int64))

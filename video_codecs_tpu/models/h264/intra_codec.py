@@ -66,7 +66,7 @@ def write_sps(width_mbs: int, height_mbs: int, profile: int = 66,
     return w.data()
 
 
-def write_pps(cabac: bool = False) -> bytes:
+def write_pps(cabac: bool = False, weighted_pred: bool = False) -> bytes:
     w = BitWriter()
     w.ue(0)          # pps_id
     w.ue(0)          # sps_id
@@ -75,7 +75,7 @@ def write_pps(cabac: bool = False) -> bytes:
     w.ue(0)          # num_slice_groups_minus1
     w.ue(0)          # num_ref_idx_l0_default_active_minus1
     w.ue(0)          # num_ref_idx_l1_default_active_minus1
-    w.flag(0)        # weighted_pred_flag
+    w.flag(1 if weighted_pred else 0)  # weighted_pred_flag
     w.write(0, 2)    # weighted_bipred_idc
     w.se(0)          # pic_init_qp_minus26
     w.se(0)          # pic_init_qs_minus26
@@ -131,8 +131,8 @@ def parse_pps(rbsp: bytes, full: bool = False):
     assert r.ue() == 0, "FMO unsupported"
     l0_default = r.ue() + 1
     r.ue()
-    r.flag()
-    r.read(2)
+    weighted_pred = bool(r.flag())
+    r.read(2)        # weighted_bipred_idc
     init_qp = 26 + r.se()
     r.se()
     assert r.se() == 0, "chroma qp offset unsupported"
@@ -142,7 +142,8 @@ def parse_pps(rbsp: bytes, full: bool = False):
     assert init_qp == 26
     if full:
         return dbf_present, cabac, {"num_ref_idx_l0_default_active":
-                                    l0_default}
+                                    l0_default,
+                                    "weighted_pred": weighted_pred}
     return dbf_present, cabac
 
 
