@@ -25,8 +25,11 @@ def _box_moments(x: jnp.ndarray, win: int):
     """Mean/e2 maps via a uniform win x win window (valid positions)."""
     k = jnp.ones((win, win), jnp.float32) / (win * win)
     def conv(a):
+        # HIGHEST: TPU convs default to bf16 multiplies, which costs
+        # ~7e-4 absolute SSIM vs the f32 reference math (oracle-tested)
         return jax.lax.conv_general_dilated(
-            a[None, None], k[None, None], (1, 1), "VALID")[0, 0]
+            a[None, None], k[None, None], (1, 1), "VALID",
+            precision=jax.lax.Precision.HIGHEST)[0, 0]
     m = conv(x)
     m2 = conv(x * x)
     return m, m2
@@ -40,7 +43,8 @@ def ssim_map(a: jnp.ndarray, b: jnp.ndarray, win: int = 8) -> jnp.ndarray:
     mb, mbb = _box_moments(b, win)
     k = jnp.ones((win, win), jnp.float32) / (win * win)
     mab = jax.lax.conv_general_dilated(
-        (a * b)[None, None], k[None, None], (1, 1), "VALID")[0, 0]
+        (a * b)[None, None], k[None, None], (1, 1), "VALID",
+        precision=jax.lax.Precision.HIGHEST)[0, 0]
     va = maa - ma * ma
     vb = mbb - mb * mb
     cov = mab - ma * mb
@@ -86,7 +90,8 @@ def ssim3d(ref_stack: jnp.ndarray, enc_stack: jnp.ndarray,
     k = jnp.ones((t, win, win), jnp.float32) / (t * win * win)
     def conv(x):
         return jax.lax.conv_general_dilated(
-            x[None, None], k[None, None], (1, 1, 1), "VALID")[0, 0]
+            x[None, None], k[None, None], (1, 1, 1), "VALID",
+            precision=jax.lax.Precision.HIGHEST)[0, 0]
     ma, mb = conv(a), conv(b)
     va = conv(a * a) - ma * ma
     vb = conv(b * b) - mb * mb
@@ -125,7 +130,8 @@ def stvssim(ref_stack, enc_stack, mvs=None, win: int = 8) -> float:
     # the filtered trajectories.
     def fil(x):
         return jax.lax.conv_general_dilated(
-            x[:, None], kerns[:, None], (1, 1), "SAME")  # [F, 4, H, W]
+            x[:, None], kerns[:, None], (1, 1), "SAME",
+            precision=jax.lax.Precision.HIGHEST)  # [F, 4, H, W]
     fa, fb = fil(a), fil(b)
     ma = jnp.mean(fa, axis=0)
     mb = jnp.mean(fb, axis=0)
