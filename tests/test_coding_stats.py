@@ -60,3 +60,36 @@ def test_stats_inactive_is_noop():
     frames = _frames(n=1)
     H264Encoder(64, 48, qp=30, entropy="cabac").encode_sequence(frames)
     assert coding_stats.stop().rows == {}
+
+
+def test_hevc_decoder_analyser_stats(capsys):
+    """--stats on an HEVC stream prints the per-syntax-class bin table
+    (TAppDecoderAnalyser / TComCodingStatistics.h:198 parity for HEVC;
+    round 1 covered only the H.264 engines)."""
+    import numpy as np
+
+    from video_codecs_tpu.models.hevc import headers, inter_codec
+    from video_codecs_tpu.utils import coding_stats
+
+    rng = np.random.default_rng(2)
+    w, h = 64, 48
+    frames = []
+    base = rng.integers(0, 256, (h, w), np.uint8)
+    for i in range(3):
+        frames.append((np.roll(base, i, axis=1),
+                       rng.integers(0, 256, (h // 2, w // 2), np.uint8),
+                       rng.integers(0, 256, (h // 2, w // 2), np.uint8)))
+    cfg = headers.HevcConfig(width=w, height=h, qp=32, num_refs=2,
+                             merge_cands=5)
+    enc = inter_codec.LowDelayEncoder(cfg, search_range=8)
+    stream, _ = enc.encode_sequence_ldp(frames)
+
+    coding_stats.start()
+    dec = inter_codec.LowDelayDecoder()
+    dec.decode(stream)
+    report = coding_stats.stop().report()
+    assert "sig_flag" in report and "merge_flag" in report
+    assert "TOTAL" in report
+    # hooks must be fully removed after stop()
+    from video_codecs_tpu.entropy import cabac
+    assert "decode_bin" in cabac.CabacDecoder.__dict__

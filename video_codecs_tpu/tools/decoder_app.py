@@ -34,8 +34,14 @@ def main(argv=None) -> None:
         status = ["(no hash SEI)"] * len(frames)
     else:
         from video_codecs_tpu.models.hevc import inter_codec
-        dec = inter_codec.LowDelayDecoder(conceal=True)
-        frames = dec.decode(stream)
+        try:
+            dec = inter_codec.LowDelayDecoder(conceal=True)
+            frames = dec.decode(stream)
+        except Exception:
+            # general conformant-intra decoder (HM-encoder streams etc.)
+            from video_codecs_tpu.models.hevc import decoder as gdec
+            dec = gdec.GeneralIntraDecoder()
+            frames = dec.decode(stream)
         status = ["(OK)" if ok else "***ERROR***" for ok in dec.hash_status]
         status += ["(no hash SEI)"] * (len(frames) - len(status))
 

@@ -56,11 +56,13 @@ _active: CodingStats | None = None
 def start() -> None:
     global _active
     _active = CodingStats()
+    install_hevc_hooks()
 
 
 def stop() -> CodingStats:
     global _active
     s, _active = _active or CodingStats(), None
+    remove_hevc_hooks()
     return s
 
 
@@ -132,3 +134,74 @@ def wrap_stats(engine):
 
             setattr(core, binname, bmake())
     return engine
+
+
+# ---------------------------------------------------------------------------
+# HEVC decoder-analyser hooks: classify bins by CABAC context name
+# (TComCodingStatistics / TAppDecoderAnalyser parity for the HEVC builds)
+# ---------------------------------------------------------------------------
+
+_hevc_saved: dict | None = None
+
+
+def install_hevc_hooks() -> None:
+    """Patch the HEVC CabacDecoder so every decoded bin accrues to the
+    syntax class owning its context (bypass/terminate bins accrue to the
+    most recent context class).  Installed by start(), removed by stop()."""
+    global _hevc_saved
+    if _hevc_saved is not None:
+        return
+    import bisect
+
+    from video_codecs_tpu.entropy import cabac
+    from video_codecs_tpu.entropy import ctx as ctx_mod
+
+    pairs = sorted(ctx_mod.OFFSETS.items(), key=lambda kv: kv[1])
+    starts = [v for _, v in pairs]
+    labels = [k for k, _ in pairs]
+
+    def name_of(i: int) -> str:
+        return labels[bisect.bisect_right(starts, i) - 1]
+
+    saved = dict(
+        decode_bin=cabac.CabacDecoder.decode_bin,
+        decode_bypass=cabac.CabacDecoder.decode_bypass,
+        decode_terminate=cabac.CabacDecoder.decode_terminate,
+    )
+
+    def decode_bin(self, c):
+        st = _active
+        if st is not None:
+            name = name_of(c)
+            if name != st.current:
+                st.current = name
+                st._row(name)["count"] += 1
+            st.add_bin(False)
+        return saved["decode_bin"](self, c)
+
+    def decode_bypass(self):
+        if _active is not None:
+            _active.add_bin(True)
+        return saved["decode_bypass"](self)
+
+    def decode_terminate(self):
+        st = _active
+        if st is not None:
+            st.current = "end_of_slice"
+            st.add_bin(False)
+        return saved["decode_terminate"](self)
+
+    cabac.CabacDecoder.decode_bin = decode_bin
+    cabac.CabacDecoder.decode_bypass = decode_bypass
+    cabac.CabacDecoder.decode_terminate = decode_terminate
+    _hevc_saved = saved
+
+
+def remove_hevc_hooks() -> None:
+    global _hevc_saved
+    if _hevc_saved is None:
+        return
+    from video_codecs_tpu.entropy import cabac
+    for k, v in _hevc_saved.items():
+        setattr(cabac.CabacDecoder, k, v)
+    _hevc_saved = None
