@@ -83,6 +83,10 @@ def wrap_stats(engine):
         return engine
 
     core = getattr(engine, "core", None)
+    if core is not None:
+        # element naming is handled here; the HEVC class-level hooks
+        # must not re-attribute this engine's bins
+        core._stats_external = True
     reader = getattr(core, "br", None)
     writer = getattr(core, "bw", None)
 
@@ -171,7 +175,7 @@ def install_hevc_hooks() -> None:
 
     def decode_bin(self, c):
         st = _active
-        if st is not None:
+        if st is not None and not getattr(self, "_stats_external", False):
             name = name_of(c)
             if name != st.current:
                 st.current = name
@@ -180,13 +184,14 @@ def install_hevc_hooks() -> None:
         return saved["decode_bin"](self, c)
 
     def decode_bypass(self):
-        if _active is not None:
+        if _active is not None and not getattr(self, "_stats_external",
+                                               False):
             _active.add_bin(True)
         return saved["decode_bypass"](self)
 
     def decode_terminate(self):
         st = _active
-        if st is not None:
+        if st is not None and not getattr(self, "_stats_external", False):
             st.current = "end_of_slice"
             st.add_bin(False)
         return saved["decode_terminate"](self)
