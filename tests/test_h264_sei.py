@@ -1,0 +1,87 @@
+"""H.264 SEI messages: roundtrip + JM decoder tolerance.
+
+Parity: jm18.5/lencod/src/sei.c writers, ldecod InterpretSEIMessage."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from video_codecs_tpu.models.h264 import sei
+from video_codecs_tpu.models.h264.inter_codec import H264Decoder, H264Encoder
+from video_codecs_tpu.utils import yuv
+
+JM_DECODER = "/root/repo/.refbuild/jm18.5/bin/ldecod.exe"
+
+MESSAGES = [
+    sei.UserDataUnregistered(uuid=bytes(range(16)), data=b"vct-h264"),
+    sei.UserDataRegistered(country_code=0xB5, data=b"\x00\x31abc"),
+    sei.RecoveryPoint(recovery_frame_cnt=4, exact_match=False,
+                      broken_link=True, changing_slice_group_idc=0),
+    sei.SceneInfo(scene_id=3, scene_transition_type=1),
+    sei.SceneInfo(scene_id=3, scene_transition_type=5, second_scene_id=9),
+    sei.FullFrameFreeze(full_frame_freeze_repetition_period=2),
+    sei.FramePacking(arrangement_id=1, arrangement_type=3,
+                     content_interpretation=2, repetition_period=1),
+]
+
+
+@pytest.mark.parametrize("msg", MESSAGES, ids=lambda m: type(m).__name__)
+def test_roundtrip_single(msg):
+    out = sei.parse_sei_rbsp(sei.write_sei_rbsp([msg]))
+    assert out == [msg]
+
+
+def test_roundtrip_multi():
+    out = sei.parse_sei_rbsp(sei.write_sei_rbsp(MESSAGES))
+    assert out == MESSAGES
+
+
+def test_unknown_type_preserved():
+    rbsp = bytes([200, 2, 0xAA, 0xBB]) + b"\x80"
+    assert sei.parse_sei_rbsp(rbsp) == [(200, b"\xaa\xbb")]
+
+
+def test_sei_stream_stays_jm_decodable(tmp_path):
+    """Inserting our SEI NAL before the first slice must not break the
+    reference decoder (ldecod skips SEI payloads it does not use)."""
+    rng = np.random.default_rng(4)
+    frames = [(rng.integers(0, 256, (48, 80), np.uint8),
+               rng.integers(0, 256, (24, 40), np.uint8),
+               rng.integers(0, 256, (24, 40), np.uint8)) for _ in range(2)]
+    enc = H264Encoder(80, 48, qp=30)
+    stream, recons = enc.encode_sequence(frames)
+
+    extra = sei.sei_nal([sei.RecoveryPoint(0), sei.SceneInfo(),
+                         sei.UserDataUnregistered(bytes(16), b"hi")])
+    # insert after SPS/PPS (before the IDR slice)
+    from video_codecs_tpu.entropy.bitstream import split_annexb
+    nals = split_annexb(stream)
+    out = b""
+    ins = False
+    for nal in nals:
+        t = nal[0] & 0x1F
+        if not ins and t == 5:
+            out += b"\x00\x00\x00\x01" + extra
+            ins = True
+        out += b"\x00\x00\x00\x01" + nal
+    assert ins
+
+    # our decoder tolerates the SEI NAL too
+    dec = H264Decoder()
+    decoded = dec.decode(out)
+    np.testing.assert_array_equal(decoded[0][0], recons[0][0])
+
+    if not os.path.exists(JM_DECODER):
+        pytest.skip("JM reference decoder not built")
+    p = tmp_path / "sei.264"
+    p.write_bytes(out)
+    r = subprocess.run([JM_DECODER, "-p", f"InputFile={p}",
+                        "-p", f"OutputFile={tmp_path / 'r.yuv'}"],
+                       capture_output=True, text=True, timeout=120,
+                       cwd=str(tmp_path))
+    assert r.returncode == 0, r.stdout[-1500:]
+    ry, _, _ = yuv.read_frames(str(tmp_path / "r.yuv"), 80, 48)
+    for i in range(2):
+        np.testing.assert_array_equal(ry[i], recons[i][0].astype(np.uint8))
