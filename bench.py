@@ -53,9 +53,10 @@ def main() -> None:
     # Warm-up: compile the device quadtree pipeline on frame 0.
     enc.encode_frame_fast(*frames[0])
 
-    # best-of-3: transfer latency over the device tunnel is noisy
+    # best-of-2: keeps total runtime well inside the driver's budget
+    # (the fresh compile alone is ~250 s over the tunnel)
     fps = 0.0
-    for _ in range(3):
+    for _ in range(2):
         t0 = time.time()
         stream, _ = enc.encode_sequence(frames)
         dt = time.time() - t0
