@@ -194,3 +194,30 @@ def test_ldp_multiref_merge5_tmvp_hm_conformance(tmp_path):
     ry, _, _ = yuv_mod.read_frames(str(tmp_path / "r.yuv"), 80, 48)
     for i in range(8):
         np.testing.assert_array_equal(ry[i], recons[i][0].astype(np.uint8))
+
+
+def test_ldp_sao_hm_conformance(tmp_path):
+    """SAO on P slices: per-CTU SAO decision + syntax in the inter build
+    (slice_sao_luma/chroma flags, sao() before each CTU), applied after
+    QP-aware deblocking; HM-conformant."""
+    import subprocess
+    frames = moving_clip(80, 48, 6)
+    cfg = headers.HevcConfig(width=80, height=48, qp=32, num_refs=2,
+                             merge_cands=5, sao=True)
+    enc = inter_codec.LowDelayEncoder(cfg, search_range=8)
+    stream, recons = enc.encode_sequence_ldp(frames)
+    dec = inter_codec.LowDelayDecoder()
+    out = dec.decode(stream)
+    assert dec.hash_status == [True] * 6
+    for o, r in zip(out, recons):
+        np.testing.assert_array_equal(o[0], r[0])
+        np.testing.assert_array_equal(o[1], r[1])
+    if not os.path.exists(HM_DECODER):
+        pytest.skip("HM reference decoder not built")
+    p = tmp_path / "saop.bin"
+    p.write_bytes(stream)
+    r = subprocess.run([HM_DECODER, "-b", str(p),
+                        "-o", str(tmp_path / "r.yuv")],
+                       capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stdout[-1500:]
+    assert r.stdout.count("(OK)") == 6 and "ERROR" not in r.stdout

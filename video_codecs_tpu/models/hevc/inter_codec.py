@@ -191,6 +191,9 @@ def write_p_slice_header(cfg: headers.HevcConfig, poc: int,
         w.flag(1)      # used_by_curr_pic_s0_flag[i]
     if cfg.temporal_mvp:
         w.flag(1)      # slice_temporal_mvp_enabled_flag
+    if cfg.sao:
+        w.flag(1)      # slice_sao_luma_flag
+        w.flag(1)      # slice_sao_chroma_flag
     if n_refs != 1:    # pps default is 1 active reference
         w.flag(1)      # num_ref_idx_active_override_flag
         w.ue(n_refs - 1)
@@ -230,7 +233,7 @@ def write_p_slice_header(cfg: headers.HevcConfig, poc: int,
 
 
 def parse_p_slice_header(rbsp: bytes, pps: headers.PpsInfo,
-                         sps_tmvp: bool = False):
+                         sps_tmvp: bool = False, sps_sao: bool = False):
     r = bs.BitReader(rbsp)
     assert r.flag() == 1
     assert r.ue() == 0
@@ -245,6 +248,10 @@ def parse_p_slice_header(rbsp: bytes, pps: headers.PpsInfo,
     tmvp = False
     if sps_tmvp:
         tmvp = bool(r.flag())
+    sao = False
+    if sps_sao:
+        sao = bool(r.flag())
+        assert bool(r.flag()) == sao, "joint luma+chroma SAO expected"
     n_refs = 1
     if r.flag():       # num_ref_idx_active_override
         n_refs = r.ue() + 1
@@ -275,7 +282,8 @@ def parse_p_slice_header(rbsp: bytes, pps: headers.PpsInfo,
     assert r.flag() == 1
     r.byte_align()
     return PSliceInfo(poc=poc, qp=qp, data_offset_bits=r.bit_pos(), wp=wp,
-                      n_refs=n_refs, merge_cands=merge_cands, tmvp=tmvp)
+                      n_refs=n_refs, merge_cands=merge_cands, tmvp=tmvp,
+                      sao=sao)
 
 
 @dataclasses.dataclass
@@ -287,6 +295,7 @@ class PSliceInfo:
     n_refs: int = 1
     merge_cands: int = 1
     tmvp: bool = False
+    sao: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -562,9 +571,6 @@ class LowDelayEncoder(ic.IntraEncoder):
                     mf.mv[by, bx] = b.mv
                     mf.ref_poc[by, bx] = b.ref_poc
 
-        # ---- pass 3: CABAC ----
-        slice_nal = self._encode_p_slice(info, poc, wp, n_refs)
-
         # ---- deblock with BS maps (per-CU QP aware) ----
         if not cfg.deblocking_disabled:
             bs_ver, bs_hor = compute_bs_maps(info, bw, bh)
@@ -574,10 +580,20 @@ class LowDelayEncoder(ic.IntraEncoder):
                                    for r in range(bh)], np.int32)
             rec_y, rec_u, rec_v = deblock_ops.deblock_420_bs_np(
                 rec_y, rec_u, rec_v, qp, bs_ver, bs_hor, qp_map=dq_map)
+
+        # ---- SAO decide + apply on the deblocked picture ----
+        sao_params = None
+        if cfg.sao:
+            sao_params, (rec_y, rec_u, rec_v) = self._sao_decide_apply(
+                (yv, uv, vv), (rec_y, rec_u, rec_v))
+
+        # ---- pass 3: CABAC ----
+        slice_nal = self._encode_p_slice(info, poc, wp, n_refs, sao_params)
         sei_nal = self._hash_sei(rec_y, rec_u, rec_v)
         return [slice_nal, sei_nal], (rec_y, rec_u, rec_v), mf
 
-    def _encode_p_slice(self, info, poc, wp=None, n_refs: int = 1) -> bytes:
+    def _encode_p_slice(self, info, poc, wp=None, n_refs: int = 1,
+                        sao_params=None) -> bytes:
         cfg = self.cfg
         bw, bh = cfg.width // 16, cfg.height // 16
         w = write_p_slice_header(cfg, poc, wp, n_refs)
@@ -585,6 +601,9 @@ class LowDelayEncoder(ic.IntraEncoder):
         enc = cabac.CabacEncoder(w, states)
         for by in range(bh):
             for bx in range(bw):
+                if sao_params is not None:
+                    ic.encode_sao_ctu(enc, sao_params, by * bw + bx,
+                                      bx, by, bw, 0)
                 self._encode_p_ctu(enc, info, bx, by, bw, bh, n_refs)
                 last = (by == bh - 1 and bx == bw - 1)
                 enc.encode_terminate(1 if last else 0)
@@ -868,7 +887,8 @@ class LowDelayDecoder(ic.IntraDecoder):
         from video_codecs_tpu.ops import intra as intra_ops
 
         cfg, pps = self.cfg, self.pps
-        h = parse_p_slice_header(rbsp, pps, sps_tmvp=cfg.temporal_mvp)
+        h = parse_p_slice_header(rbsp, pps, sps_tmvp=cfg.temporal_mvp,
+                                 sps_sao=cfg.sao)
         poc, qp, wp = h.poc, h.qp, h.wp
         qp_c = ic.chroma_qp(qp)
         bw, bh = cfg.width // 16, cfg.height // 16
@@ -889,9 +909,13 @@ class LowDelayDecoder(ic.IntraDecoder):
         info: list[list[BlockInfo | None]] = [[None] * bw for _ in range(bh)]
         grid = motion.NeighborGrid(info, bw, bh)
         self._prev_qp = qp           # qPY_PREV (QG == CTB == CU here)
+        sao_params = [[None] * 3 for _ in range(bw * bh)]
 
         for by in range(bh):
             for bx in range(bw):
+                if h.sao:
+                    ic.decode_sao_ctu(dec, sao_params, by * bw + bx,
+                                      bx, by, bw, 0)
                 b = self._decode_p_ctu(dec, info, grid, bx, by, h, ref_pocs,
                                        poc, col_field)
                 info[by][bx] = b
@@ -946,6 +970,19 @@ class LowDelayDecoder(ic.IntraDecoder):
                                    for r in range(bh)], np.int32)
             rec_y, rec_u, rec_v = deblock_ops.deblock_420_bs_np(
                 rec_y, rec_u, rec_v, qp, bs_ver, bs_hor, qp_map=dq_map)
+        if h.sao:
+            from video_codecs_tpu.ops import sao as sao_ops
+            outs = [rec_y.copy(), rec_u.copy(), rec_v.copy()]
+            for by in range(bh):
+                for bx in range(bw):
+                    p3 = sao_params[by * bw + bx]
+                    sao_ops.apply_ctu(rec_y, outs[0], bx * 16, by * 16, 16,
+                                      p3[0])
+                    sao_ops.apply_ctu(rec_u, outs[1], bx * 8, by * 8, 8,
+                                      p3[1])
+                    sao_ops.apply_ctu(rec_v, outs[2], bx * 8, by * 8, 8,
+                                      p3[2])
+            rec_y, rec_u, rec_v = outs
         return (rec_y, rec_u, rec_v), poc, mf
 
     def _apply_dqp(self, dec, b, parse: bool = True) -> None:

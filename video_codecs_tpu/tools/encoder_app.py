@@ -53,9 +53,9 @@ def main(argv=None) -> None:
         num_refs=max(1, min(4, s.num_refs)),
         reorder_pics=3 if ra else 0)
 
-    if s.intra_period != 1 and cfg.sao:
-        print("** warning: SAO on inter builds not implemented yet — "
-              "disabled", file=sys.stderr)
+    if ra and cfg.sao:
+        print("** warning: SAO on the hierarchical-B build not implemented "
+              "yet — disabled", file=sys.stderr)
         cfg.sao = False
 
     rc = None
