@@ -759,16 +759,13 @@ class QuadtreeFastEncoder:
         import jax
 
         st = jax.device_get(st)
-        roots = build_qt_tree(self.cfg, st["depth8"], st["m8"], st["m16"],
-                              st["m32"], st["coef_y"], st["coef_u"],
-                              st["coef_v"])
-        slice_nal = self._serialize_slice(roots, st)
+        slice_nal = self._serialize_slice(st)
         rec = (st["rec_y"].astype(np.int32), st["rec_u"].astype(np.int32),
                st["rec_v"].astype(np.int32))
         sei_nal = self._hash_sei(*rec)
         return [slice_nal, sei_nal], rec
 
-    def _serialize_slice(self, roots, st) -> bytes:
+    def _serialize_slice(self, st) -> bytes:
         from video_codecs_tpu.entropy import native
 
         if native.available() and hasattr(native, "encode_slice_qt_native"):
@@ -776,6 +773,10 @@ class QuadtreeFastEncoder:
             if payload is not None:
                 h0 = bs.NAL_IDR_W_RADL << 1
                 return bytes([h0, 1]) + payload
+        # Python fallback: materialize the CU tree and serialize
+        roots = build_qt_tree(self.cfg, st["depth8"], st["m8"], st["m16"],
+                              st["m32"], st["coef_y"], st["coef_u"],
+                              st["coef_v"])
         return encode_slice_qt(self.cfg, roots)
 
     def encode_frame_fast(self, y, u, v):
