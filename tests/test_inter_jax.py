@@ -1,0 +1,108 @@
+"""Device (TPU) LD-P inter encoder: self-conformance + toolset checks.
+
+The device engine makes its own decisions (approximate merge on device,
+spec-exact reconciliation on host), so streams differ from the host
+encoder's — but they must decode bit-exactly in the shared decoder and
+carry verifying hash SEI.  HM cross-checks live in test_hm_conformance.
+"""
+
+import numpy as np
+import pytest
+
+from video_codecs_tpu.models.hevc import headers
+from video_codecs_tpu.models.hevc import inter_codec as pc
+from video_codecs_tpu.models.hevc import inter_jax
+
+
+def clip(w, h, n, seed=3):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, (h + 16, w + 16)).astype(np.uint8)
+    frames = []
+    for f in range(n):
+        # global pan of 1 px/frame + noise: exercises ME + merge + intra
+        y = base[f:f + h, 2 * f:2 * f + w].astype(np.uint8)
+        y = np.clip(y.astype(np.int32) +
+                    rng.integers(-4, 5, (h, w)), 0, 255).astype(np.uint8)
+        u = np.full((h // 2, w // 2), 100 + f, np.uint8)
+        v = rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8)
+        frames.append((y, u, v))
+    return frames
+
+
+@pytest.mark.parametrize("n_refs,tmvp,sao", [(1, False, False),
+                                             (4, True, True)])
+def test_device_ldp_roundtrip(n_refs, tmvp, sao):
+    w, h = 64, 48
+    cfg = headers.HevcConfig(width=w, height=h, qp=30, num_refs=n_refs,
+                             temporal_mvp=tmvp, sao=sao, merge_cands=5,
+                             sign_data_hiding=True)
+    enc = inter_jax.DeviceLowDelayEncoder(cfg, search_range=16)
+    frames = clip(w, h, 5)
+    stream, recons = enc.encode_sequence_ldp(frames)
+
+    dec = pc.LowDelayDecoder()
+    out = dec.decode(stream)
+    assert len(out) == len(frames)
+    for k, (r, o) in enumerate(zip(recons, out)):
+        for c in range(3):
+            assert np.array_equal(np.asarray(r[c]), np.asarray(o[c])), \
+                f"frame {k} plane {c} mismatch"
+    assert dec.hash_status and all(dec.hash_status)
+
+
+def test_device_ldp_hm_conformance(tmp_path):
+    """HM's TAppDecoder must decode device-encoded LD-P streams with
+    hash-SEI OK and recon == our encoder recon."""
+    import os
+    import subprocess
+
+    from test_intra_codec import HM_DECODER
+    from video_codecs_tpu.utils import yuv
+
+    if not os.path.exists(HM_DECODER):
+        pytest.skip("HM reference decoder not built")
+    w, h = 64, 48
+    cfg = headers.HevcConfig(width=w, height=h, qp=30, num_refs=4,
+                             temporal_mvp=True, sao=True, merge_cands=5,
+                             sign_data_hiding=True)
+    enc = inter_jax.DeviceLowDelayEncoder(cfg, search_range=16)
+    frames = clip(w, h, 5)
+    stream, recons = enc.encode_sequence_ldp(frames)
+    p = tmp_path / "ldp.bin"
+    rec = tmp_path / "ldp.yuv"
+    p.write_bytes(stream)
+    r = subprocess.run([HM_DECODER, "-b", str(p), "-o", str(rec)],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert r.stdout.count("(OK)") == 5 and "ERROR" not in r.stdout, r.stdout
+    ry, ru, rv = yuv.read_frames(str(rec), w, h)
+    for i, (ey, eu, ev) in enumerate(recons):
+        np.testing.assert_array_equal(ry[i], np.asarray(ey, np.uint8))
+        np.testing.assert_array_equal(ru[i], np.asarray(eu, np.uint8))
+        np.testing.assert_array_equal(rv[i], np.asarray(ev, np.uint8))
+
+
+def test_device_ldp_uses_inter_blocks():
+    """Pan clip: most blocks must come out inter (sanity that ME works)."""
+    w, h = 64, 48
+    cfg = headers.HevcConfig(width=w, height=h, qp=30, num_refs=1,
+                             merge_cands=5, sign_data_hiding=False)
+    enc = inter_jax.DeviceLowDelayEncoder(cfg, search_range=16)
+    frames = clip(w, h, 3)
+    enc.encode_sequence_ldp(frames)
+    # reconcile state is not kept; re-run one device call directly
+    import jax.numpy as jnp
+    y0, u0, v0 = (p.astype(np.int32) for p in frames[0])
+    y1, u1, v1 = (p.astype(np.int32) for p in frames[1])
+    st = inter_jax.encode_p_frame_dev(
+        jnp.asarray(y1), jnp.asarray(u1), jnp.asarray(v1),
+        jnp.asarray(y0[None]), jnp.asarray(u0[None]), jnp.asarray(v0[None]),
+        jnp.zeros((h // 16, w // 16), bool),
+        jnp.zeros((h // 16, w // 16), jnp.int32),
+        jnp.zeros((h // 16, w // 16), jnp.int32),
+        jnp.zeros((h // 16, w // 16), jnp.int32),
+        jnp.asarray(np.array([0], np.int32)), jnp.int32(1), jnp.int32(0),
+        qp=30, w=w, h=h, n_refs=1, search_range=16, sbh=False, rdoq=True,
+        tmvp=False)
+    frac_inter = float(np.mean(np.asarray(st["pred_mode"]) == 0))
+    assert frac_inter > 0.5

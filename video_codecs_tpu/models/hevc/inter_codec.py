@@ -140,8 +140,10 @@ def compute_bs_maps(info, bw, bh):
             return 2
         if a.cbf_y or b.cbf_y:
             return 1
+        if a.ref_poc != b.ref_poc:     # different reference pictures
+            return 1                   # (spec 8.7.2.4 / HM
         if (abs(a.mv[0] - b.mv[0]) >= 4) or (abs(a.mv[1] - b.mv[1]) >= 4):
-            return 1
+            return 1                   # xGetBoundaryStrengthSingle :417)
         return 0
 
     for by in range(bh):

@@ -1,0 +1,597 @@
+"""Device-side inter (P-slice) encoding engine — the TPU port of the
+LD-P hot loop.
+
+Replaces the sequential host pass of inter_codec.LowDelayEncoder (HM's
+TEncSlice::compressSlice CTU loop -> TEncSearch::predInterSearch
+TEncSearch.cpp:2912 / xMotionEstimation :3663 / xPatternSearchFracDIF
+:4240 -> TEncCu xCheckRDCostMerge2Nx2N :453) with the SURVEY.md §7.1
+two-phase design:
+
+Phase 1 (device, fully parallel over all blocks of the picture):
+  1. multi-reference motion search (pyramid/TZ integer + half/quarter
+     SATD refinement, ops/me.py) for every 16x16 block;
+  2. candidate evaluation: per-reference explicit-MV candidates, merge
+     approximations (neighbor/temporal MVs from the phase-1 best field),
+     the zero MV, and the best intra mode — each scored SATD + lambda*R
+     with closed-form rate estimates;
+  3. final motion compensation, residual transform + RDOQ + SBH, and
+     reconstruction for every inter block at once;
+  4. intra blocks reconstructed on an anti-diagonal wavefront (the only
+     neighbor-dependent step; mirrors the all-intra device path);
+  5. boundary-strength derivation + deblocking on device.
+
+Phase 2 (host, cheap integer work): spec-exact merge/AMVP reconciliation
+against the FINAL motion field (models/hevc/motion.py, shared with the
+decoder) and CABAC serialization.  The device decides merge from
+*approximate* neighbor fields; the host re-derives the real candidate
+lists and codes whichever syntax (merge_idx / AMVP+MVD) reproduces the
+final MV — the stream is always conformant and the device recon is
+always the decoder recon, approximation only ever costs a few bits.
+
+Conformance: streams decode bit-exactly in inter_codec.LowDelayDecoder
+and in HM's TAppDecoder (hash-SEI OK) — tests/test_inter_jax.py.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from video_codecs_tpu.models.hevc import encoder_jax
+from video_codecs_tpu.models.hevc import inter_codec as pc
+from video_codecs_tpu.models.hevc import motion
+from video_codecs_tpu.ops import cost as cost_ops
+from video_codecs_tpu.ops import deblock as deblock_ops
+from video_codecs_tpu.ops import interp
+from video_codecs_tpu.ops import intra as intra_ops
+from video_codecs_tpu.ops import me as me_ops
+from video_codecs_tpu.ops import quant as quant_ops
+from video_codecs_tpu.ops import transform as tr_ops
+
+MODE_INTER, MODE_INTRA = 0, 1
+INF = jnp.int32(1 << 30)
+
+
+# ---------------------------------------------------------------------------
+# Device twins of the shared MV helpers
+# ---------------------------------------------------------------------------
+
+def scale_mv_dev(mvx, mvy, tb, td):
+    """Vectorized spec 8.5.3.2.8 MV scaling (twin of motion.scale_mv).
+
+    tb, td: int32 arrays or scalars (POC deltas, clipped to [-128, 127]).
+    """
+    tb = jnp.clip(tb, -128, 127)
+    td = jnp.clip(td, -128, 127)
+    same = (td == tb) | (td == 0)
+    td_safe = jnp.where(td == 0, 1, td)
+    num = 16384 + jnp.abs(td_safe) // 2
+    tx = jnp.where(td_safe < 0, -(num // jnp.abs(td_safe)),
+                   num // jnp.abs(td_safe))
+    dsf = jnp.clip((tb * tx + 32) >> 6, -4096, 4095)
+
+    def one(v):
+        s = dsf * v
+        val = (jnp.abs(s) + 127) >> 8
+        return jnp.clip(jnp.where(s >= 0, val, -val), -32768, 32767)
+
+    return (jnp.where(same, mvx, one(mvx)).astype(jnp.int32),
+            jnp.where(same, mvy, one(mvy)).astype(jnp.int32))
+
+
+def mvd_bits_dev(dx, dy):
+    """Closed-form MVD rate estimate (twin of inter_codec
+    mvd_bits_estimate): 2 + per-component [a>0] + 2*max(floor(log2 a), 1)
+    for a > 1."""
+    def comp(d):
+        a = jnp.abs(d)
+        lg = jnp.maximum(
+            jnp.floor(jnp.log2(jnp.maximum(a, 1).astype(jnp.float32))),
+            1.0).astype(jnp.int32)
+        return (a > 0).astype(jnp.int32) + jnp.where(a > 1, 2 * lg, 0)
+
+    return 2 + comp(dx) + comp(dy)
+
+
+def _shift_grid(field: jnp.ndarray, dx: int, dy: int, fill):
+    """Neighbor gather on a [bh, bw, ...] grid: value of the block at
+    (bx + dx, by + dy), `fill` outside."""
+    out = jnp.roll(field, shift=(-dy, -dx), axis=(0, 1))
+    bh, bw = field.shape[:2]
+    ys = jnp.arange(bh)[:, None] + dy
+    xs = jnp.arange(bw)[None, :] + dx
+    inb = (ys >= 0) & (ys < bh) & (xs >= 0) & (xs < bw)
+    while inb.ndim < out.ndim:
+        inb = inb[..., None]
+    return jnp.where(inb, out, fill)
+
+
+def _scatter_blocks(plane, vals, xs, ys, n, sel):
+    """Masked batched block scatter; unselected lanes drop out of bounds."""
+    rows = ys[:, None, None] + jnp.arange(n, dtype=jnp.int32)[None, :, None]
+    cols = xs[:, None, None] + jnp.arange(n, dtype=jnp.int32)[None, None, :]
+    rows = jnp.where(sel[:, None, None], rows, plane.shape[0] + 7)
+    return plane.at[rows, cols].set(vals, mode="drop")
+
+
+def _intra_wavefront(yi, ui, vi, intra_grid, intra_modes, planes, cbfs,
+                     qp: int, qp_c: int, sbh: bool, rdoq: bool,
+                     bw: int, bh: int):
+    """Reconstruct the (rare) intra blocks of an inter picture on an
+    anti-diagonal wavefront: rec planes already hold the inter recon, so
+    each intra block reads decode-order-correct neighbors.
+
+    planes: (rec_y, rec_u, rec_v, coef_y, coef_u, coef_v);
+    cbfs: (cbf_y, cbf_u, cbf_v) flat [B] bool with inter blocks filled.
+    Returns the updated (planes, cbfs).
+    """
+    coords, valid, steps, max_len = encoder_jax._wavefront_schedule(bw, bh)
+    coords = jnp.asarray(coords)
+    valid = jnp.asarray(valid)
+
+    def body(d, st):
+        rec_y_p, rec_u_p, rec_v_p, cf_y, cf_u, cf_v, cb_maps = st
+        c = jax.lax.dynamic_slice(coords, (d, 0, 0), (1, max_len, 2))[0]
+        vm = jax.lax.dynamic_slice(valid, (d, 0), (1, max_len))[0]
+        bxs, bys = c[:, 0], c[:, 1]
+        sel = vm & intra_grid[bys, bxs]
+        xs, ys = bxs * 16, bys * 16
+        modes = intra_modes[bys, bxs]
+        refs_l = encoder_jax.gather_refs(rec_y_p, xs, ys, 16)
+        pr = intra_ops.predict_intra(refs_l, modes[:, None], 4)[:, 0]
+        ob = encoder_jax._extract_blocks(yi, xs, ys, 16)
+        lv, rec, cb = encoder_jax._code_blocks(ob, pr, qp, 4,
+                                               intra_slice=True, sbh=sbh,
+                                               rdoq=rdoq)
+        rec_y_p = _scatter_blocks(rec_y_p, rec, xs, ys, 16, sel)
+        cf_y = _scatter_blocks(cf_y, lv, xs, ys, 16, sel)
+        cb_y, cb_u, cb_v = cb_maps
+        tgt = jnp.where(sel, bys * bw + bxs, bw * bh)
+        cb_y = cb_y.at[tgt].set(cb, mode="drop")
+        cxs, cys = xs // 2, ys // 2
+        for comp, (orig_p, rec_p, cf_p) in enumerate((
+                (ui, rec_u_p, cf_u), (vi, rec_v_p, cf_v))):
+            refs_c = encoder_jax.gather_refs(rec_p, cxs, cys, 8)
+            prc = intra_ops.predict_intra(refs_c, modes[:, None], 3,
+                                          is_luma=False)[:, 0]
+            oc = encoder_jax._extract_blocks(orig_p, cxs, cys, 8)
+            lvc, recc, cbc = encoder_jax._code_blocks(
+                oc, prc, qp_c, 3, intra_slice=True, sbh=sbh, rdoq=rdoq)
+            rec_p = _scatter_blocks(rec_p, recc, cxs, cys, 8, sel)
+            cf_p = _scatter_blocks(cf_p, lvc, cxs, cys, 8, sel)
+            if comp == 0:
+                rec_u_p, cf_u = rec_p, cf_p
+                cb_u = cb_u.at[tgt].set(cbc, mode="drop")
+            else:
+                rec_v_p, cf_v = rec_p, cf_p
+                cb_v = cb_v.at[tgt].set(cbc, mode="drop")
+        return (rec_y_p, rec_u_p, rec_v_p, cf_y, cf_u, cf_v,
+                (cb_y, cb_u, cb_v))
+
+    init = planes + (cbfs,)
+    has_intra = jnp.any(intra_grid)
+    st = jax.lax.cond(
+        has_intra,
+        lambda s: jax.lax.fori_loop(0, steps, body, s),
+        lambda s: s, init)
+    return st[:6], st[6]
+
+
+# ---------------------------------------------------------------------------
+# Phase 1: the jitted P-frame pipeline
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("qp", "w", "h", "n_refs", "search_range", "sbh",
+                     "rdoq", "tmvp", "me_method", "deblock"))
+def encode_p_frame_dev(y, u, v, refs_y, refs_u, refs_v,
+                       col_inter, col_mvx, col_mvy, col_refpoc,
+                       ref_pocs, poc, col_poc,
+                       qp: int, w: int, h: int, n_refs: int,
+                       search_range: int, sbh: bool, rdoq: bool,
+                       tmvp: bool, me_method: str = "pyr",
+                       deblock: bool = True):
+    """One P picture, all pixel math on device.
+
+    refs_y: [R, H, W] int32 stacked L0 references (newest first);
+    col_*: collocated picture motion field (TMVP source), [bh, bw];
+    ref_pocs: [R] int32.  Returns a dict of field maps + coef/recon planes.
+    """
+    from video_codecs_tpu.models.hevc.intra_codec import chroma_qp
+
+    bw, bh = w // 16, h // 16
+    nb = bw * bh
+    qp_c = chroma_qp(qp)
+    x0 = jnp.tile(jnp.arange(bw, dtype=jnp.int32) * 16, bh)
+    y0 = jnp.repeat(jnp.arange(bh, dtype=jnp.int32) * 16, bw)
+    yi = y.astype(jnp.int32)
+    cur = encoder_jax._extract_blocks(yi, x0, y0, 16)
+    sl = math.sqrt(0.57 * 2.0 ** ((qp - 12) / 3.0))
+    lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
+
+    # ---- 1. motion search per reference ----
+    mvx_r, mvy_r, satd_r = [], [], []
+    for r in range(n_refs):
+        if me_method == "pyr":
+            imx, imy = me_ops.pyramid_search(refs_y[r], cur, x0, y0, 16,
+                                             search_range)
+            mvx, mvy = imx * 4, imy * 4
+            mvx, mvy, _ = me_ops._refine(refs_y[r], cur, x0, y0, mvx, mvy,
+                                         16, 2)
+            mvx, mvy, satd = me_ops._refine(refs_y[r], cur, x0, y0, mvx,
+                                            mvy, 16, 1)
+        else:
+            mvx, mvy, satd = me_ops.motion_search(
+                refs_y[r], cur, x0, y0, 16, search_range, me_method)
+        mvx_r.append(mvx)
+        mvy_r.append(mvy)
+        satd_r.append(satd)
+    me_mvx = jnp.stack(mvx_r)          # [R, B]
+    me_mvy = jnp.stack(mvy_r)
+    me_satd = jnp.stack(satd_r)
+
+    # ---- 2a. explicit-MV candidates: rate vs the left-neighbor predictor
+    # (approximation of AMVP; the host recomputes the real predictor) ----
+    gx = me_mvx.reshape(n_refs, bh, bw)
+    gy = me_mvy.reshape(n_refs, bh, bw)
+    pred_x = jnp.concatenate([jnp.zeros((n_refs, bh, 1), jnp.int32),
+                              gx[:, :, :-1]], axis=2).reshape(n_refs, nb)
+    pred_y = jnp.concatenate([jnp.zeros((n_refs, bh, 1), jnp.int32),
+                              gy[:, :, :-1]], axis=2).reshape(n_refs, nb)
+    bits_me = mvd_bits_dev(me_mvx - pred_x, me_mvy - pred_y)
+    ref_bias = jnp.arange(n_refs, dtype=jnp.int32)[:, None]
+    cost_me_r = me_satd + jnp.round(
+        sl * (4 + ref_bias + bits_me)).astype(jnp.int32)
+    best_r = jnp.argmin(cost_me_r, axis=0)            # [B]
+    cost_me = jnp.min(cost_me_r, axis=0)
+    me_best_mvx = jnp.take_along_axis(me_mvx, best_r[None], axis=0)[0]
+    me_best_mvy = jnp.take_along_axis(me_mvy, best_r[None], axis=0)[0]
+
+    # ---- 2b. merge candidate approximations from the phase-1 field ----
+    f_mvx = me_best_mvx.reshape(bh, bw)
+    f_mvy = me_best_mvy.reshape(bh, bw)
+    f_ref = best_r.reshape(bh, bw).astype(jnp.int32)
+    cands = []                                        # (mvx, mvy, ref, ok)
+    for dx, dy in ((-1, 0), (0, -1), (1, -1), (-1, -1)):
+        cx = _shift_grid(f_mvx, dx, dy, 0).reshape(nb)
+        cy = _shift_grid(f_mvy, dx, dy, 0).reshape(nb)
+        cr = _shift_grid(f_ref, dx, dy, 0).reshape(nb)
+        ys_ = jnp.repeat(jnp.arange(bh), bw) + dy
+        xs_ = jnp.tile(jnp.arange(bw), bh) + dx
+        ok = (ys_ >= 0) & (ys_ < bh) & (xs_ >= 0) & (xs_ < bw) & \
+             ((dy < 0) | (dx < 0))
+        cands.append((cx, cy, cr, ok))
+    if tmvp:
+        td = col_poc - col_refpoc.reshape(nb)
+        tb = poc - ref_pocs[0]
+        tx_, ty_ = scale_mv_dev(col_mvx.reshape(nb), col_mvy.reshape(nb),
+                                tb, td)
+        cands.append((tx_, ty_, jnp.zeros(nb, jnp.int32),
+                      col_inter.reshape(nb)))
+    zeros = jnp.zeros(nb, jnp.int32)
+    cands.append((zeros, zeros, zeros, jnp.ones(nb, bool)))
+
+    cost_mrg = jnp.full(nb, 1 << 30, jnp.int32)
+    mrg_mvx = jnp.zeros(nb, jnp.int32)
+    mrg_mvy = jnp.zeros(nb, jnp.int32)
+    mrg_ref = jnp.zeros(nb, jnp.int32)
+    for idx, (cx, cy, cr, ok) in enumerate(cands):
+        pred = interp.mc_luma_multi(refs_y, cr, x0, y0, cx, cy, 16)
+        satd = cost_ops.hadamard_satd_8x8(cur, pred)
+        c = satd + jnp.round(sl * (2 + idx)).astype(jnp.int32)
+        c = jnp.where(ok, c, INF)
+        better = c < cost_mrg
+        cost_mrg = jnp.where(better, c, cost_mrg)
+        mrg_mvx = jnp.where(better, cx, mrg_mvx)
+        mrg_mvy = jnp.where(better, cy, mrg_mvy)
+        mrg_ref = jnp.where(better, cr, mrg_ref)
+
+    # ---- 2c. intra candidate (orig-neighbor sweep, like the host path) --
+    intra_modes = encoder_jax.decide_modes_device(yi, qp, bw, bh)  # [bh,bw]
+    refs_o = encoder_jax.gather_refs(yi, x0, y0, 16)
+    pred_i = intra_ops.predict_intra(
+        refs_o, intra_modes.reshape(nb)[:, None], 4)[:, 0]
+    cost_intra = cost_ops.hadamard_satd_8x8(cur, pred_i) + \
+        jnp.round(sl * 9).astype(jnp.int32)
+
+    # ---- 2d. decision ----
+    use_intra = (cost_intra <= jnp.minimum(cost_mrg, cost_me))
+    use_mrg = (~use_intra) & (cost_mrg <= cost_me)
+    fin_mvx = jnp.where(use_mrg, mrg_mvx, me_best_mvx)
+    fin_mvy = jnp.where(use_mrg, mrg_mvy, me_best_mvy)
+    fin_ref = jnp.where(use_mrg, mrg_ref, best_r).astype(jnp.int32)
+    pred_mode = jnp.where(use_intra, MODE_INTRA, MODE_INTER)
+
+    # ---- 3. final MC + residual coding for inter blocks ----
+    pred_y_fin = interp.mc_luma_multi(refs_y, fin_ref, x0, y0,
+                                      fin_mvx, fin_mvy, 16)
+    lv_y, rec_blk, cbf_y = encoder_jax._code_blocks(
+        cur, pred_y_fin, qp, 4, intra_slice=False, sbh=sbh, rdoq=rdoq)
+
+    cx0, cy0 = x0 // 2, y0 // 2
+    ui = u.astype(jnp.int32)
+    vi = v.astype(jnp.int32)
+    cur_u = encoder_jax._extract_blocks(ui, cx0, cy0, 8)
+    cur_v = encoder_jax._extract_blocks(vi, cx0, cy0, 8)
+    pred_u = interp.mc_chroma_multi(refs_u, fin_ref, cx0, cy0,
+                                    fin_mvx, fin_mvy, 8)
+    pred_v = interp.mc_chroma_multi(refs_v, fin_ref, cx0, cy0,
+                                    fin_mvx, fin_mvy, 8)
+    lv_u, rec_u_blk, cbf_u = encoder_jax._code_blocks(
+        cur_u, pred_u, qp_c, 3, intra_slice=False, sbh=sbh, rdoq=rdoq)
+    lv_v, rec_v_blk, cbf_v = encoder_jax._code_blocks(
+        cur_v, pred_v, qp_c, 3, intra_slice=False, sbh=sbh, rdoq=rdoq)
+
+    # scatter inter recon + coefficients into planes
+    scatter = _scatter_blocks
+    is_inter = pred_mode == MODE_INTER
+    rec_y_pl = scatter(jnp.zeros((h, w), jnp.int32), rec_blk, x0, y0, 16,
+                       is_inter)
+    rec_u_pl = scatter(jnp.zeros((h // 2, w // 2), jnp.int32), rec_u_blk,
+                       cx0, cy0, 8, is_inter)
+    rec_v_pl = scatter(jnp.zeros((h // 2, w // 2), jnp.int32), rec_v_blk,
+                       cx0, cy0, 8, is_inter)
+    coef_y = scatter(jnp.zeros((h, w), jnp.int32), lv_y, x0, y0, 16,
+                     is_inter)
+    coef_u = scatter(jnp.zeros((h // 2, w // 2), jnp.int32), lv_u, cx0,
+                     cy0, 8, is_inter)
+    coef_v = scatter(jnp.zeros((h // 2, w // 2), jnp.int32), lv_v, cx0,
+                     cy0, 8, is_inter)
+
+    # ---- 4. intra blocks: wavefront recon (neighbor-dependent) ----
+    coords, valid, steps, max_len = encoder_jax._wavefront_schedule(bw, bh)
+    coords = jnp.asarray(coords)
+    valid = jnp.asarray(valid)
+    intra_grid = use_intra.reshape(bh, bw)
+
+    def body(d, st):
+        rec_y_p, rec_u_p, rec_v_p, cf_y, cf_u, cf_v, cb_maps = st
+        c = jax.lax.dynamic_slice(coords, (d, 0, 0), (1, max_len, 2))[0]
+        vm = jax.lax.dynamic_slice(valid, (d, 0), (1, max_len))[0]
+        bxs, bys = c[:, 0], c[:, 1]
+        sel = vm & intra_grid[bys, bxs]
+        xs, ys = bxs * 16, bys * 16
+        modes = intra_modes[bys, bxs]
+        # luma
+        refs_l = encoder_jax.gather_refs(rec_y_p, xs, ys, 16)
+        pr = intra_ops.predict_intra(refs_l, modes[:, None], 4)[:, 0]
+        ob = encoder_jax._extract_blocks(yi, xs, ys, 16)
+        lv, rec, cb = encoder_jax._code_blocks(ob, pr, qp, 4,
+                                               intra_slice=True, sbh=sbh,
+                                               rdoq=rdoq)
+        rec_y_p = scatter(rec_y_p, rec, xs, ys, 16, sel)
+        cf_y = scatter(cf_y, lv, xs, ys, 16, sel)
+        cb_y, cb_u, cb_v = cb_maps
+        # invalid lanes scatter out of bounds -> dropped
+        tgt = jnp.where(sel, bys * bw + bxs, bw * bh)
+        cb_y = cb_y.at[tgt].set(cb, mode="drop")
+        # chroma
+        cxs, cys = xs // 2, ys // 2
+        for comp, (orig_p, rec_p, cf_p) in enumerate((
+                (ui, rec_u_p, cf_u), (vi, rec_v_p, cf_v))):
+            refs_c = encoder_jax.gather_refs(rec_p, cxs, cys, 8)
+            prc = intra_ops.predict_intra(refs_c, modes[:, None], 3,
+                                          is_luma=False)[:, 0]
+            oc = encoder_jax._extract_blocks(orig_p, cxs, cys, 8)
+            lvc, recc, cbc = encoder_jax._code_blocks(
+                oc, prc, qp_c, 3, intra_slice=True, sbh=sbh, rdoq=rdoq)
+            rec_p = scatter(rec_p, recc, cxs, cys, 8, sel)
+            cf_p = scatter(cf_p, lvc, cxs, cys, 8, sel)
+            if comp == 0:
+                rec_u_p, cf_u = rec_p, cf_p
+                cb_u = cb_u.at[tgt].set(cbc, mode="drop")
+            else:
+                rec_v_p, cf_v = rec_p, cf_p
+                cb_v = cb_v.at[tgt].set(cbc, mode="drop")
+        return (rec_y_p, rec_u_p, rec_v_p, cf_y, cf_u, cf_v,
+                (cb_y, cb_u, cb_v))
+
+    has_intra = jnp.any(use_intra)
+    init = (rec_y_pl, rec_u_pl, rec_v_pl, coef_y, coef_u, coef_v,
+            (jnp.where(is_inter, cbf_y, False),
+             jnp.where(is_inter, cbf_u, False),
+             jnp.where(is_inter, cbf_v, False)))
+    st = jax.lax.cond(
+        has_intra,
+        lambda s: jax.lax.fori_loop(0, steps, body, s),
+        lambda s: s, init)
+    rec_y_pl, rec_u_pl, rec_v_pl, coef_y, coef_u, coef_v, cb_maps = st
+    cbf_y, cbf_u, cbf_v = cb_maps
+
+    # ---- 5. deblock with BS maps (twin of inter_codec.compute_bs_maps) --
+    pm = pred_mode.reshape(bh, bw)
+    cby = cbf_y.reshape(bh, bw)
+    mx = fin_mvx.reshape(bh, bw)
+    my = fin_mvy.reshape(bh, bw)
+    rpoc = ref_pocs[fin_ref].reshape(bh, bw)
+
+    def bs_pair(a_intra, b_intra, a_cbf, b_cbf, amx, bmx, amy, bmy,
+                arp, brp):
+        intra2 = a_intra | b_intra
+        one = a_cbf | b_cbf | (arp != brp) | (jnp.abs(amx - bmx) >= 4) | \
+            (jnp.abs(amy - bmy) >= 4)
+        return jnp.where(intra2, 2, jnp.where(one, 1, 0)).astype(jnp.int32)
+
+    ii = pm == MODE_INTRA
+    bs_ver = bs_pair(ii[:, :-1], ii[:, 1:], cby[:, :-1], cby[:, 1:],
+                     mx[:, :-1], mx[:, 1:], my[:, :-1], my[:, 1:],
+                     rpoc[:, :-1], rpoc[:, 1:]).T
+    bs_hor = bs_pair(ii[:-1, :], ii[1:, :], cby[:-1, :], cby[1:, :],
+                     mx[:-1, :], mx[1:, :], my[:-1, :], my[1:, :],
+                     rpoc[:-1, :], rpoc[1:, :])
+    if deblock:
+        rec_y_pl, rec_u_pl, rec_v_pl = deblock_ops.deblock_420_bs(
+            rec_y_pl, rec_u_pl, rec_v_pl, qp, bs_ver, bs_hor, block=16)
+
+    return dict(
+        pred_mode=pred_mode.reshape(bh, bw).astype(jnp.int8),
+        intra_mode=intra_modes.astype(jnp.int8),
+        mvx=fin_mvx.reshape(bh, bw),
+        mvy=fin_mvy.reshape(bh, bw),
+        ref_idx=fin_ref.reshape(bh, bw).astype(jnp.int8),
+        cbf_y=cbf_y.reshape(bh, bw),
+        cbf_cb=cbf_u.reshape(bh, bw),
+        cbf_cr=cbf_v.reshape(bh, bw),
+        coef_y=jnp.clip(coef_y, -32768, 32767).astype(jnp.int16),
+        coef_u=jnp.clip(coef_u, -32768, 32767).astype(jnp.int16),
+        coef_v=jnp.clip(coef_v, -32768, 32767).astype(jnp.int16),
+        rec_y=rec_y_pl.astype(jnp.uint8),
+        rec_u=rec_u_pl.astype(jnp.uint8),
+        rec_v=rec_v_pl.astype(jnp.uint8),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Phase 2: host reconciliation + CABAC (reuses the LowDelayEncoder
+# serializer so the toolset/bitstream stays identical to the host path)
+# ---------------------------------------------------------------------------
+
+class DeviceLowDelayEncoder(pc.LowDelayEncoder):
+    """LD-P encoder whose per-picture pixel pipeline runs on the TPU.
+
+    Same bitstream toolset as LowDelayEncoder (CTB=CU=PU=16, multi-ref,
+    merge, TMVP, SAO); decisions are made on device, so streams differ
+    from the host encoder's but decode in the same decoders.
+    """
+
+    def __init__(self, cfg, search_range: int = 64,
+                 me_method: str = "pyr") -> None:
+        super().__init__(cfg, search_range, me_method)
+        assert not cfg.weighted_pred, "device path: WP later"
+        assert not cfg.cu_qp_delta, "device path: CTU-RC later"
+
+    def encode_p_frame(self, y, u, v, dpb, poc):
+        cfg = self.cfg
+        bw, bh = cfg.width // 16, cfg.height // 16
+        refs = dpb[:cfg.num_refs]
+        n_refs = len(refs)
+        ref_pocs = [p for (p, _, _) in refs]
+        refs_y = jnp.asarray(np.stack([pl[0] for (_, pl, _) in refs])
+                             .astype(np.int32))
+        refs_u = jnp.asarray(np.stack([pl[1] for (_, pl, _) in refs])
+                             .astype(np.int32))
+        refs_v = jnp.asarray(np.stack([pl[2] for (_, pl, _) in refs])
+                             .astype(np.int32))
+        col = refs[0][2] if cfg.temporal_mvp else None
+        if col is None:
+            col_inter = np.zeros((bh, bw), bool)
+            col_mv = np.zeros((bh, bw, 2), np.int32)
+            col_refpoc = np.zeros((bh, bw), np.int32)
+            col_poc = 0
+        else:
+            col_inter, col_mv, col_refpoc, col_poc = (
+                col.inter, col.mv, col.ref_poc, col.poc)
+
+        st = encode_p_frame_dev(
+            jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+            refs_y, refs_u, refs_v,
+            jnp.asarray(col_inter), jnp.asarray(col_mv[..., 0]),
+            jnp.asarray(col_mv[..., 1]), jnp.asarray(col_refpoc),
+            jnp.asarray(np.array(ref_pocs, np.int32)),
+            jnp.int32(poc), jnp.int32(col_poc),
+            qp=cfg.qp, w=cfg.width, h=cfg.height, n_refs=n_refs,
+            search_range=self.search_range, sbh=cfg.sign_data_hiding,
+            rdoq=True, tmvp=cfg.temporal_mvp, me_method=self.me_method,
+            deblock=not cfg.deblocking_disabled)
+        st = {k: np.asarray(val) for k, val in st.items()}
+
+        info = self._reconcile(st, bw, bh, ref_pocs, poc,
+                               col if cfg.temporal_mvp else None)
+
+        rec_y = st["rec_y"].astype(np.int32)
+        rec_u = st["rec_u"].astype(np.int32)
+        rec_v = st["rec_v"].astype(np.int32)
+
+        sao_params = None
+        if cfg.sao:
+            yv, uv, vv = (p.astype(np.int32) for p in (y, u, v))
+            sao_params, (rec_y, rec_u, rec_v) = self._sao_decide_apply(
+                (yv, uv, vv), (rec_y, rec_u, rec_v))
+
+        mf = motion.MotionField.empty(bw, bh, poc)
+        inter_m = st["pred_mode"] == MODE_INTER
+        mf.inter[:] = inter_m
+        mf.mv[..., 0] = np.where(inter_m, st["mvx"], 0)
+        mf.mv[..., 1] = np.where(inter_m, st["mvy"], 0)
+        ref_poc_map = np.array(ref_pocs, np.int32)[st["ref_idx"]]
+        mf.ref_poc[:] = np.where(inter_m, ref_poc_map, 0)
+
+        slice_nal = self._encode_p_slice(info, poc, None, n_refs,
+                                         sao_params)
+        sei_nal = self._hash_sei(rec_y, rec_u, rec_v)
+        return [slice_nal, sei_nal], (rec_y, rec_u, rec_v), mf
+
+    def _reconcile(self, st, bw, bh, ref_pocs, poc, col):
+        """Build the BlockInfo grid: spec-exact merge/AMVP syntax for the
+        device-decided final motion field (motion.py derivation, shared
+        with the decoder)."""
+        cfg = self.cfg
+        info: list[list[pc.BlockInfo | None]] = [
+            [None] * bw for _ in range(bh)]
+        grid = motion.NeighborGrid(info, bw, bh)
+        pmod = st["pred_mode"]
+        mvx, mvy = st["mvx"], st["mvy"]
+        ridx = st["ref_idx"]
+        cbf_y, cbf_cb, cbf_cr = st["cbf_y"], st["cbf_cb"], st["cbf_cr"]
+        coef_y, coef_u, coef_v = st["coef_y"], st["coef_u"], st["coef_v"]
+        imodes = st["intra_mode"]
+
+        for by in range(bh):
+            for bx in range(bw):
+                b = pc.BlockInfo()
+                b.qp = cfg.qp
+                xx, yy = bx * 16, by * 16
+                b.cbf_y = bool(cbf_y[by, bx])
+                b.cbf_cb = bool(cbf_cb[by, bx])
+                b.cbf_cr = bool(cbf_cr[by, bx])
+                if b.cbf_y:
+                    b.levels_y = coef_y[yy:yy + 16, xx:xx + 16] \
+                        .astype(np.int32)
+                if b.cbf_cb:
+                    b.levels_cb = coef_u[yy // 2:yy // 2 + 8,
+                                         xx // 2:xx // 2 + 8] \
+                        .astype(np.int32)
+                if b.cbf_cr:
+                    b.levels_cr = coef_v[yy // 2:yy // 2 + 8,
+                                         xx // 2:xx // 2 + 8] \
+                        .astype(np.int32)
+                if pmod[by, bx] == MODE_INTRA:
+                    b.pred_mode = pc.MODE_INTRA
+                    b.intra_mode = int(imodes[by, bx])
+                    info[by][bx] = b
+                    continue
+                b.pred_mode = pc.MODE_INTER
+                mv = (int(mvx[by, bx]), int(mvy[by, bx]))
+                r = int(ridx[by, bx])
+                b.mv = mv
+                b.ref_idx = r
+                b.ref_poc = ref_pocs[r]
+                merge_list = motion.merge_candidates(
+                    grid, bx, by, ref_pocs, poc, col, cfg.merge_cands,
+                    cfg.temporal_mvp)
+                try:
+                    m_idx = merge_list.index((mv, r))
+                except ValueError:
+                    m_idx = -1
+                no_resid = not (b.cbf_y or b.cbf_cb or b.cbf_cr)
+                if m_idx >= 0:
+                    b.merge = True
+                    b.merge_idx = m_idx
+                    if no_resid:
+                        b.skip = True
+                else:
+                    b.merge = False
+                    amvp = motion.amvp_candidates(
+                        grid, bx, by, r, ref_pocs, poc, col,
+                        cfg.temporal_mvp)
+                    mvds = [(mv[0] - p[0], mv[1] - p[1]) for p in amvp]
+                    bits = [pc.mvd_bits_estimate(d) for d in mvds]
+                    b.mvp_idx = 0 if bits[0] <= bits[1] else 1
+                    b.mvd = mvds[b.mvp_idx]
+                info[by][bx] = b
+        return info

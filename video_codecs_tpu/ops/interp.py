@@ -90,6 +90,79 @@ def mc_chroma(ref: jnp.ndarray, x0, y0, mvx, mvy, n: int) -> jnp.ndarray:
     return out.astype(jnp.int32)
 
 
+def _gather_window_multi(refs: jnp.ndarray, ridx, x0, y0, w: int,
+                         h: int) -> jnp.ndarray:
+    """[B, h, w] windows from stacked planes refs [R, H, W]: block b reads
+    plane ridx[b] at integer (x0[b], y0[b]), edge-replicated."""
+    hh, ww = refs.shape[-2:]
+    rows = jnp.clip(y0[:, None, None] +
+                    jnp.arange(h, dtype=jnp.int32)[None, :, None], 0, hh - 1)
+    cols = jnp.clip(x0[:, None, None] +
+                    jnp.arange(w, dtype=jnp.int32)[None, None, :], 0, ww - 1)
+    return refs[ridx[:, None, None], rows, cols]
+
+
+def _mc_luma14_core(win: jnp.ndarray, fx, fy, n: int) -> jnp.ndarray:
+    """Two-stage 8-tap filtering of gathered [B, n+7, n+7] windows into the
+    14-bit intermediate domain (no final shift)."""
+    taps = jnp.asarray(LUMA_FILTERS)
+    fh = taps[fx]
+    fv = taps[fy]
+    cols = jnp.stack([win[:, :, i:i + n] for i in range(8)], axis=-1)
+    hor = jnp.einsum("byxi,bi->byx", cols, fh)
+    rows = jnp.stack([hor[:, i:i + n, :] for i in range(8)], axis=-1)
+    return jnp.einsum("byxi,bi->byx", rows, fv) >> 6
+
+
+def mc_luma14_multi(refs: jnp.ndarray, ridx, x0, y0, mvx, mvy,
+                    n: int) -> jnp.ndarray:
+    """Luma MC to the 14-bit domain from stacked references [R, H, W] with
+    a per-block reference index (bi-pred hypothesis / WP input)."""
+    ix = x0 + (mvx >> 2)
+    iy = y0 + (mvy >> 2)
+    win = _gather_window_multi(refs.astype(jnp.int32), ridx,
+                               ix - 3, iy - 3, n + 7, n + 7)
+    return _mc_luma14_core(win, mvx & 3, mvy & 3, n)
+
+
+def mc_luma_multi(refs: jnp.ndarray, ridx, x0, y0, mvx, mvy,
+                  n: int) -> jnp.ndarray:
+    """Spec-exact uni-pred luma MC from stacked references [R, H, W]."""
+    p14 = mc_luma14_multi(refs, ridx, x0, y0, mvx, mvy, n)
+    return jnp.clip((p14 + 32) >> 6, 0, 255).astype(jnp.int32)
+
+
+def _mc_chroma14_core(win: jnp.ndarray, fx, fy, n: int) -> jnp.ndarray:
+    taps = jnp.asarray(CHROMA_FILTERS)
+    fh = taps[fx]
+    fv = taps[fy]
+    cols = jnp.stack([win[:, :, i:i + n] for i in range(4)], axis=-1)
+    hor = jnp.einsum("byxi,bi->byx", cols, fh)
+    rows = jnp.stack([hor[:, i:i + n, :] for i in range(4)], axis=-1)
+    return jnp.einsum("byxi,bi->byx", rows, fv) >> 6
+
+
+def mc_chroma14_multi(refs: jnp.ndarray, ridx, x0, y0, mvx, mvy,
+                      n: int) -> jnp.ndarray:
+    ix = x0 + (mvx >> 3)
+    iy = y0 + (mvy >> 3)
+    win = _gather_window_multi(refs.astype(jnp.int32), ridx,
+                               ix - 1, iy - 1, n + 3, n + 3)
+    return _mc_chroma14_core(win, mvx & 7, mvy & 7, n)
+
+
+def mc_chroma_multi(refs: jnp.ndarray, ridx, x0, y0, mvx, mvy,
+                    n: int) -> jnp.ndarray:
+    p14 = mc_chroma14_multi(refs, ridx, x0, y0, mvx, mvy, n)
+    return jnp.clip((p14 + 32) >> 6, 0, 255).astype(jnp.int32)
+
+
+def bi_average(p0_14: jnp.ndarray, p1_14: jnp.ndarray) -> jnp.ndarray:
+    """Default bi-pred combine (spec 8.5.4.2.3.2): both hypotheses in the
+    14-bit domain, (p0 + p1 + 64) >> 7, clipped to 8-bit."""
+    return jnp.clip((p0_14 + p1_14 + 64) >> 7, 0, 255).astype(jnp.int32)
+
+
 # ---------------------------------------------------------------------------
 # NumPy scalar twin (tests / host reference)
 # ---------------------------------------------------------------------------

@@ -159,6 +159,91 @@ def tz_search(ref: jnp.ndarray, cur: jnp.ndarray, x0, y0, n: int,
     return bx.astype(jnp.int32), by.astype(jnp.int32)
 
 
+def _sad_points_chunked(win: jnp.ndarray, cur: jnp.ndarray, pts: np.ndarray,
+                        r: int, n: int, chunk: int = 64) -> jnp.ndarray:
+    """_sad_at_points with bounded memory: the [B, P, n, n] patch tensor is
+    materialized `chunk` points at a time (a static Python loop — the
+    graph stays small because chunks reuse one fused gather+reduce)."""
+    outs = []
+    for s in range(0, len(pts), chunk):
+        outs.append(_sad_at_points(win, cur, pts[s:s + chunk], r, n))
+    return jnp.concatenate(outs, axis=1)
+
+
+def _sad_best_around(ref: jnp.ndarray, cur: jnp.ndarray, x0, y0,
+                     cx: jnp.ndarray, cy: jnp.ndarray, n: int, rad: int,
+                     best_sad, best_x, best_y, bias: int = 0):
+    """Refine (best_x, best_y) over the (2rad+1)^2 window around per-block
+    centers (cx, cy); SAD + |mv| bias argmin folded into the running best."""
+    dy, dx = np.meshgrid(np.arange(-rad, rad + 1), np.arange(-rad, rad + 1),
+                         indexing="ij")
+    pts = np.stack([dx.reshape(-1), dy.reshape(-1)], axis=1).astype(np.int32)
+    win = interp._gather_window(ref, x0 + cx - rad, y0 + cy - rad,
+                                n + 2 * rad, n + 2 * rad)
+    cur32 = cur.astype(jnp.int32)
+    for s in range(0, len(pts), 32):
+        p = pts[s:s + 32]
+        sad = _sad_at_points(win, cur32, p, rad, n)    # [B, P]
+        mvx = cx[:, None] + jnp.asarray(p[:, 0])[None, :]
+        mvy = cy[:, None] + jnp.asarray(p[:, 1])[None, :]
+        cost = sad + jnp.abs(mvx) + jnp.abs(mvy) + bias
+        k = jnp.argmin(cost, axis=1)
+        c = jnp.take_along_axis(cost, k[:, None], axis=1)[:, 0]
+        better = c < best_sad
+        best_sad = jnp.where(better, c, best_sad)
+        best_x = jnp.where(better, jnp.take_along_axis(mvx, k[:, None],
+                                                       axis=1)[:, 0], best_x)
+        best_y = jnp.where(better, jnp.take_along_axis(mvy, k[:, None],
+                                                       axis=1)[:, 0], best_y)
+    return best_sad, best_x, best_y
+
+
+def _pool4(a: jnp.ndarray) -> jnp.ndarray:
+    """4x4 mean pool (rounded) over the trailing two dims."""
+    sh = a.shape
+    a = a.reshape(sh[:-2] + (sh[-2] // 4, 4, sh[-1] // 4, 4))
+    return (jnp.sum(a, axis=(-3, -1), dtype=jnp.int32) + 8) >> 4
+
+
+def pyramid_search(ref: jnp.ndarray, cur: jnp.ndarray, x0, y0, n: int,
+                   search_range: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Hierarchical integer search — the TPU-native large-range engine.
+
+    Behavioral stand-in for HM's TZSearch (TEncSearch.cpp:3881) at ranges
+    where the full window explodes: a quarter-resolution exhaustive search
+    covers the whole +-search_range window (SADs on 4x4-pooled blocks are
+    256x cheaper), then a +-3 full-resolution window around the upscaled
+    winner and a +-3 window around the zero MV (HM's start-predictor set)
+    resolve the final integer MV.  Fixed shapes, all blocks at once.
+    """
+    rq = max(1, (search_range + 3) // 4)
+    ref_q = _pool4(ref.astype(jnp.int32))
+    cur_q = _pool4(cur.astype(jnp.int32))
+    nq = n // 4
+    dy, dx = np.meshgrid(np.arange(-rq, rq + 1), np.arange(-rq, rq + 1),
+                         indexing="ij")
+    pts_q = np.stack([dx.reshape(-1), dy.reshape(-1)], 1).astype(np.int32)
+    win_q = interp._gather_window(ref_q, x0 // 4 - rq, y0 // 4 - rq,
+                                  nq + 2 * rq, nq + 2 * rq)
+    sad_q = _sad_points_chunked(win_q, cur_q, pts_q + rq - rq, rq, nq)
+    # scale pooled SADs to full-res magnitude for the |mv| bias to matter
+    cost_q = sad_q * 16 + 4 * (np.abs(pts_q[:, 0]) +
+                               np.abs(pts_q[:, 1]))[None, :]
+    kq = jnp.argmin(cost_q, axis=1)
+    cx = jnp.asarray(pts_q[:, 0])[kq] * 4
+    cy = jnp.asarray(pts_q[:, 1])[kq] * 4
+
+    big = jnp.full(cur.shape[0], 1 << 30, jnp.int32)
+    zero = jnp.zeros(cur.shape[0], jnp.int32)
+    best_sad, best_x, best_y = _sad_best_around(
+        ref, cur, x0, y0, zero, zero, n, 3, big, zero, zero)
+    best_sad, best_x, best_y = _sad_best_around(
+        ref, cur, x0, y0, cx, cy, n, 3, best_sad, best_x, best_y)
+    r = search_range
+    return (jnp.clip(best_x, -r, r).astype(jnp.int32),
+            jnp.clip(best_y, -r, r).astype(jnp.int32))
+
+
 _OFFS8 = np.array([(-1, -1), (0, -1), (1, -1), (-1, 0), (1, 0),
                    (-1, 1), (0, 1), (1, 1)], np.int32)
 
