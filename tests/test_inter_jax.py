@@ -16,7 +16,7 @@ from video_codecs_tpu.models.hevc import inter_jax
 
 def clip(w, h, n, seed=3):
     rng = np.random.default_rng(seed)
-    base = rng.integers(0, 256, (h + 16, w + 16)).astype(np.uint8)
+    base = rng.integers(0, 256, (h + n + 1, w + 2 * n + 1)).astype(np.uint8)
     frames = []
     for f in range(n):
         # global pan of 1 px/frame + noise: exercises ME + merge + intra
@@ -106,3 +106,76 @@ def test_device_ldp_uses_inter_blocks():
         tmvp=False)
     frac_inter = float(np.mean(np.asarray(st["pred_mode"]) == 0))
     assert frac_inter > 0.5
+
+
+def test_device_hierb_roundtrip():
+    """Device 2-level hierarchical-B streams decode bit-exactly in the
+    shared HierarchicalBDecoder with hash-SEI OK."""
+    from video_codecs_tpu.models.hevc import bframe_codec
+
+    w, h = 64, 48
+    cfg = headers.HevcConfig(width=w, height=h, qp=30, reorder_pics=1,
+                             sign_data_hiding=True)
+    enc = inter_jax.DeviceHierarchicalBEncoder(cfg, search_range=16)
+    frames = clip(w, h, 7)
+    stream, recons = enc.encode_sequence_rab(frames)
+    dec = bframe_codec.HierarchicalBDecoder()
+    out = dec.decode(stream)
+    assert len(out) == len(frames)
+    for k, (r, o) in enumerate(zip(recons, out)):
+        for c in range(3):
+            assert np.array_equal(np.asarray(r[c]), np.asarray(o[c])), \
+                f"frame {k} plane {c} mismatch"
+    assert dec.hash_status and all(dec.hash_status)
+
+
+def test_device_ra_gop8_roundtrip():
+    """Device GOP-8 RA streams (stock GOPEntry pyramid) decode bit-exactly
+    in RandomAccessDecoder with hash-SEI OK."""
+    from video_codecs_tpu.models.hevc import ra_codec
+
+    w, h = 64, 48
+    cfg = headers.HevcConfig(width=w, height=h, qp=32, reorder_pics=3,
+                             sign_data_hiding=True)
+    enc = inter_jax.DeviceRandomAccessEncoder(cfg, search_range=16)
+    frames = clip(w, h, 17)
+    stream, recons = enc.encode_sequence_ra(frames)
+    assert len(recons) == len(frames)
+    dec = ra_codec.RandomAccessDecoder()
+    out = dec.decode(stream)
+    assert dec.hash_status == [True] * len(frames)
+    for k, (r, o) in enumerate(zip(recons, out)):
+        for c in range(3):
+            assert np.array_equal(np.asarray(r[c]), np.asarray(o[c])), \
+                f"frame {k} plane {c} mismatch"
+
+
+def test_device_ra_hm_conformance(tmp_path):
+    """HM's TAppDecoder must decode device RA streams with hash-SEI OK."""
+    import os
+    import subprocess
+
+    from test_intra_codec import HM_DECODER
+    from video_codecs_tpu.utils import yuv
+
+    if not os.path.exists(HM_DECODER):
+        pytest.skip("HM reference decoder not built")
+    w, h = 64, 48
+    cfg = headers.HevcConfig(width=w, height=h, qp=32, reorder_pics=3,
+                             sign_data_hiding=True)
+    enc = inter_jax.DeviceRandomAccessEncoder(cfg, search_range=16)
+    frames = clip(w, h, 9)
+    stream, recons = enc.encode_sequence_ra(frames)
+    p = tmp_path / "ra.bin"
+    rec = tmp_path / "ra.yuv"
+    p.write_bytes(stream)
+    r = subprocess.run([HM_DECODER, "-b", str(p), "-o", str(rec)],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert r.stdout.count("(OK)") == len(frames) and \
+        "ERROR" not in r.stdout, r.stdout
+    ry, ru, rv = yuv.read_frames(str(rec), w, h)
+    for i, (ey, eu, ev) in enumerate(recons):
+        np.testing.assert_array_equal(ry[i], np.asarray(ey, np.uint8))
+        np.testing.assert_array_equal(ru[i], np.asarray(eu, np.uint8))
+        np.testing.assert_array_equal(rv[i], np.asarray(ev, np.uint8))

@@ -41,9 +41,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from video_codecs_tpu.models.hevc import bframe_codec as bc
 from video_codecs_tpu.models.hevc import encoder_jax
 from video_codecs_tpu.models.hevc import inter_codec as pc
 from video_codecs_tpu.models.hevc import motion
+from video_codecs_tpu.models.hevc import ra_codec as ra
 from video_codecs_tpu.ops import cost as cost_ops
 from video_codecs_tpu.ops import deblock as deblock_ops
 from video_codecs_tpu.ops import interp
@@ -447,6 +449,268 @@ def encode_p_frame_dev(y, u, v, refs_y, refs_u, refs_v,
 
 
 # ---------------------------------------------------------------------------
+# Phase 1b: the jitted B-frame pipeline (hierarchical-B / RA toolset:
+# one reference per list, merge_cands=1, uni/bi per block)
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("qp", "w", "h", "has_l1", "search_range", "sbh",
+                     "rdoq", "me_method", "deblock"))
+def encode_b_frame_dev(y, u, v, ref0_y, ref0_u, ref0_v,
+                       ref1_y, ref1_u, ref1_v,
+                       qp: int, w: int, h: int, has_l1: bool,
+                       search_range: int, sbh: bool, rdoq: bool,
+                       me_method: str = "pyr", deblock: bool = True):
+    """One B (or anchor P) picture of the hierarchical/RA toolset, all
+    pixel math on device.  Twin of bframe_codec._encode_b_frame's
+    decision loop (SURVEY §3.1; HM TEncSearch bi-pred iteration :3567
+    collapsed to best-uni averaging like the host path)."""
+    from video_codecs_tpu.models.hevc.intra_codec import chroma_qp
+
+    bw, bh = w // 16, h // 16
+    nb = bw * bh
+    qp_c = chroma_qp(qp)
+    x0 = jnp.tile(jnp.arange(bw, dtype=jnp.int32) * 16, bh)
+    y0 = jnp.repeat(jnp.arange(bh, dtype=jnp.int32) * 16, bw)
+    yi = y.astype(jnp.int32)
+    ui = u.astype(jnp.int32)
+    vi = v.astype(jnp.int32)
+    cur = encoder_jax._extract_blocks(yi, x0, y0, 16)
+    sl = math.sqrt(0.57 * 2.0 ** ((qp - 12) / 3.0))
+    n_lists = 2 if has_l1 else 1
+    refs_y = [ref0_y.astype(jnp.int32), ref1_y.astype(jnp.int32)]
+
+    # ---- ME per list ----
+    mvs, satds = [], []
+    for lx in range(n_lists):
+        if me_method == "pyr":
+            imx, imy = me_ops.pyramid_search(refs_y[lx], cur, x0, y0, 16,
+                                             search_range)
+            mvx, mvy = imx * 4, imy * 4
+            mvx, mvy, _ = me_ops._refine(refs_y[lx], cur, x0, y0, mvx,
+                                         mvy, 16, 2)
+            mvx, mvy, satd = me_ops._refine(refs_y[lx], cur, x0, y0, mvx,
+                                            mvy, 16, 1)
+        else:
+            mvx, mvy, satd = me_ops.motion_search(
+                refs_y[lx], cur, x0, y0, 16, search_range, me_method)
+        mvs.append((mvx, mvy))
+        satds.append(satd)
+
+    # rate estimates vs the left neighbor's ME MV (AMVP approximation)
+    bits = []
+    for lx in range(n_lists):
+        gx = mvs[lx][0].reshape(bh, bw)
+        gy = mvs[lx][1].reshape(bh, bw)
+        px = jnp.concatenate([jnp.zeros((bh, 1), jnp.int32), gx[:, :-1]],
+                             axis=1).reshape(nb)
+        py = jnp.concatenate([jnp.zeros((bh, 1), jnp.int32), gy[:, :-1]],
+                             axis=1).reshape(nb)
+        bits.append(mvd_bits_dev(mvs[lx][0] - px, mvs[lx][1] - py))
+
+    cost_uni = [satds[lx] + jnp.round(sl * (7 + bits[lx])).astype(jnp.int32)
+                for lx in range(n_lists)]
+
+    # bi hypothesis from the two best-uni MVs (host-path behavior)
+    if has_l1:
+        p0_14 = interp.mc_luma14_multi(refs_y[0][None], jnp.zeros(nb,
+                                                                  jnp.int32),
+                                       x0, y0, mvs[0][0], mvs[0][1], 16)
+        p1_14 = interp.mc_luma14_multi(refs_y[1][None], jnp.zeros(nb,
+                                                                  jnp.int32),
+                                       x0, y0, mvs[1][0], mvs[1][1], 16)
+        pred_bi = interp.bi_average(p0_14, p1_14)
+        cost_bi = cost_ops.hadamard_satd_8x8(cur, pred_bi) + jnp.round(
+            sl * (8 + bits[0] + bits[1])).astype(jnp.int32)
+    else:
+        cost_bi = jnp.full(nb, 1 << 30, jnp.int32)
+
+    # provisional field = best explicit hypothesis (for merge approx)
+    if has_l1:
+        best_uni_is0 = cost_uni[0] <= cost_uni[1]
+        cost_uni_min = jnp.minimum(cost_uni[0], cost_uni[1])
+        prov_dir = jnp.where(cost_bi < cost_uni_min, 3,
+                             jnp.where(best_uni_is0, 1, 2))
+        cost_expl = jnp.minimum(cost_bi, cost_uni_min)
+    else:
+        prov_dir = jnp.ones(nb, jnp.int32)
+        cost_expl = cost_uni[0]
+    prov_mv0x, prov_mv0y = mvs[0]
+    if has_l1:
+        prov_mv1x, prov_mv1y = mvs[1]
+    else:
+        prov_mv1x = prov_mv1y = jnp.zeros(nb, jnp.int32)
+
+    # ---- merge approximation: first in-bounds neighbor (A1 then B1),
+    # zero-BI (B) / zero-L0 (anchor) fallback — twin of derive_merge ----
+    def grid(a):
+        return a.reshape(bh, bw)
+
+    def pick(field, fallback):
+        left = _shift_grid(grid(field), -1, 0, 0)
+        above = _shift_grid(grid(field), 0, -1, 0)
+        bx_i = jnp.tile(jnp.arange(bw), bh).reshape(bh, bw)
+        by_i = jnp.repeat(jnp.arange(bh), bw).reshape(bh, bw)
+        out = jnp.where(bx_i > 0, left,
+                        jnp.where(by_i > 0, above, fallback))
+        return out.reshape(nb)
+
+    fb_dir = 3 if has_l1 else 1
+    mrg_dir = pick(prov_dir, fb_dir)
+    mrg_mv0x = pick(prov_mv0x, 0)
+    mrg_mv0y = pick(prov_mv0y, 0)
+    mrg_mv1x = pick(prov_mv1x, 0)
+    mrg_mv1y = pick(prov_mv1y, 0)
+    # fallback blocks carry zero MVs
+    bx_f = jnp.tile(jnp.arange(bw), bh)
+    by_f = jnp.repeat(jnp.arange(bh), bw)
+    is_fb = (bx_f == 0) & (by_f == 0)
+    mrg_mv0x = jnp.where(is_fb, 0, mrg_mv0x)
+    mrg_mv0y = jnp.where(is_fb, 0, mrg_mv0y)
+    mrg_mv1x = jnp.where(is_fb, 0, mrg_mv1x)
+    mrg_mv1y = jnp.where(is_fb, 0, mrg_mv1y)
+    mrg_dir = jnp.where(is_fb, fb_dir, mrg_dir)
+
+    zr = jnp.zeros(nb, jnp.int32)
+    m0_14 = interp.mc_luma14_multi(refs_y[0][None], zr, x0, y0,
+                                   mrg_mv0x, mrg_mv0y, 16)
+    if has_l1:
+        m1_14 = interp.mc_luma14_multi(refs_y[1][None], zr, x0, y0,
+                                       mrg_mv1x, mrg_mv1y, 16)
+        pred_mrg = jnp.where(
+            (mrg_dir == 3)[:, None, None], interp.bi_average(m0_14, m1_14),
+            jnp.where((mrg_dir == 1)[:, None, None],
+                      jnp.clip((m0_14 + 32) >> 6, 0, 255),
+                      jnp.clip((m1_14 + 32) >> 6, 0, 255))).astype(jnp.int32)
+    else:
+        pred_mrg = jnp.clip((m0_14 + 32) >> 6, 0, 255).astype(jnp.int32)
+    cost_mrg = cost_ops.hadamard_satd_8x8(cur, pred_mrg) + jnp.round(
+        sl * 2).astype(jnp.int32)
+
+    # ---- intra candidate ----
+    intra_modes = encoder_jax.decide_modes_device(yi, qp, bw, bh)
+    refs_o = encoder_jax.gather_refs(yi, x0, y0, 16)
+    pred_i = intra_ops.predict_intra(
+        refs_o, intra_modes.reshape(nb)[:, None], 4)[:, 0]
+    cost_intra = cost_ops.hadamard_satd_8x8(cur, pred_i) + \
+        jnp.round(sl * 9).astype(jnp.int32)
+
+    # ---- decision (host tie-break order) ----
+    use_intra = cost_intra <= jnp.minimum(cost_mrg, cost_expl)
+    use_mrg = (~use_intra) & (cost_mrg <= cost_expl)
+    fin_dir = jnp.where(use_mrg, mrg_dir, prov_dir)
+    fin_mv0x = jnp.where(use_mrg, mrg_mv0x, prov_mv0x)
+    fin_mv0y = jnp.where(use_mrg, mrg_mv0y, prov_mv0y)
+    fin_mv1x = jnp.where(use_mrg, mrg_mv1x, prov_mv1x)
+    fin_mv1y = jnp.where(use_mrg, mrg_mv1y, prov_mv1y)
+    pred_mode = jnp.where(use_intra, MODE_INTRA, MODE_INTER)
+
+    # ---- final MC + residual ----
+    def final_pred(refs0, refs1, xs, ys, n, mv0, mv1, mc14):
+        q0 = mc14(refs0[None], zr, xs, ys, mv0[0], mv0[1], n)
+        if has_l1:
+            q1 = mc14(refs1[None], zr, xs, ys, mv1[0], mv1[1], n)
+            return jnp.where(
+                (fin_dir == 3)[:, None, None], interp.bi_average(q0, q1),
+                jnp.where((fin_dir == 1)[:, None, None],
+                          jnp.clip((q0 + 32) >> 6, 0, 255),
+                          jnp.clip((q1 + 32) >> 6, 0, 255))) \
+                .astype(jnp.int32)
+        return jnp.clip((q0 + 32) >> 6, 0, 255).astype(jnp.int32)
+
+    pred_y_fin = final_pred(refs_y[0], refs_y[1] if has_l1 else refs_y[0],
+                            x0, y0, 16, (fin_mv0x, fin_mv0y),
+                            (fin_mv1x, fin_mv1y), interp.mc_luma14_multi)
+    lv_y, rec_blk, cbf_y = encoder_jax._code_blocks(
+        cur, pred_y_fin, qp, 4, intra_slice=False, sbh=sbh, rdoq=rdoq)
+
+    cx0, cy0 = x0 // 2, y0 // 2
+    cur_u = encoder_jax._extract_blocks(ui, cx0, cy0, 8)
+    cur_v = encoder_jax._extract_blocks(vi, cx0, cy0, 8)
+    r0u, r0v = ref0_u.astype(jnp.int32), ref0_v.astype(jnp.int32)
+    r1u, r1v = ref1_u.astype(jnp.int32), ref1_v.astype(jnp.int32)
+    pred_u = final_pred(r0u, r1u, cx0, cy0, 8, (fin_mv0x, fin_mv0y),
+                        (fin_mv1x, fin_mv1y), interp.mc_chroma14_multi)
+    pred_v = final_pred(r0v, r1v, cx0, cy0, 8, (fin_mv0x, fin_mv0y),
+                        (fin_mv1x, fin_mv1y), interp.mc_chroma14_multi)
+    lv_u, rec_u_blk, cbf_u = encoder_jax._code_blocks(
+        cur_u, pred_u, qp_c, 3, intra_slice=False, sbh=sbh, rdoq=rdoq)
+    lv_v, rec_v_blk, cbf_v = encoder_jax._code_blocks(
+        cur_v, pred_v, qp_c, 3, intra_slice=False, sbh=sbh, rdoq=rdoq)
+
+    is_inter = pred_mode == MODE_INTER
+    rec_y_pl = _scatter_blocks(jnp.zeros((h, w), jnp.int32), rec_blk, x0,
+                               y0, 16, is_inter)
+    rec_u_pl = _scatter_blocks(jnp.zeros((h // 2, w // 2), jnp.int32),
+                               rec_u_blk, cx0, cy0, 8, is_inter)
+    rec_v_pl = _scatter_blocks(jnp.zeros((h // 2, w // 2), jnp.int32),
+                               rec_v_blk, cx0, cy0, 8, is_inter)
+    coef_y = _scatter_blocks(jnp.zeros((h, w), jnp.int32), lv_y, x0, y0,
+                             16, is_inter)
+    coef_u = _scatter_blocks(jnp.zeros((h // 2, w // 2), jnp.int32), lv_u,
+                             cx0, cy0, 8, is_inter)
+    coef_v = _scatter_blocks(jnp.zeros((h // 2, w // 2), jnp.int32), lv_v,
+                             cx0, cy0, 8, is_inter)
+
+    planes, cbfs = _intra_wavefront(
+        yi, ui, vi, use_intra.reshape(bh, bw), intra_modes,
+        (rec_y_pl, rec_u_pl, rec_v_pl, coef_y, coef_u, coef_v),
+        (jnp.where(is_inter, cbf_y, False),
+         jnp.where(is_inter, cbf_u, False),
+         jnp.where(is_inter, cbf_v, False)),
+        qp, qp_c, sbh, rdoq, bw, bh)
+    rec_y_pl, rec_u_pl, rec_v_pl, coef_y, coef_u, coef_v = planes
+    cbf_y, cbf_u, cbf_v = cbfs
+
+    # ---- BS maps (twin of bframe_codec._bs_maps_b) + deblock ----
+    pm = pred_mode.reshape(bh, bw)
+    cby = cbf_y.reshape(bh, bw)
+    dirg = fin_dir.reshape(bh, bw)
+    m0x = fin_mv0x.reshape(bh, bw)
+    m0y = fin_mv0y.reshape(bh, bw)
+    m1x = fin_mv1x.reshape(bh, bw)
+    m1y = fin_mv1y.reshape(bh, bw)
+
+    def bs_pair(sl_a, sl_b):
+        a_i = (pm == MODE_INTRA)[sl_a]
+        b_i = (pm == MODE_INTRA)[sl_b]
+        intra2 = a_i | b_i
+        diff_dir = dirg[sl_a] != dirg[sl_b]
+        d0 = (jnp.abs(m0x[sl_a] - m0x[sl_b]) >= 4) | \
+             (jnp.abs(m0y[sl_a] - m0y[sl_b]) >= 4)
+        d1 = (jnp.abs(m1x[sl_a] - m1x[sl_b]) >= 4) | \
+             (jnp.abs(m1y[sl_a] - m1y[sl_b]) >= 4)
+        use0 = (dirg[sl_a] & 1) > 0
+        mv_diff = jnp.where(dirg[sl_a] == 3, d0 | d1,
+                            jnp.where(use0, d0, d1))
+        one = cby[sl_a] | cby[sl_b] | diff_dir | mv_diff
+        return jnp.where(intra2, 2,
+                         jnp.where(one, 1, 0)).astype(jnp.int32)
+
+    bs_ver = bs_pair(np.s_[:, :-1], np.s_[:, 1:]).T
+    bs_hor = bs_pair(np.s_[:-1, :], np.s_[1:, :])
+    if deblock:
+        rec_y_pl, rec_u_pl, rec_v_pl = deblock_ops.deblock_420_bs(
+            rec_y_pl, rec_u_pl, rec_v_pl, qp, bs_ver, bs_hor, block=16)
+
+    return dict(
+        pred_mode=pred_mode.reshape(bh, bw).astype(jnp.int8),
+        intra_mode=intra_modes.astype(jnp.int8),
+        inter_dir=fin_dir.reshape(bh, bw).astype(jnp.int8),
+        mv0x=m0x, mv0y=m0y, mv1x=m1x, mv1y=m1y,
+        cbf_y=cby, cbf_cb=cbf_u.reshape(bh, bw),
+        cbf_cr=cbf_v.reshape(bh, bw),
+        coef_y=jnp.clip(coef_y, -32768, 32767).astype(jnp.int16),
+        coef_u=jnp.clip(coef_u, -32768, 32767).astype(jnp.int16),
+        coef_v=jnp.clip(coef_v, -32768, 32767).astype(jnp.int16),
+        rec_y=rec_y_pl.astype(jnp.uint8),
+        rec_u=rec_u_pl.astype(jnp.uint8),
+        rec_v=rec_v_pl.astype(jnp.uint8),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Phase 2: host reconciliation + CABAC (reuses the LowDelayEncoder
 # serializer so the toolset/bitstream stays identical to the host path)
 # ---------------------------------------------------------------------------
@@ -526,6 +790,13 @@ class DeviceLowDelayEncoder(pc.LowDelayEncoder):
         sei_nal = self._hash_sei(rec_y, rec_u, rec_v)
         return [slice_nal, sei_nal], (rec_y, rec_u, rec_v), mf
 
+    def encode_frame(self, y, u, v, *args, **kwargs):
+        """IDR pictures via the device all-intra fast path (the host CTB
+        loop would dominate at 1080p); SAO falls back to the host path."""
+        if self.cfg.sao or self.cfg.tile_columns != 1:
+            return super().encode_frame(y, u, v, *args, **kwargs)
+        return self.encode_frame_fast(y, u, v)
+
     def _reconcile(self, st, bw, bh, ref_pocs, poc, col):
         """Build the BlockInfo grid: spec-exact merge/AMVP syntax for the
         device-decided final motion field (motion.py derivation, shared
@@ -595,3 +866,163 @@ class DeviceLowDelayEncoder(pc.LowDelayEncoder):
                     b.mvd = mvds[b.mvp_idx]
                 info[by][bx] = b
         return info
+
+
+# ---------------------------------------------------------------------------
+# Phase 2 for B pictures: host reconciliation + the device hierarchical-B /
+# random-access encoders (bframe_codec / ra_codec syntax, device pixel math)
+# ---------------------------------------------------------------------------
+
+L0, L1 = bc.L0, bc.L1
+
+
+def _reconcile_b(st, bw, bh, ref_poc, poc, is_anchor):
+    """Build the BBlock grid for a device-encoded B/anchor picture:
+    spec-exact merge/AMVP syntax reproducing the device-decided final
+    motion field (bframe_codec.derive_merge / derive_amvp_b, shared with
+    the decoder).  Where the device's approximate merge differs from the
+    real single merge candidate, the MV is coded explicitly — always
+    conformant, approximation only ever costs bits."""
+    info: list[list[bc.BBlock | None]] = [[None] * bw for _ in range(bh)]
+    pmod = st["pred_mode"]
+    idir = st["inter_dir"]
+    m0x, m0y = st["mv0x"], st["mv0y"]
+    m1x, m1y = st["mv1x"], st["mv1y"]
+    cbf_y, cbf_cb, cbf_cr = st["cbf_y"], st["cbf_cb"], st["cbf_cr"]
+    coef_y, coef_u, coef_v = st["coef_y"], st["coef_u"], st["coef_v"]
+    imodes = st["intra_mode"]
+
+    for by in range(bh):
+        for bx in range(bw):
+            b = bc.BBlock()
+            xx, yy = bx * 16, by * 16
+            b.cbf_y = bool(cbf_y[by, bx])
+            b.cbf_cb = bool(cbf_cb[by, bx])
+            b.cbf_cr = bool(cbf_cr[by, bx])
+            if b.cbf_y:
+                b.levels_y = coef_y[yy:yy + 16, xx:xx + 16].astype(np.int32)
+            if b.cbf_cb:
+                b.levels_cb = coef_u[yy // 2:yy // 2 + 8,
+                                     xx // 2:xx // 2 + 8].astype(np.int32)
+            if b.cbf_cr:
+                b.levels_cr = coef_v[yy // 2:yy // 2 + 8,
+                                     xx // 2:xx // 2 + 8].astype(np.int32)
+            if pmod[by, bx] == MODE_INTRA:
+                b.pred_mode = bc.MODE_INTRA
+                b.intra_mode = int(imodes[by, bx])
+                info[by][bx] = b
+                continue
+            b.pred_mode = bc.MODE_INTER
+            d = int(idir[by, bx])
+            mv = {}
+            if d & 1:
+                mv[L0] = (int(m0x[by, bx]), int(m0y[by, bx]))
+            if d & 2:
+                mv[L1] = (int(m1x[by, bx]), int(m1y[by, bx]))
+            b.inter_dir = d
+            b.mv = mv
+            mdir, mmv = bc.derive_merge(info, bx, by, bw, bh,
+                                        is_b_slice=not is_anchor)
+            no_res = not (b.cbf_y or b.cbf_cb or b.cbf_cr)
+            if mdir == d and all(tuple(mmv[lx]) == mv[lx] for lx in mv):
+                b.merge = True
+                if no_res:
+                    b.skip = True
+            else:
+                b.merge = False
+                if d == 3:
+                    b.mvp_idx = {}
+                    b.mvd = {}
+                    for lx in (L0, L1):
+                        amvp = bc.derive_amvp_b(info, bx, by, bw, bh, lx,
+                                                poc, ref_poc)
+                        mvds = [(mv[lx][0] - p[0], mv[lx][1] - p[1])
+                                for p in amvp]
+                        bits = [pc.mvd_bits_estimate(x) for x in mvds]
+                        mi = 0 if bits[0] <= bits[1] else 1
+                        b.mvp_idx[lx] = mi
+                        b.mvd[lx] = mvds[mi]
+                else:
+                    lx = L0 if d & 1 else L1
+                    amvp = bc.derive_amvp_b(info, bx, by, bw, bh, lx,
+                                            poc, ref_poc)
+                    mvds = [(mv[lx][0] - p[0], mv[lx][1] - p[1])
+                            for p in amvp]
+                    bits = [pc.mvd_bits_estimate(x) for x in mvds]
+                    b.mvp_idx = 0 if bits[0] <= bits[1] else 1
+                    b.mvd = mvds[b.mvp_idx]
+            info[by][bx] = b
+    return info
+
+
+def _device_b_frame(enc, frame, poc, refs, is_anchor):
+    """Shared device B/anchor picture path: run encode_b_frame_dev, then
+    host reconciliation + CABAC with the encoder's own serializer."""
+    cfg = enc.cfg
+    y, u, v = frame
+    bw, bh = cfg.width // 16, cfg.height // 16
+    ref_poc = {lx: rp for lx, (rp, _) in refs.items()}
+    has_l1 = L1 in refs
+    r0 = refs[L0][1]
+    r1 = refs[L1][1] if has_l1 else r0
+
+    st = encode_b_frame_dev(
+        jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),
+        jnp.asarray(np.asarray(r0[0], np.int32)),
+        jnp.asarray(np.asarray(r0[1], np.int32)),
+        jnp.asarray(np.asarray(r0[2], np.int32)),
+        jnp.asarray(np.asarray(r1[0], np.int32)),
+        jnp.asarray(np.asarray(r1[1], np.int32)),
+        jnp.asarray(np.asarray(r1[2], np.int32)),
+        qp=cfg.qp, w=cfg.width, h=cfg.height, has_l1=has_l1,
+        search_range=enc.search_range, sbh=cfg.sign_data_hiding,
+        rdoq=True, me_method=enc.me_method,
+        deblock=not cfg.deblocking_disabled)
+    st = {k: np.asarray(val) for k, val in st.items()}
+
+    info = _reconcile_b(st, bw, bh, ref_poc, poc, is_anchor)
+    slice_nal = enc._encode_b_slice(info, poc, is_anchor, ref_poc,
+                                    poc - ref_poc[L0])
+    rec_y = st["rec_y"].astype(np.int32)
+    rec_u = st["rec_u"].astype(np.int32)
+    rec_v = st["rec_v"].astype(np.int32)
+    sei_nal = enc._hash_sei(rec_y, rec_u, rec_v)
+    return [slice_nal, sei_nal], (rec_y, rec_u, rec_v)
+
+
+class DeviceHierarchicalBEncoder(bc.HierarchicalBEncoder):
+    """2-level hierarchical-B encoder with the per-picture pixel pipeline
+    on the TPU (same toolset/bitstream syntax as HierarchicalBEncoder)."""
+
+    def __init__(self, cfg, search_range: int = 64,
+                 me_method: str = "pyr") -> None:
+        super().__init__(cfg, search_range, me_method)
+
+    def encode_frame(self, y, u, v, *args, **kwargs):
+        if self.cfg.sao or self.cfg.tile_columns != 1:
+            return super().encode_frame(y, u, v, *args, **kwargs)
+        return self.encode_frame_fast(y, u, v)
+
+    def _encode_b_frame(self, frame, poc, refs, is_anchor):
+        return _device_b_frame(self, frame, poc, refs, is_anchor)
+
+
+class DeviceRandomAccessEncoder(ra.RandomAccessEncoder):
+    """GOP-driven RA encoder (GOPEntry tables, BASELINE config 3
+    structure) with the per-picture pixel pipeline on the TPU."""
+
+    def __init__(self, cfg, gop: tuple = ra.GOP8_RA,
+                 search_range: int = 64, me_method: str = "pyr") -> None:
+        super().__init__(cfg, gop, search_range, me_method)
+
+    def encode_frame(self, y, u, v, *args, **kwargs):
+        if self.cfg.sao or self.cfg.tile_columns != 1:
+            return super().encode_frame(y, u, v, *args, **kwargs)
+        return self.encode_frame_fast(y, u, v)
+
+    def _encode_b_frame(self, frame, poc, refs, is_anchor):
+        # tag reference-ness for the NAL type (RandomAccessEncoder logic)
+        e = next((e for e in self.gop
+                  if (poc - e.poc) % self.gop_size == 0), None)
+        self._cur_is_ref = e is None or e.temporal_id < 3
+        return _device_b_frame(self, frame, poc, refs, is_anchor)
