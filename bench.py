@@ -1,73 +1,136 @@
-"""Driver benchmark: all-intra HEVC encode fps on one TPU chip.
+"""Driver benchmark — prints ONE JSON line {"metric", "value", "unit",
+"vs_baseline"}.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Round 3 headline: the NORTH-STAR config — 1080p random-access
+hierarchical-B (GOP-8, GOPEntry tables) on the device inter engine
+(inter_jax.DeviceRandomAccessEncoder): per-list ME + uni/bi decision +
+residual coding + deblocking on the TPU, host merge/AMVP reconciliation
++ CABAC.  Baseline: HM-16.5 TAppEncoderStatic single-thread
+encoder_randomaccess_main.cfg on this machine = 0.0207 fps (BASELINE.md
+row 3, 2026-08-19).
 
-Round 2 benchmarks the QUALITY operating point: the device CU-quadtree
-encoder (CTB32, CUs 32/16/8, tree-DP decision, RDOQ-lite, SBH, CU-boundary
-deblocking).  QP-sweep quality vs HM full RDO on this clip: BD-rate +23.7%
-(round-1 fixed-16x16 fast path: +25.3% at 57.9 fps).
-
-Baseline: HM-16.5 TAppEncoderStatic (single thread, -O3) measured on THIS
-machine encoding the same deterministic 416x240x17 clip with
-cfg/encoder_intra_main.cfg (CTU64 full RDO + RDOQ + SAO): 17 frames in
-13.595 s = 1.2505 fps (2026-08-17, BASELINE.md).  Our quadtree stream at
-QP32 decodes bit-exact in HM's decoder (hash SEI OK; tests).
+Secondary configs (BASELINE.md rows 1-2) are measured too and reported
+in the "extra" field so round-to-round regressions surface:
+  - all-intra device quadtree 416x240 QP32 (vs HM 1.2505 fps)
+  - low-delay P 832x480 device engine (vs HM 0.103 fps)
+Set VCT_BENCH_CONFIGS=ra (or a comma list of ra,intra,ldp) to trim the
+run when the driver budget is tight.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-HM_BASELINE_FPS = 1.2505
-W, H, FRAMES = 416, 240, 17
-QP = 32
+HM_RA_1080_FPS = 0.0207
+HM_INTRA_FPS = 1.2505
+HM_LDP_FPS = 0.103
 
 
-def synth_clip():
-    rng = np.random.default_rng(42)
-    xx, yy = np.meshgrid(np.arange(W), np.arange(H))
-    tex = rng.integers(-24, 25, (H, W))
+def synth_clip(w, h, n, seed=42):
+    rng = np.random.default_rng(seed)
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    tex = rng.integers(-24, 25, (h, w))
     frames = []
-    for f in range(FRAMES):
+    for f in range(n):
         y = np.clip(((xx * 3 + yy * 2 + f * 7) % 256) * 0.7 + tex + 30 +
-                    20 * np.sin(2 * np.pi * (xx + 8 * f) / 64), 0, 255).astype(np.uint8)
-        u = np.clip(128 + 40 * np.sin(2 * np.pi * (xx[::2, ::2] + 4 * f) / 128),
+                    20 * np.sin(2 * np.pi * (xx + 8 * f) / 64),
                     0, 255).astype(np.uint8)
-        v = np.clip(128 + 40 * np.cos(2 * np.pi * (yy[::2, ::2] + 4 * f) / 128),
-                    0, 255).astype(np.uint8)
+        u = np.clip(128 + 40 * np.sin(2 * np.pi * (xx[::2, ::2] + 4 * f)
+                                      / 128), 0, 255).astype(np.uint8)
+        v = np.clip(128 + 40 * np.cos(2 * np.pi * (yy[::2, ::2] + 4 * f)
+                                      / 128), 0, 255).astype(np.uint8)
         frames.append((y, u, v))
     return frames
 
 
-def main() -> None:
+def bench_ra_1080():
+    """North star: 1080p RA GOP-8 on the device inter engine."""
+    from video_codecs_tpu.models.hevc import headers, inter_jax
+
+    frames = synth_clip(1920, 1072, 9)
+    cfg = headers.HevcConfig(width=1920, height=1072, qp=32,
+                             reorder_pics=3, sign_data_hiding=True)
+    enc = inter_jax.DeviceRandomAccessEncoder(cfg, search_range=64)
+    enc.encode_sequence_ra(frames)            # compile + warm caches
+    t0 = time.time()
+    stream, _ = enc.encode_sequence_ra(frames)
+    fps = len(frames) / (time.time() - t0)
+    kbps = len(stream) * 8 * 30 / len(frames) / 1000
+    return fps, kbps
+
+
+def bench_intra_qt():
+    """All-intra device quadtree quality path, 416x240 QP32."""
     from video_codecs_tpu.models.hevc import headers, quadtree_codec
 
-    frames = synth_clip()
-    cfg = headers.HevcConfig(width=W, height=H, qp=QP, log2_ctb=5,
+    frames = synth_clip(416, 240, 17)
+    cfg = headers.HevcConfig(width=416, height=240, qp=32, log2_ctb=5,
                              log2_min_cb=3, log2_max_tb=5,
                              sign_data_hiding=True, rdoq="lite")
     enc = quadtree_codec.QuadtreeFastEncoder(cfg)
-
-    # Warm-up: compile the device quadtree pipeline on frame 0.
     enc.encode_frame_fast(*frames[0])
-
-    # best-of-2: keeps total runtime well inside the driver's budget
-    # (the fresh compile alone is ~250 s over the tunnel)
     fps = 0.0
     for _ in range(2):
         t0 = time.time()
-        stream, _ = enc.encode_sequence(frames)
-        dt = time.time() - t0
-        fps = max(fps, FRAMES / dt)
+        enc.encode_sequence(frames)
+        fps = max(fps, len(frames) / (time.time() - t0))
+    return fps
 
+
+def bench_ldp_480():
+    """Low-delay P 832x480 on the device inter engine (config 2)."""
+    from video_codecs_tpu.models.hevc import headers, inter_jax
+
+    frames = synth_clip(832, 480, 9)
+    cfg = headers.HevcConfig(width=832, height=480, qp=32, num_refs=4,
+                             merge_cands=5, temporal_mvp=True,
+                             sign_data_hiding=True)
+    enc = inter_jax.DeviceLowDelayEncoder(cfg, search_range=64)
+    enc.encode_sequence_ldp(frames)
+    t0 = time.time()
+    stream, _ = enc.encode_sequence_ldp(frames)
+    fps = len(frames) / (time.time() - t0)
+    kbps = len(stream) * 8 * 30 / len(frames) / 1000
+    return fps, kbps
+
+
+def main() -> None:
+    configs = os.environ.get("VCT_BENCH_CONFIGS", "ra,intra,ldp").split(",")
+    extra = {}
+    ra_fps = None
+    if "ra" in configs:
+        ra_fps, ra_kbps = bench_ra_1080()
+        extra["ra_1080_kbps"] = round(ra_kbps)
+    if "intra" in configs:
+        try:
+            f = bench_intra_qt()
+            extra["intra_qt_416_fps"] = round(f, 2)
+            extra["intra_qt_vs_hm"] = round(f / HM_INTRA_FPS, 2)
+        except Exception as e:  # secondary: never sink the headline
+            extra["intra_qt_error"] = f"{type(e).__name__}: {e}"
+    if "ldp" in configs:
+        try:
+            f, kbps = bench_ldp_480()
+            extra["ldp_480_fps"] = round(f, 3)
+            extra["ldp_480_vs_hm"] = round(f / HM_LDP_FPS, 2)
+            extra["ldp_480_kbps"] = round(kbps)
+        except Exception as e:
+            extra["ldp_error"] = f"{type(e).__name__}: {e}"
+
+    if ra_fps is None:
+        ra_fps, ra_kbps = bench_ra_1080()
+        extra["ra_1080_kbps"] = round(ra_kbps)
     print(json.dumps({
-        "metric": "hevc_all_intra_quadtree_encode_416x240_qp32",
-        "value": round(fps, 3),
+        "metric": "hevc_ra_1080p_gop8_device_encode_qp32",
+        "value": round(ra_fps, 4),
         "unit": "frames/s/chip",
-        "vs_baseline": round(fps / HM_BASELINE_FPS, 2),
+        "vs_baseline": round(ra_fps / HM_RA_1080_FPS, 2),
+        "extra": extra,
     }))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":
