@@ -21,7 +21,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import synth_clip, W, H, FRAMES  # noqa: E402
+from bench import synth_clip  # noqa: E402
+W, H, FRAMES = 416, 240, 17
 from video_codecs_tpu.tools import experiment  # noqa: E402
 from video_codecs_tpu.utils import yuv  # noqa: E402
 
@@ -96,7 +97,7 @@ def main():
     args = ap.parse_args()
     qps = [int(q) for q in args.qps.split(",")]
 
-    frames = synth_clip()[:args.frames]
+    frames = synth_clip(W, H, args.frames)
     cache = {}
     if os.path.exists(CACHE):
         cache = json.load(open(CACHE))

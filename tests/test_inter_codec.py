@@ -163,7 +163,7 @@ def test_ldp_multiref_merge5_tmvp_hm_conformance(tmp_path):
     sys.path.insert(0, "/root/repo")
     from bench import synth_clip
 
-    clip = synth_clip()[:8]
+    clip = synth_clip(416, 240, 8)
     crop = [(f[0][:48, :80], f[1][:24, :40], f[2][:24, :40]) for f in clip]
     cfg = headers.HevcConfig(width=80, height=48, qp=30, num_refs=4,
                              merge_cands=5, temporal_mvp=True)

@@ -19,7 +19,7 @@ HM_RA_CFG = "/root/repo/.refbuild/hm-16.5rc1/cfg/encoder_randomaccess_main.cfg"
 
 def _clip(n=17):
     return [(f[0][:48, :80], f[1][:24, :40], f[2][:24, :40])
-            for f in synth_clip()[:n]]
+            for f in synth_clip(416, 240, n)]
 
 
 def test_gop_entry_parse_stock_cfg():

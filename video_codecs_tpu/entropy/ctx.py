@@ -92,6 +92,9 @@ _ELEMENTS: list[tuple[str, int, list[list[int]]]] = [
     ("rdpcm_flag", 2, [[139, 139], [139, 139], [CNU, CNU]]),
     ("rdpcm_dir", 2, [[139, 139], [139, 139], [CNU, CNU]]),
     ("cross_comp", 10, [[154] * 10, [154] * 10, [154] * 10]),
+    # asymmetric-motion-partition refinement bin (ContextTables.h
+    # INIT_CU_AMP_POS)
+    ("amp", 1, [[154], [154], [CNU]]),
 ]
 
 OFFSETS: dict[str, int] = {}

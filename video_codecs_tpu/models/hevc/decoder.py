@@ -1,20 +1,27 @@
-"""General HEVC Main-profile intra decoder — decodes HM-encoder streams.
+"""General HEVC Main-profile decoder — decodes HM-encoder streams.
 
 Unlike the build-specific decoders (intra_codec/quadtree_codec), this
-module accepts any conformant all-intra Main stream within the toolset HM
-emits for its common-test-condition intra configs: CTU 16/32/64 with any
-CU quadtree, PART_NxN, the full RQT (QuadtreeTULog2Min/MaxSize +
-MaxDepthIntra, spec 7.3.8.8), all 35 luma + 5 chroma modes, transform
-skip, sign data hiding, strong intra smoothing, SAO, deblocking, and
-decoded-picture-hash verification.
+module accepts any conformant Main stream within the toolset HM emits
+for its common-test-condition configs: all-intra, low-delay P/B and
+random-access hierarchical-B.  CTU 16/32/64 with any CU quadtree,
+inter PUs 2Nx2N/2NxN/Nx2N/NxN + the four AMP shapes, skip/merge/AMVP
+with the full spec candidate derivation (motion_hm.py), TMVP,
+bi-prediction, explicit weighted prediction, the full RQT on both
+prediction modes, all 35 luma + 5 chroma intra modes, transform skip,
+sign data hiding, strong intra smoothing, SAO, motion-aware deblocking,
+and decoded-picture-hash verification.
 
 Parity references: hm-16.5rc1/source/Lib/TLibDecoder/TDecCAVLC.cpp
-(parameter-set and slice-header parsing), TDecEntropy.cpp:372
-xDecodeTransform (RQT recursion and cbf inheritance), TDecSbac.cpp:699
-parseIntraDirChroma, TDecCu.cpp:653 xReconIntraQT (per-TU recon order),
-TComPattern.cpp:209 (strong intra smoothing), TComTrQuant.cpp
-xITransformSkip, TComLoopFilter.cpp (BS-2 on intra CU/TU 8-grid edges),
-TComSampleAdaptiveOffset.cpp.
+(parameter-set and slice-header parsing incl. parseSliceHeader ref-list
+/ WP / merge-cand fields), TDecTop.cpp:820 (picture dispatch, POC
+derivation), TComSlice.cpp setRefPicList (8.3.4 list construction),
+TDecEntropy.cpp:372 xDecodeTransform (RQT recursion and cbf
+inheritance), TDecSbac.cpp (parsePartSize/parseMergeIndex/parseInterDir/
+parseRefFrmIdx/parseMvd/parseMVPIdx), TDecCu.cpp:410 xReconInter /
+:653 xReconIntraQT, TComPattern.cpp:209 (strong intra smoothing),
+TComTrQuant.cpp xITransformSkip, TComLoopFilter.cpp xGetBoundaryStrength
+(motion-based BS at 4-sample segments), TComSampleAdaptiveOffset.cpp,
+TComWeightPrediction.cpp.
 """
 
 from __future__ import annotations
@@ -27,8 +34,10 @@ import numpy as np
 from video_codecs_tpu.entropy import bitstream as bs
 from video_codecs_tpu.entropy import cabac, ctx, residual
 from video_codecs_tpu.models.hevc import intra_codec as ic
+from video_codecs_tpu.models.hevc import motion_hm
 from video_codecs_tpu.models.hevc.quadtree_codec import build_ref_z, z_index
 from video_codecs_tpu.ops import deblock as deblock_ops
+from video_codecs_tpu.ops import interp
 from video_codecs_tpu.ops import intra as intra_ops
 from video_codecs_tpu.ops import quant as quant_ops
 from video_codecs_tpu.ops import sao as sao_ops
@@ -62,6 +71,7 @@ class Sps:
     log2_max_poc_lsb: int = 8
     conf_win: tuple = (0, 0, 0, 0)
     rps_list: list = dataclasses.field(default_factory=list)
+    lt_present: bool = False
 
 
 @dataclasses.dataclass
@@ -159,6 +169,8 @@ class Pps:
     num_ref_l1_default: int = 1
     lists_modification: bool = False
     log2_parallel_merge_level: int = 2
+    output_flag_present: bool = False
+    num_extra_bits: int = 0
 
 
 def _skip_profile_tier_level(r: bs.BitReader, max_sub_layers: int) -> None:
@@ -218,7 +230,8 @@ def parse_sps(rbsp: bytes) -> Sps:
     num_rps = r.ue()
     for i in range(num_rps):
         s.rps_list.append(parse_st_rps(r, i, s.rps_list))
-    if r.flag():                # long_term_ref_pics_present
+    s.lt_present = bool(r.flag())   # long_term_ref_pics_present
+    if s.lt_present:
         for _ in range(r.ue()):
             r.read(s.log2_max_poc_lsb), r.flag()
     s.temporal_mvp = bool(r.flag())
@@ -234,8 +247,8 @@ def parse_pps(rbsp: bytes) -> Pps:
     p = Pps()
     r.ue(), r.ue()              # pps id, sps id
     assert not r.flag(), "dependent slice segments not supported"
-    r.flag()                    # output_flag_present
-    r.read(3)                   # num_extra_slice_header_bits
+    p.output_flag_present = bool(r.flag())
+    p.num_extra_bits = r.read(3)
     p.sign_data_hiding = bool(r.flag())
     p.cabac_init_present = bool(r.flag())
     p.num_ref_l0_default = 1 + r.ue()
@@ -273,9 +286,60 @@ def parse_pps(rbsp: bytes) -> Pps:
     return p
 
 
+B_SLICE, P_SLICE, I_SLICE = 0, 1, 2
+
+
+@dataclasses.dataclass
+class WpTable:
+    """pred_weight_table (spec 7.3.6.3): per-list per-ref weights as
+    (w, o) pairs for luma/cb/cr; log2 denominators shared."""
+    luma_denom: int = 0
+    chroma_denom: int = 0
+    # weights[list][ref] = ((wy, oy), (wcb, ocb), (wcr, ocr)) with the
+    # default (1 << denom, 0) filled in for unsignalled entries
+    weights: list = dataclasses.field(default_factory=lambda: [[], []])
+
+
+def parse_pred_weight_table(r: bs.BitReader, h: "SliceHeader") -> WpTable:
+    wp = WpTable()
+    wp.luma_denom = r.ue()
+    wp.chroma_denom = wp.luma_denom + r.se()
+    n_lists = 2 if h.slice_type == B_SLICE else 1
+    for lx in range(n_lists):
+        n = h.num_ref_idx[lx]
+        lflags = [bool(r.flag()) for _ in range(n)]
+        cflags = [bool(r.flag()) for _ in range(n)]
+        for i in range(n):
+            wy, oy = 1 << wp.luma_denom, 0
+            wcb = wcr = 1 << wp.chroma_denom
+            ocb = ocr = 0
+            if lflags[i]:
+                wy = (1 << wp.luma_denom) + r.se()
+                oy = r.se()
+            if cflags[i]:
+                cw = []
+                for _ in range(2):
+                    w_ = (1 << wp.chroma_denom) + r.se()
+                    d_ = r.se()
+                    # spec 7.4.7.3: offset = Clip3(-128, 127,
+                    #   d + 128 - ((128 * w) >> denom))
+                    o_ = max(-128, min(127,
+                                       d_ + 128 - ((128 * w_)
+                                                   >> wp.chroma_denom)))
+                    cw.append((w_, o_))
+                (wcb, ocb), (wcr, ocr) = cw
+            wp.weights[lx].append(((wy, oy), (wcb, ocb), (wcr, ocr)))
+    return wp
+
+
 @dataclasses.dataclass
 class SliceHeader:
-    slice_type: int = 2         # 2 = I
+    slice_type: int = 2         # 0 B, 1 P, 2 I
+    nal_type: int = 0
+    temporal_id: int = 0
+    poc_lsb: int = 0
+    poc: int = 0
+    rps: StRps | None = None
     sao_luma: bool = False
     sao_chroma: bool = False
     qp: int = 26
@@ -283,33 +347,84 @@ class SliceHeader:
     beta_offset_div2: int = 0
     tc_offset_div2: int = 0
     data_offset_bits: int = 0
+    num_ref_idx: tuple = (0, 0)
+    list_mod: tuple = (None, None)     # explicit list_entry_lX or None
+    tmvp: bool = False
+    collocated_from_l0: bool = True
+    collocated_ref_idx: int = 0
+    max_merge: int = 5
+    cabac_init: bool = False
+    mvd_l1_zero: bool = False
+    wp: WpTable | None = None
 
 
 def parse_slice_header(rbsp: bytes, nal_type: int, sps: Sps,
                        pps: Pps) -> SliceHeader:
+    """General slice_segment_header parse (spec 7.3.6.1; TDecCAVLC
+    parseSliceHeader) for the single-slice-per-picture toolset."""
     r = bs.BitReader(rbsp)
     h = SliceHeader()
+    h.nal_type = nal_type
     first = r.flag()
     assert first, "multi-slice pictures not supported yet"
     if 16 <= nal_type <= 23:    # IRAP
         r.flag()                # no_output_of_prior_pics
     r.ue()                      # slice_pic_parameter_set_id
+    for _ in range(pps.num_extra_bits):
+        r.flag()                # slice_reserved_flag
     h.slice_type = r.ue()
-    assert h.slice_type == 2, "this decoder handles I slices"
+    if pps.output_flag_present:
+        r.flag()                # pic_output_flag
     if nal_type not in (bs.NAL_IDR_W_RADL, bs.NAL_IDR_N_LP):
-        r.read(sps.log2_max_poc_lsb)      # poc lsb
+        h.poc_lsb = r.read(sps.log2_max_poc_lsb)
         if r.flag():                      # short_term_ref_pic_set_sps_flag
             n = len(sps.rps_list)
+            idx = 0
             if n > 1:
-                r.read(max(1, (n - 1).bit_length()))   # rps idx
+                idx = r.read(max(1, (n - 1).bit_length()))
+            h.rps = sps.rps_list[idx]
         else:
-            parse_st_rps(r, len(sps.rps_list), sps.rps_list,
-                         slice_header=True)
+            h.rps = parse_st_rps(r, len(sps.rps_list), sps.rps_list,
+                                 slice_header=True)
+        assert not sps.lt_present, "long-term refs not supported"
         if sps.temporal_mvp:
-            r.flag()
+            h.tmvp = bool(r.flag())
+    else:
+        h.rps = StRps()
     if sps.sao:
         h.sao_luma = bool(r.flag())
         h.sao_chroma = bool(r.flag())
+    if h.slice_type in (P_SLICE, B_SLICE):
+        n0, n1 = pps.num_ref_l0_default, pps.num_ref_l1_default
+        if r.flag():            # num_ref_idx_active_override
+            n0 = 1 + r.ue()
+            if h.slice_type == B_SLICE:
+                n1 = 1 + r.ue()
+        h.num_ref_idx = (n0, n1 if h.slice_type == B_SLICE else 0)
+        npc = sum(u for _, u in h.rps.neg) + sum(u for _, u in h.rps.pos)
+        if pps.lists_modification and npc > 1:
+            nbits = max(1, (npc - 1).bit_length())
+            mods = []
+            for nl in (n0, n1 if h.slice_type == B_SLICE else 0):
+                if nl and r.flag():
+                    mods.append([r.read(nbits) for _ in range(nl)])
+                else:
+                    mods.append(None)
+            h.list_mod = tuple(mods)
+        if h.slice_type == B_SLICE:
+            h.mvd_l1_zero = bool(r.flag())
+        if pps.cabac_init_present:
+            h.cabac_init = bool(r.flag())
+        if h.tmvp:
+            if h.slice_type == B_SLICE:
+                h.collocated_from_l0 = bool(r.flag())
+            if (h.collocated_from_l0 and n0 > 1) or \
+                    (not h.collocated_from_l0 and n1 > 1):
+                h.collocated_ref_idx = r.ue()
+        if (pps.weighted_pred and h.slice_type == P_SLICE) or \
+                (pps.weighted_bipred and h.slice_type == B_SLICE):
+            h.wp = parse_pred_weight_table(r, h)
+        h.max_merge = 5 - r.ue()
     h.qp = pps.init_qp + r.se()
     if pps.slice_chroma_qp_offsets:
         r.se(), r.se()
@@ -381,30 +496,92 @@ def predict_intra_general(ref: np.ndarray, mode: int, log2: int,
 
 CHROMA_CANDS = (0, 26, 10, 1)   # planar, ver, hor, DC; DM coded separately
 
+# nal_type values of sub-layer non-reference + RADL/RASL pictures: these
+# never become prevTid0Pic in the POC derivation (spec 8.3.1)
+_NOT_TID0_ANCHOR = {0, 2, 4, 6, 7, 8, 9}
 
-class GeneralIntraDecoder:
-    """Decodes conformant all-intra HEVC Main streams (incl. HM output)."""
+
+def _wrap16(v: int) -> int:
+    """MVs are 16-bit two's-complement (spec 7.4.9.9)."""
+    return ((v + 32768) & 65535) - 32768
+
+
+class GeneralDecoder:
+    """Decodes conformant HEVC Main streams (incl. HM output): all-intra,
+    low-delay P/B and random-access hierarchical-B toolsets."""
 
     def __init__(self) -> None:
         self.sps: Sps | None = None
         self.pps: Pps | None = None
         self.hash_status: list[bool] = []
-        self.frames: list = []
+        self.frames: list = []          # decode order
+        self._keys: list = []           # (epoch, poc) per decoded frame
+        self.dpb: dict = {}             # poc -> (planes, PicMotion)
+        self._epoch = 0
+        self._prev_tid0_poc = 0
 
     def decode(self, stream: bytes):
-        self.frames = []
+        """Returns frames in OUTPUT (display) order; self.frames holds
+        decode order (hash_status is indexed in decode order)."""
+        self.frames, self._keys = [], []
+        self.hash_status = []
+        self.dpb = {}
         for nal in bs.split_annexb(stream):
             nal_type = (nal[0] >> 1) & 0x3F
+            tid = (nal[1] & 0x07) - 1
             rbsp = bs.strip_emulation_prevention(nal[2:])
             if nal_type == bs.NAL_SPS:
                 self.sps = parse_sps(rbsp)
             elif nal_type == bs.NAL_PPS:
                 self.pps = parse_pps(rbsp)
-            elif nal_type <= 21:    # coded slice (TRAIL..CRA); I only here
-                self.frames.append(self._decode_picture(rbsp, nal_type))
+            elif nal_type <= 21:        # coded slice (TRAIL..CRA)
+                self._decode_picture(rbsp, nal_type, tid)
             elif nal_type in (bs.NAL_PREFIX_SEI, bs.NAL_SUFFIX_SEI):
                 self._check_hash(rbsp)
-        return self.frames
+        order = sorted(range(len(self.frames)),
+                       key=lambda i: self._keys[i])
+        return [self.frames[i] for i in order]
+
+    # ---- POC derivation (spec 8.3.1 / TDecTop xActivateParameterSets) --
+
+    def _derive_poc(self, nal_type: int, tid: int, lsb: int) -> int:
+        if nal_type in (bs.NAL_IDR_W_RADL, bs.NAL_IDR_N_LP):
+            poc = 0
+            self._epoch += 1
+            self._prev_tid0_poc = 0
+            self.dpb = {}               # no reference crosses an IDR
+            return poc
+        max_lsb = 1 << self.sps.log2_max_poc_lsb
+        prev = self._prev_tid0_poc
+        prev_lsb = prev & (max_lsb - 1)
+        prev_msb = prev - prev_lsb
+        if lsb < prev_lsb and prev_lsb - lsb >= max_lsb // 2:
+            msb = prev_msb + max_lsb
+        elif lsb > prev_lsb and lsb - prev_lsb > max_lsb // 2:
+            msb = prev_msb - max_lsb
+        else:
+            msb = prev_msb
+        poc = msb + lsb
+        if tid == 0 and nal_type not in _NOT_TID0_ANCHOR:
+            self._prev_tid0_poc = poc
+        return poc
+
+    # ---- reference picture lists (spec 8.3.4 / TComSlice setRefPicList) -
+
+    def _ref_lists(self, h: SliceHeader) -> list[list[int]]:
+        before = [h.poc + d for d, u in h.rps.neg if u]
+        after = [h.poc + d for d, u in h.rps.pos if u]
+        lists = []
+        for lx, order in ((0, before + after), (1, after + before)):
+            n = h.num_ref_idx[lx]
+            if n == 0 or not order:
+                lists.append([])
+                continue
+            tmp = [order[i % len(order)] for i in range(max(n, len(order)))]
+            ent = h.list_mod[lx]
+            lst = [tmp[e] for e in ent] if ent is not None else tmp[:n]
+            lists.append(lst)
+        return lists
 
     def _check_hash(self, rbsp: bytes) -> None:
         r = bs.BitReader(rbsp)
@@ -424,18 +601,45 @@ class GeneralIntraDecoder:
 
     # ---- picture decode ----
 
-    def _decode_picture(self, rbsp: bytes, nal_type: int):
+    def _decode_picture(self, rbsp: bytes, nal_type: int, tid: int):
         sps, pps = self.sps, self.pps
         h = parse_slice_header(rbsp, nal_type, sps, pps)
+        h.temporal_id = tid
+        h.poc = self._derive_poc(nal_type, tid, h.poc_lsb)
         w, hgt = sps.width, sps.height
         ctb = 1 << sps.log2_ctb
         cw = (w + ctb - 1) // ctb
         ch = (hgt + ctb - 1) // ctb
 
+        # reference lists + TMVP source (inter slices)
+        ref_pocs: list = [[], []]
+        ref_pics: list = [[], []]
+        col = None
+        if h.slice_type != I_SLICE:
+            ref_pocs = self._ref_lists(h)
+            for lx in (0, 1):
+                for p in ref_pocs[lx]:
+                    assert p in self.dpb, f"reference POC {p} not in DPB"
+                    ref_pics[lx].append(self.dpb[p][0])
+            col_lx = 0 if h.collocated_from_l0 else 1
+            if h.tmvp and ref_pocs[col_lx]:
+                col = self.dpb[ref_pocs[col_lx][h.collocated_ref_idx]][1]
+        no_backward = all(p <= h.poc for lst in ref_pocs for p in lst)
+        mctx = motion_hm.SliceMotionCtx(
+            h.poc, ref_pocs, h.slice_type == B_SLICE, h.max_merge,
+            h.tmvp and col is not None, col, h.collocated_from_l0,
+            no_backward)
+
+        # cabac_init_flag swaps the P/B init tables (spec 9.3.2.2)
+        init_type = h.slice_type
+        if h.cabac_init and h.slice_type != I_SLICE:
+            init_type = B_SLICE if h.slice_type == P_SLICE else P_SLICE
         dec = cabac.CabacDecoder(
             bs.BitReader(rbsp[h.data_offset_bits // 8:]),
-            ctx.init_states(ctx.I, h.qp))
+            ctx.init_states(init_type, h.qp))
         st = _PicState(sps, pps, h)
+        st.ref_pics = ref_pics
+        st.mctx = mctx
         sao_params = [[sao_ops.SaoParam()] * 3 for _ in range(cw * ch)]
 
         i = 0
@@ -452,9 +656,12 @@ class GeneralIntraDecoder:
 
         rec_y, rec_u, rec_v = st.rec_y, st.rec_u, st.rec_v
         if not h.deblocking_disabled:
-            bs_ver, bs_hor = st.bs_maps()
+            assert h.beta_offset_div2 == 0 and h.tc_offset_div2 == 0, \
+                "deblocking offsets not supported"
+            bs_ver, bs_hor = _bs_maps_general(st)
             rec_y, rec_u, rec_v = deblock_ops.deblock_420_bs_np(
-                rec_y, rec_u, rec_v, h.qp, bs_ver, bs_hor, block=8)
+                rec_y, rec_u, rec_v, h.qp, bs_ver, bs_hor, block=8,
+                seg4=True)
         if h.sao_luma or h.sao_chroma:
             outs = [rec_y.copy(), rec_u.copy(), rec_v.copy()]
             for i in range(cw * ch):
@@ -470,7 +677,14 @@ class GeneralIntraDecoder:
                     sao_ops.apply_ctu(rec_v, outs[2], bx * half, by * half,
                                       half, p3[2])
             rec_y, rec_u, rec_v = outs
-        return rec_y, rec_u, rec_v
+        frame = (rec_y, rec_u, rec_v)
+        self.frames.append(frame)
+        self._keys.append((self._epoch, h.poc))
+        self.dpb[h.poc] = (frame, st.pm)
+        if len(self.dpb) > 32:      # bound memory; RPS windows are small
+            for p in sorted(self.dpb)[:len(self.dpb) - 32]:
+                del self.dpb[p]
+        return frame
 
     def _decode_sao(self, dec, params, i, bx, by, cw, h: SliceHeader):
         """sao() syntax (spec 7.3.8.3) with per-component slice enables."""
@@ -540,6 +754,309 @@ class GeneralIntraDecoder:
         self._decode_cu(dec, st, x, y, log2, depth)
 
     def _decode_cu(self, dec, st, x, y, log2, depth):
+        """coding_unit (spec 7.3.8.5): skip / pred-mode dispatch."""
+        h = st.h
+        size = 1 << log2
+        if h.slice_type != I_SLICE:
+            c = st.skip_ctx_nb(x, y)
+            if dec.decode_bin(ctx.off("skip_flag", c)):
+                st.set_cu(x, y, size, depth)
+                self._decode_skip_cu(dec, st, x, y, log2)
+                return
+            is_intra = bool(dec.decode_bin(ctx.off("pred_mode")))
+        else:
+            is_intra = True
+        if is_intra:
+            st.pm.set_intra(x, y, size)
+            self._decode_intra_cu(dec, st, x, y, log2, depth)
+        else:
+            st.set_cu(x, y, size, depth)
+            self._decode_inter_cu(dec, st, x, y, log2, depth)
+
+    # ---- inter CUs ----
+
+    def _decode_skip_cu(self, dec, st, x, y, log2):
+        h, sps = st.h, self.sps
+        size = 1 << log2
+        midx = self._parse_merge_idx(dec, h.max_merge)
+        cands = motion_hm.merge_candidates_pu(
+            st.pm, st.mctx, x, y, size, size, "2Nx2N", 0, sps.log2_ctb)
+        self._apply_pu(st, x, y, size, size, cands[midx], skip=True)
+        st.mark_pu(x, y, size, size)
+        st.mark_tu4(x, y, size, size, False)
+
+    def _decode_inter_cu(self, dec, st, x, y, log2, depth):
+        sps, h = self.sps, st.h
+        size = 1 << log2
+        part = self._parse_part_mode_inter(dec, log2)
+        merge0 = False
+        for pi, (ox, oy, pw, ph) in enumerate(_part_pus(part, size)):
+            px, py = x + ox, y + oy
+            merge = bool(dec.decode_bin(ctx.off("merge_flag")))
+            if pi == 0:
+                merge0 = merge
+            if merge:
+                midx = self._parse_merge_idx(dec, h.max_merge)
+                cands = motion_hm.merge_candidates_pu(
+                    st.pm, st.mctx, px, py, pw, ph, part, pi,
+                    sps.log2_ctb)
+                m = cands[midx]
+                if pw + ph == 12 and m.pf[0] and m.pf[1]:
+                    # small PUs are uni-L0 only (spec 8.5.3.2.3)
+                    m = motion_hm.Motion(
+                        [True, False], [m.mv[0], (0, 0)],
+                        [m.ref_idx[0], -1], [m.ref_poc[0], 0])
+            else:
+                m = self._parse_pu_amvp(dec, st, px, py, pw, ph, depth)
+            self._apply_pu(st, px, py, pw, ph, m, skip=False)
+            st.mark_pu(px, py, pw, ph)
+        root_cbf = True
+        if not (part == "2Nx2N" and merge0):
+            root_cbf = bool(dec.decode_bin(ctx.off("qt_root_cbf")))
+        if not root_cbf:
+            st.mark_tu4(x, y, size, size, False)
+            return
+        self._decode_tt_inter(dec, st, part, x, y, log2, 0, True, True)
+
+    def _parse_part_mode_inter(self, dec, log2):
+        """part_mode for inter CUs (spec 9.3.3.7 binarization; TDecSbac
+        parsePartSize inter branch + AMP refinement)."""
+        sps = self.sps
+        if dec.decode_bin(ctx.off("part_size", 0)):
+            return "2Nx2N"
+        at_min = log2 == sps.log2_min_cb
+        hor = bool(dec.decode_bin(ctx.off("part_size", 1)))
+        if at_min:
+            if hor:
+                return "2NxN"
+            if log2 == 3:            # 8x8 CU: no NxN inter (4x4 PUs)
+                return "Nx2N"
+            if dec.decode_bin(ctx.off("part_size", 2)):
+                return "Nx2N"
+            return "NxN"
+        base = "2NxN" if hor else "Nx2N"
+        if sps.amp:
+            if dec.decode_bin(ctx.off("amp")):
+                return base
+            second = dec.decode_bypass()
+            if hor:
+                return "2NxnD" if second else "2NxnU"
+            return "nRx2N" if second else "nLx2N"
+        return base
+
+    @staticmethod
+    def _parse_merge_idx(dec, max_merge: int) -> int:
+        """TR binarization: first bin ctx, rest bypass (TDecSbac
+        parseMergeIndex)."""
+        if max_merge <= 1:
+            return 0
+        if not dec.decode_bin(ctx.off("merge_idx")):
+            return 0
+        idx = 1
+        while idx < max_merge - 1 and dec.decode_bypass():
+            idx += 1
+        return idx
+
+    @staticmethod
+    def _parse_ref_idx(dec, nref: int) -> int:
+        """TR: bins 0/1 ctx-coded, rest bypass (TDecSbac
+        parseRefFrmIdx)."""
+        if nref <= 1:
+            return 0
+        if not dec.decode_bin(ctx.off("ref_idx", 0)):
+            return 0
+        idx = 1
+        for k in range(1, nref - 1):
+            b = (dec.decode_bin(ctx.off("ref_idx", 1)) if k == 1
+                 else dec.decode_bypass())
+            if not b:
+                break
+            idx += 1
+        return idx
+
+    @staticmethod
+    def _parse_mvd(dec) -> tuple[int, int]:
+        """mvd_coding (spec 7.3.8.9; TDecSbac parseMvd)."""
+        from video_codecs_tpu.models.hevc.inter_codec import _read_eg1
+        g0 = [dec.decode_bin(ctx.off("mvd", 0)) for _ in range(2)]
+        g1 = [dec.decode_bin(ctx.off("mvd", 1)) if g0[c] else 0
+              for c in range(2)]
+        out = []
+        for c in range(2):
+            v = 0
+            if g0[c]:
+                v = 2 + _read_eg1(dec) if g1[c] else 1
+                if dec.decode_bypass():
+                    v = -v
+            out.append(v)
+        return (out[0], out[1])
+
+    def _parse_pu_amvp(self, dec, st, px, py, pw, ph, cu_depth):
+        """Explicit-MV PU: inter_pred_idc + per-list refIdx/MVD/mvp
+        (spec 7.3.8.6 prediction_unit)."""
+        h, sps = st.h, self.sps
+        if h.slice_type == B_SLICE:
+            if pw + ph != 12 and \
+                    dec.decode_bin(ctx.off("inter_dir", cu_depth)):
+                idc = 3
+            else:
+                idc = 2 if dec.decode_bin(ctx.off("inter_dir", 4)) else 1
+        else:
+            idc = 1
+        m = motion_hm.Motion.none()
+        for lx in (0, 1):
+            if not (idc & (1 << lx)):
+                continue
+            ridx = self._parse_ref_idx(dec, h.num_ref_idx[lx])
+            if lx == 1 and h.mvd_l1_zero and idc == 3:
+                mvd = (0, 0)
+            else:
+                mvd = self._parse_mvd(dec)
+            mvp = dec.decode_bin(ctx.off("mvp_idx"))
+            amvp = motion_hm.amvp_candidates_pu(
+                st.pm, st.mctx, px, py, pw, ph, lx, ridx, sps.log2_ctb)
+            p = amvp[mvp]
+            m.pf[lx] = True
+            m.mv[lx] = (_wrap16(p[0] + mvd[0]), _wrap16(p[1] + mvd[1]))
+            m.ref_idx[lx] = ridx
+            m.ref_poc[lx] = st.mctx.ref_pocs[lx][ridx]
+        return m
+
+    def _apply_pu(self, st, px, py, pw, ph, m, skip: bool):
+        """Store PU motion + motion-compensate into the rec planes
+        (TDecCu xReconInter; TComWeightPrediction for WP slices)."""
+        h = st.h
+        st.pm.set_pu(px, py, pw, ph, m)
+        if skip:
+            st.pm.skip[py // 4:(py + ph) // 4, px // 4:(px + pw) // 4] = True
+        p14 = [[None] * 3, [None] * 3]
+        for lx in (0, 1):
+            if not m.pf[lx]:
+                continue
+            ry, ru, rv = st.ref_pics[lx][m.ref_idx[lx]]
+            mvx, mvy = m.mv[lx]
+            p14[lx][0] = interp.mc_luma14_rect_np(ry, px, py, mvx, mvy,
+                                                  pw, ph)
+            p14[lx][1] = interp.mc_chroma14_rect_np(
+                ru, px // 2, py // 2, mvx, mvy, pw // 2, ph // 2)
+            p14[lx][2] = interp.mc_chroma14_rect_np(
+                rv, px // 2, py // 2, mvx, mvy, pw // 2, ph // 2)
+        bi = m.pf[0] and m.pf[1]
+        wp = h.wp
+        for c, (plane, cx, cy, cw_, ch_) in enumerate((
+                (st.rec_y, px, py, pw, ph),
+                (st.rec_u, px // 2, py // 2, pw // 2, ph // 2),
+                (st.rec_v, px // 2, py // 2, pw // 2, ph // 2))):
+            if bi:
+                if wp is not None:
+                    w0, o0 = wp.weights[0][m.ref_idx[0]][c]
+                    w1, o1 = wp.weights[1][m.ref_idx[1]][c]
+                    denom = wp.luma_denom if c == 0 else wp.chroma_denom
+                    sh = denom + 6
+                    out = (p14[0][c] * w0 + p14[1][c] * w1 +
+                           ((o0 + o1 + 1) << sh)) >> (sh + 1)
+                else:
+                    out = (p14[0][c] + p14[1][c] + 64) >> 7
+            else:
+                lx = 0 if m.pf[0] else 1
+                if wp is not None:
+                    w_, o_ = wp.weights[lx][m.ref_idx[lx]][c]
+                    denom = wp.luma_denom if c == 0 else wp.chroma_denom
+                    sh = denom + 6
+                    out = ((p14[lx][c] * w_ + (1 << (sh - 1))) >> sh) + o_
+                else:
+                    out = (p14[lx][c] + 32) >> 6
+            plane[cy:cy + ch_, cx:cx + cw_] = np.clip(out, 0, 255)
+
+    # ---- inter RQT ----
+
+    def _decode_tt_inter(self, dec, st, part, x, y, log2, trdepth,
+                         parent_cbf_cb, parent_cbf_cr):
+        """transform_tree for inter CUs (spec 7.3.8.8)."""
+        sps = self.sps
+        max_depth = sps.max_tr_depth_inter
+        inter_split = (max_depth == 0 and part != "2Nx2N" and
+                       trdepth == 0)
+        if (log2 <= sps.log2_max_tb and log2 > sps.log2_min_tb and
+                trdepth < max_depth and not inter_split):
+            subdiv = bool(dec.decode_bin(ctx.off("trans_subdiv",
+                                                 5 - log2)))
+        else:
+            subdiv = (log2 > sps.log2_max_tb) or inter_split
+
+        cbf_cb, cbf_cr = parent_cbf_cb, parent_cbf_cr
+        if log2 > 2:
+            if trdepth == 0 or parent_cbf_cb:
+                cbf_cb = bool(dec.decode_bin(ctx.off("cbf_chroma",
+                                                     trdepth)))
+            else:
+                cbf_cb = False
+            if trdepth == 0 or parent_cbf_cr:
+                cbf_cr = bool(dec.decode_bin(ctx.off("cbf_chroma",
+                                                     trdepth)))
+            else:
+                cbf_cr = False
+
+        if subdiv:
+            half = 1 << (log2 - 1)
+            for q in range(4):
+                self._decode_tt_inter(dec, st, part, x + (q & 1) * half,
+                                      y + (q >> 1) * half, log2 - 1,
+                                      trdepth + 1, cbf_cb, cbf_cr)
+            return
+        n = 1 << log2
+        if trdepth == 0 and not cbf_cb and not cbf_cr:
+            cbf_y = True            # inferred: rqt_root_cbf was 1
+        else:
+            cbf_y = bool(dec.decode_bin(
+                ctx.off("cbf_luma", 1 if trdepth == 0 else 0)))
+        st.mark_tu4(x, y, n, n, cbf_y)
+        self._decode_tu_inter(dec, st, x, y, log2, cbf_y, cbf_cb, cbf_cr)
+
+    def _decode_tu_inter(self, dec, st, x, y, log2, cbf_y, cbf_cb,
+                         cbf_cr):
+        pps = self.pps
+        n = 1 << log2
+        if cbf_y:
+            ts = False
+            if pps.transform_skip and log2 == 2:
+                ts = bool(dec.decode_bin(ctx.off("transform_skip", 0)))
+            lv = residual.decode_residual(dec, log2, rom.SCAN_DIAG, True,
+                                          sign_hiding=pps.sign_data_hiding)
+            pred = st.rec_y[y:y + n, x:x + n]
+            st.rec_y[y:y + n, x:x + n] = _recon_tb(pred, lv, st.qp, log2,
+                                                   dst=False, ts=ts)
+        if log2 > 2:
+            self._decode_tu_chroma_inter(dec, st, x, y, log2 - 1,
+                                         cbf_cb, cbf_cr)
+        elif (x & 7) and (y & 7):   # 4th 4x4 luma TU of the 8x8 group
+            self._decode_tu_chroma_inter(dec, st, x - 4, y - 4, 2,
+                                         cbf_cb, cbf_cr)
+
+    def _decode_tu_chroma_inter(self, dec, st, x, y, clog2, cbf_cb,
+                                cbf_cr):
+        pps = self.pps
+        cs = 1 << clog2
+        cx, cy = x // 2, y // 2
+        for cbf, plane, qp_off in ((cbf_cb, st.rec_u, pps.cb_qp_offset),
+                                   (cbf_cr, st.rec_v, pps.cr_qp_offset)):
+            if not cbf:
+                continue
+            ts = False
+            if pps.transform_skip and clog2 == 2:
+                ts = bool(dec.decode_bin(ctx.off("transform_skip", 1)))
+            lv = residual.decode_residual(dec, clog2, rom.SCAN_DIAG,
+                                          False,
+                                          sign_hiding=pps.sign_data_hiding)
+            qp_c = ic.chroma_qp(st.qp + qp_off)
+            pred = plane[cy:cy + cs, cx:cx + cs]
+            plane[cy:cy + cs, cx:cx + cs] = _recon_tb(pred, lv, qp_c,
+                                                      clog2, dst=False,
+                                                      ts=ts)
+
+    # ---- intra CUs ----
+
+    def _decode_intra_cu(self, dec, st, x, y, log2, depth):
         sps, pps = self.sps, self.pps
         size = 1 << log2
         nxn = False
@@ -566,6 +1083,8 @@ class GeneralIntraDecoder:
                 mode = rem
             modes.append(mode)
             st.set_pu_mode(px, py, half if nxn else size, mode)
+            st.mark_pu(px, py, half if nxn else size,
+                       half if nxn else size)
         # chroma mode (one per CU at 4:2:0)
         if dec.decode_bin(ctx.off("chroma_pred_mode")) == 0:
             chroma_mode = modes[0]          # DM
@@ -627,7 +1146,7 @@ class GeneralIntraDecoder:
         # leaf TU
         cbf_y = bool(dec.decode_bin(
             ctx.off("cbf_luma", 1 if trdepth == 0 else 0)))
-        st.mark_tu(x, y, 1 << log2)
+        st.mark_tu4(x, y, 1 << log2, 1 << log2, cbf_y)
         self._decode_tu(dec, st, cu, x, y, log2, cbf_y, cbf_cb, cbf_cr)
 
     def _decode_tu(self, dec, st, cu, x, y, log2, cbf_y, cbf_cb, cbf_cr):
@@ -712,12 +1231,29 @@ class _CuCtx:
         return self.modes[p]
 
 
+def _part_pus(part: str, s: int) -> list[tuple[int, int, int, int]]:
+    """PU offsets + sizes per partition mode (spec 6.4; decode order)."""
+    h, q = s // 2, s // 4
+    return {
+        "2Nx2N": [(0, 0, s, s)],
+        "2NxN": [(0, 0, s, h), (0, h, s, h)],
+        "Nx2N": [(0, 0, h, s), (h, 0, h, s)],
+        "NxN": [(0, 0, h, h), (h, 0, h, h), (0, h, h, h), (h, h, h, h)],
+        "2NxnU": [(0, 0, s, q), (0, q, s, s - q)],
+        "2NxnD": [(0, 0, s, s - q), (0, s - q, s, q)],
+        "nLx2N": [(0, 0, q, s), (q, 0, s - q, s)],
+        "nRx2N": [(0, 0, s - q, s), (s - q, 0, q, s)],
+    }[part]
+
+
 class _PicState:
-    """Recon planes + neighbor grids + TU/CU id maps for deblocking."""
+    """Recon planes + neighbor grids + 4x4 PU/TU/motion maps for
+    deblocking and candidate derivation."""
 
     def __init__(self, sps: Sps, pps: Pps, h: SliceHeader):
         w, hgt = sps.width, sps.height
         self.sps = sps
+        self.h = h
         self.qp = h.qp
         self.rec_y = np.zeros((hgt, w), np.int32)
         self.rec_u = np.zeros((hgt // 2, w // 2), np.int32)
@@ -725,10 +1261,39 @@ class _PicState:
         self.mode = np.full((hgt // 4, w // 4), DC, np.int32)
         self.intra = np.zeros((hgt // 4, w // 4), bool)
         self.depth = np.zeros((hgt // 8, w // 8), np.int32)
-        self.cu_id = np.full((hgt // 8, w // 8), -1, np.int64)
-        self.tu_id = np.full((hgt // 8, w // 8), -1, np.int64)
+        self.pm = motion_hm.PicMotion(w, hgt, h.poc)
+        self.pu_id = np.full((hgt // 4, w // 4), -1, np.int64)
+        self.tu_id4 = np.full((hgt // 4, w // 4), -1, np.int64)
+        self.cbf4 = np.zeros((hgt // 4, w // 4), bool)
+        self.ref_pics: list = [[], []]
+        self.mctx = None
         self._serial = 0
+        self._pu_serial = 0
         self._tu_serial = 0
+
+    def mark_pu(self, x, y, w, h):
+        self._pu_serial += 1
+        self.pu_id[y // 4:(y + h) // 4, x // 4:(x + w) // 4] = \
+            self._pu_serial
+
+    def mark_tu4(self, x, y, w, h, cbf_y):
+        self._tu_serial += 1
+        sy, sx = y // 4, x // 4
+        self.tu_id4[sy:(y + h) // 4, sx:(x + w) // 4] = self._tu_serial
+        self.cbf4[sy:(y + h) // 4, sx:(x + w) // 4] = cbf_y
+
+    def skip_ctx_nb(self, x, y):
+        """cu_skip_flag ctx from left/above CU skip flags (spec
+        9.3.4.2.2)."""
+        c = 0
+        gx, gy = x // 4, y // 4
+        if x > 0 and self.pm.decoded[gy, gx - 1] and \
+                self.pm.skip[gy, gx - 1]:
+            c += 1
+        if y > 0 and self.pm.decoded[gy - 1, gx] and \
+                self.pm.skip[gy - 1, gx]:
+            c += 1
+        return c
 
     def mpm(self, x, y):
         sps = self.sps
@@ -775,26 +1340,72 @@ class _PicState:
     def set_cu(self, x, y, size, depth):
         dx, dy = x // 8, y // 8
         s8 = max(size // 8, 1)
-        self._serial += 1
         self.depth[dy:dy + s8, dx:dx + s8] = depth
-        self.cu_id[dy:dy + s8, dx:dx + s8] = self._serial
 
-    def mark_tu(self, x, y, size):
-        dx, dy = x // 8, y // 8
-        s8 = max(size // 8, 1)
-        self._tu_serial += 1
-        # 4x4 TUs share their 8x8 group's id (edges between them are off
-        # the deblocking grid); the group id is set by its first TU
-        if size == 4:
-            if (x & 7) == 0 and (y & 7) == 0:
-                self.tu_id[dy, dx] = self._tu_serial
-            return
-        self.tu_id[dy:dy + s8, dx:dx + s8] = self._tu_serial
 
-    def bs_maps(self):
-        """BS 2 on 8-grid edges at CU or TU boundaries (all-intra)."""
-        ids = self.cu_id * 100003 + self.tu_id
-        h8, w8 = ids.shape
-        bs_ver = 2 * (ids[:, :-1] != ids[:, 1:]).astype(np.int32).T
-        bs_hor = 2 * (ids[:-1, :] != ids[1:, :]).astype(np.int32)
-        return bs_ver, bs_hor
+def _bs_maps_general(st: _PicState):
+    """Boundary strengths at 4-sample segments on the 8-grid (spec
+    8.7.2.4; TComLoopFilter xGetBoundaryStrength): 2 across intra,
+    1 on coded-TU edges or motion discontinuities, 0 elsewhere.
+
+    Returns bs_ver [W/8-1, H/4] and bs_hor [H/8-1, W/4]."""
+    pm = st.pm
+    h4, w4 = pm.intra.shape
+
+    def compute(pi, qi):
+        intra2 = pm.intra[pi] | pm.intra[qi]
+        tu_edge = st.tu_id4[pi] != st.tu_id4[qi]
+        pu_edge = st.pu_id[pi] != st.pu_id[qi]
+        edge = tu_edge | pu_edge
+        cbf1 = tu_edge & (st.cbf4[pi] | st.cbf4[qi])
+
+        pf_p0, pf_p1 = pm.pf[0][pi], pm.pf[1][pi]
+        pf_q0, pf_q1 = pm.pf[0][qi], pm.pf[1][qi]
+        cnt_p = pf_p0.astype(np.int32) + pf_p1
+        cnt_q = pf_q0.astype(np.int32) + pf_q1
+        cnt_diff = cnt_p != cnt_q
+
+        def mvdiff(a, b):
+            return (np.abs(a[..., 0] - b[..., 0]) >= 4) | \
+                   (np.abs(a[..., 1] - b[..., 1]) >= 4)
+
+        mvp0, mvp1 = pm.mv[0][pi], pm.mv[1][pi]
+        mvq0, mvq1 = pm.mv[0][qi], pm.mv[1][qi]
+        rp0, rp1 = pm.ref_poc[0][pi], pm.ref_poc[1][pi]
+        rq0, rq1 = pm.ref_poc[0][qi], pm.ref_poc[1][qi]
+
+        # uni vs uni: the single used hypothesis of each side
+        mvp_u = np.where(pf_p0[..., None], mvp0, mvp1)
+        mvq_u = np.where(pf_q0[..., None], mvq0, mvq1)
+        rp_u = np.where(pf_p0, rp0, rp1)
+        rq_u = np.where(pf_q0, rq0, rq1)
+        uni_mis = (rp_u != rq_u) | mvdiff(mvp_u, mvq_u)
+
+        # bi vs bi: same reference pair (in either order) required; when
+        # both refs are the same picture, both pairings must pass
+        straight = mvdiff(mvp0, mvq0) | mvdiff(mvp1, mvq1)
+        cross = mvdiff(mvp0, mvq1) | mvdiff(mvp1, mvq0)
+        refs_same = ((rp0 == rq0) & (rp1 == rq1)) | \
+                    ((rp0 == rq1) & (rp1 == rq0))
+        bi_mis = np.where(~refs_same, True,
+                          np.where(rp0 == rp1, straight & cross,
+                                   np.where(rp0 == rq0, straight, cross)))
+        both_uni = (cnt_p == 1) & (cnt_q == 1)
+        both_bi = (cnt_p == 2) & (cnt_q == 2)
+        mv_mis = cnt_diff | (both_uni & uni_mis) | (both_bi & bi_mis)
+
+        one = cbf1 | mv_mis
+        return np.where(~edge, 0,
+                        np.where(intra2, 2,
+                                 np.where(one, 1, 0))).astype(np.int32)
+
+    bs_ver = compute((slice(None), slice(1, w4 - 1, 2)),
+                     (slice(None), slice(2, w4, 2))).T
+    bs_hor = compute((slice(1, h4 - 1, 2), slice(None)),
+                     (slice(2, h4, 2), slice(None)))
+    return bs_ver, bs_hor
+
+
+# Backwards-compatible name: the general decoder subsumes the round-2
+# intra-only decoder
+GeneralIntraDecoder = GeneralDecoder

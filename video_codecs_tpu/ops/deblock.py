@@ -227,11 +227,14 @@ def deblock_420_np(rec_y: np.ndarray, rec_u: np.ndarray, rec_v: np.ndarray,
 def deblock_420_bs(rec_y, rec_u, rec_v, qp,
                    bs_ver: np.ndarray, bs_hor: np.ndarray,
                    block: int = 16, bit_depth: int = 8,
-                   qp_map=None):
+                   qp_map=None, seg4: bool = False):
     """Deblock with per-block-pair boundary strengths (inter pictures).
 
     bs_ver: [n_ver_edges, bh] BS between horizontally adjacent blocks;
     bs_hor: [n_hor_edges, bw] BS between vertically adjacent blocks.
+    seg4: BS maps are already at 4-sample-segment granularity
+    ([E, H//4] / [E, W//4], spec 8.7.2.4 resolution — the general
+    decoder path); block must be 8.
     qp_map: optional [bh, bw] per-block luma QP (cu_qp_delta pictures);
     edge QPs follow spec 8.7.2.5.3: (QP_P + QP_Q + 1) >> 1.
     """
@@ -240,8 +243,13 @@ def deblock_420_bs(rec_y, rec_u, rec_v, qp,
     ex = np.arange(block, h, block, dtype=np.int32)
     segs = block // 4
 
-    bs_v = jnp.repeat(jnp.asarray(bs_ver), segs, axis=1)   # [E, H//4]
-    bs_h = jnp.repeat(jnp.asarray(bs_hor), segs, axis=1)
+    if seg4:
+        assert block == 8 and qp_map is None
+        bs_v = jnp.asarray(bs_ver)                         # [E, H//4]
+        bs_h = jnp.asarray(bs_hor)
+    else:
+        bs_v = jnp.repeat(jnp.asarray(bs_ver), segs, axis=1)
+        bs_h = jnp.repeat(jnp.asarray(bs_hor), segs, axis=1)
     qp_v = qp_h = qp
     cqp_v = cqp_h = qp
     if qp_map is not None:
@@ -262,7 +270,8 @@ def deblock_420_bs(rec_y, rec_u, rec_v, qp,
     step = 16 // block
     cey = np.arange(8, w // 2, 8, dtype=np.int32)
     cex = np.arange(8, h // 2, 8, dtype=np.int32)
-    crep = block // 2   # chroma rows covered by one BS row
+    # chroma rows covered by one BS row: 4 luma = 2 chroma when seg4
+    crep = 2 if seg4 else block // 2
     cm_v = jnp.repeat(jnp.asarray(bs_ver)[step - 1::step] == 2, crep, axis=1)
     cm_h = jnp.repeat(jnp.asarray(bs_hor)[step - 1::step] == 2, crep, axis=1)
     out_c = []
@@ -274,8 +283,9 @@ def deblock_420_bs(rec_y, rec_u, rec_v, qp,
 
 
 def deblock_420_bs_np(rec_y, rec_u, rec_v, qp, bs_ver, bs_hor,
-                      block: int = 16, bit_depth: int = 8, qp_map=None):
+                      block: int = 16, bit_depth: int = 8, qp_map=None,
+                      seg4: bool = False):
     out = deblock_420_bs(jnp.asarray(rec_y), jnp.asarray(rec_u),
                          jnp.asarray(rec_v), qp, bs_ver, bs_hor,
-                         block, bit_depth, qp_map=qp_map)
+                         block, bit_depth, qp_map=qp_map, seg4=seg4)
     return tuple(np.asarray(o) for o in out)

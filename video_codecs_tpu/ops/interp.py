@@ -264,6 +264,37 @@ def _mc_chroma14_np(ref, x0, y0, mvx, mvy, n):
     return out
 
 
+def mc_luma14_rect_np(ref: np.ndarray, x0: int, y0: int, mvx: int,
+                      mvy: int, w: int, h: int) -> np.ndarray:
+    """Vectorized rectangular luma MC to the 14-bit domain (general
+    decoder path: PU sizes 64x64 .. 8x4)."""
+    ix, iy = x0 + (mvx >> 2), y0 + (mvy >> 2)
+    fx, fy = mvx & 3, mvy & 3
+    hh, ww = ref.shape
+    rows = np.clip(iy - 3 + np.arange(h + 7), 0, hh - 1)
+    cols = np.clip(ix - 3 + np.arange(w + 7), 0, ww - 1)
+    win = ref[np.ix_(rows, cols)].astype(np.int64)
+    fh = LUMA_FILTERS[fx].astype(np.int64)
+    fv = LUMA_FILTERS[fy].astype(np.int64)
+    hor = sum(win[:, i:i + w] * fh[i] for i in range(8))
+    return sum(hor[i:i + h, :] * fv[i] for i in range(8)) >> 6
+
+
+def mc_chroma14_rect_np(ref: np.ndarray, x0: int, y0: int, mvx: int,
+                        mvy: int, w: int, h: int) -> np.ndarray:
+    """Vectorized rectangular chroma MC to the 14-bit domain (1/8-pel)."""
+    ix, iy = x0 + (mvx >> 3), y0 + (mvy >> 3)
+    fx, fy = mvx & 7, mvy & 7
+    hh, ww = ref.shape
+    rows = np.clip(iy - 1 + np.arange(h + 3), 0, hh - 1)
+    cols = np.clip(ix - 1 + np.arange(w + 3), 0, ww - 1)
+    win = ref[np.ix_(rows, cols)].astype(np.int64)
+    fh = CHROMA_FILTERS[fx].astype(np.int64)
+    fv = CHROMA_FILTERS[fy].astype(np.int64)
+    hor = sum(win[:, i:i + w] * fh[i] for i in range(4))
+    return sum(hor[i:i + h, :] * fv[i] for i in range(4)) >> 6
+
+
 def mc_luma_bi_np(ref0, ref1, x0, y0, mv0, mv1, n):
     p0 = _mc_luma14_np(ref0, x0, y0, mv0[0], mv0[1], n)
     p1 = _mc_luma14_np(ref1, x0, y0, mv1[0], mv1[1], n)
