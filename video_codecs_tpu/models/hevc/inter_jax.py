@@ -453,6 +453,22 @@ def encode_p_frame_dev(y, u, v, refs_y, refs_u, refs_v,
 # one reference per list, merge_cands=1, uni/bi per block)
 # ---------------------------------------------------------------------------
 
+def b_me_one(ref_y, cur, x0, y0, search_range: int, me_method: str):
+    """Per-list ME of one B picture against one reference: integer +
+    half/quarter SATD refinement.  Module-level so the multichip dryrun
+    can shard exactly this stage over the tile axis (__graft_entry__).
+
+    Returns quarter-pel (mvx, mvy, satd), each [B]."""
+    if me_method == "pyr":
+        imx, imy = me_ops.pyramid_search(ref_y, cur, x0, y0, 16,
+                                         search_range)
+        mvx, mvy = imx * 4, imy * 4
+        mvx, mvy, _ = me_ops._refine(ref_y, cur, x0, y0, mvx, mvy, 16, 2)
+        return me_ops._refine(ref_y, cur, x0, y0, mvx, mvy, 16, 1)
+    return me_ops.motion_search(ref_y, cur, x0, y0, 16, search_range,
+                                me_method)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("qp", "w", "h", "has_l1", "search_range", "sbh",
@@ -461,11 +477,15 @@ def encode_b_frame_dev(y, u, v, ref0_y, ref0_u, ref0_v,
                        ref1_y, ref1_u, ref1_v,
                        qp: int, w: int, h: int, has_l1: bool,
                        search_range: int, sbh: bool, rdoq: bool,
-                       me_method: str = "pyr", deblock: bool = True):
+                       me_method: str = "pyr", deblock: bool = True,
+                       me_fields=None):
     """One B (or anchor P) picture of the hierarchical/RA toolset, all
     pixel math on device.  Twin of bframe_codec._encode_b_frame's
     decision loop (SURVEY §3.1; HM TEncSearch bi-pred iteration :3567
-    collapsed to best-uni averaging like the host path)."""
+    collapsed to best-uni averaging like the host path).
+
+    me_fields: optional precomputed ME, [(mvx, mvy, satd)] per list —
+    the dryrun path injects tile-sharded ME results here."""
     from video_codecs_tpu.models.hevc.intra_codec import chroma_qp
 
     bw, bh = w // 16, h // 16
@@ -484,17 +504,11 @@ def encode_b_frame_dev(y, u, v, ref0_y, ref0_u, ref0_v,
     # ---- ME per list ----
     mvs, satds = [], []
     for lx in range(n_lists):
-        if me_method == "pyr":
-            imx, imy = me_ops.pyramid_search(refs_y[lx], cur, x0, y0, 16,
-                                             search_range)
-            mvx, mvy = imx * 4, imy * 4
-            mvx, mvy, _ = me_ops._refine(refs_y[lx], cur, x0, y0, mvx,
-                                         mvy, 16, 2)
-            mvx, mvy, satd = me_ops._refine(refs_y[lx], cur, x0, y0, mvx,
-                                            mvy, 16, 1)
+        if me_fields is not None:
+            mvx, mvy, satd = me_fields[lx]
         else:
-            mvx, mvy, satd = me_ops.motion_search(
-                refs_y[lx], cur, x0, y0, 16, search_range, me_method)
+            mvx, mvy, satd = b_me_one(refs_y[lx], cur, x0, y0,
+                                      search_range, me_method)
         mvs.append((mvx, mvy))
         satds.append(satd)
 
