@@ -472,13 +472,13 @@ def b_me_one(ref_y, cur, x0, y0, search_range: int, me_method: str):
 @functools.partial(
     jax.jit,
     static_argnames=("qp", "w", "h", "has_l1", "search_range", "sbh",
-                     "rdoq", "me_method", "deblock"))
+                     "rdoq", "me_method", "deblock", "allow_intra"))
 def encode_b_frame_dev(y, u, v, ref0_y, ref0_u, ref0_v,
                        ref1_y, ref1_u, ref1_v,
                        qp: int, w: int, h: int, has_l1: bool,
                        search_range: int, sbh: bool, rdoq: bool,
                        me_method: str = "pyr", deblock: bool = True,
-                       me_fields=None):
+                       me_fields=None, allow_intra: bool = True):
     """One B (or anchor P) picture of the hierarchical/RA toolset, all
     pixel math on device.  Twin of bframe_codec._encode_b_frame's
     decision loop (SURVEY §3.1; HM TEncSearch bi-pred iteration :3567
@@ -609,6 +609,8 @@ def encode_b_frame_dev(y, u, v, ref0_y, ref0_u, ref0_v,
         refs_o, intra_modes.reshape(nb)[:, None], 4)[:, 0]
     cost_intra = cost_ops.hadamard_satd_8x8(cur, pred_i) + \
         jnp.round(sl * 9).astype(jnp.int32)
+    if not allow_intra:     # CTB32 qt path: z-scan intra availability
+        cost_intra = jnp.full(nb, 1 << 30, jnp.int32)
 
     # ---- decision (host tie-break order) ----
     use_intra = cost_intra <= jnp.minimum(cost_mrg, cost_expl)

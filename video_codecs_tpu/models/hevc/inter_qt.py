@@ -1,0 +1,621 @@
+"""Device inter CU-quadtree (CTB32) for the random-access encoder — the
+BD-rate upgrade over the flat 16x16 inter grid.
+
+The round-2/3 device inter engine codes every picture as a flat grid of
+16x16 CTBs; HM wins most of its rate at low bitrates with LARGE skip
+CUs.  This module widens the emitted toolset to CTB32 streams:
+
+  - IDR pictures use the device intra CU-quadtree (quadtree_codec
+    .QuadtreeFastEncoder, CTB32 / CU 32/16/8 tree-DP) instead of the
+    flat fast path;
+  - B/P pictures keep the per-16 device decision (inter_jax
+    .encode_b_frame_dev) and add a device TREE pass (qt_merge_dev):
+    every aligned 32x32 region evaluates a small set of whole-region
+    motion candidates (its children's MVs + zero) by true SSE + rate
+    estimate against the sum of its children's costs, and collapses to
+    one skip/no-residual CU32 when cheaper (HM TEncCu xCompressCU's
+    2Nx2N-merge-at-higher-depth decision, made for all regions at once);
+  - the host phase re-derives spec-exact merge-5 candidate lists with
+    the PU-level machinery shared with the general decoder
+    (motion_hm.py) and codes whichever syntax reproduces the
+    device-decided motion: cu_skip/merge_idx when the MV is in the
+    list, explicit 2Nx2N + AMVP MVD with rqt_root_cbf=0 otherwise — so
+    approximation never breaks conformance, it only ever costs bits.
+
+Streams are plain Main-profile: HM's TAppDecoder and our GeneralDecoder
+both decode them bit-exactly (tests/test_inter_qt.py).
+
+Parity references: hm-16.5rc1/source/Lib/TLibEncoder/TEncCu.cpp:349
+xCompressCU (depth recursion + merge/skip early decision), TEncSearch
+.cpp:2912 predInterSearch, TEncSbac.cpp (codeSplitFlag/codeSkipFlag/
+codeMergeIndex ctx layout), TComDataCU.cpp getInterMergeCandidates.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from video_codecs_tpu.entropy import bitstream as bs
+from video_codecs_tpu.entropy import cabac, ctx, residual
+from video_codecs_tpu.models.hevc import encoder_jax
+from video_codecs_tpu.models.hevc import inter_codec as pc
+from video_codecs_tpu.models.hevc import inter_jax
+from video_codecs_tpu.models.hevc import motion_hm
+from video_codecs_tpu.models.hevc import quadtree_codec
+from video_codecs_tpu.models.hevc import ra_codec as ra
+from video_codecs_tpu.models.hevc.intra_codec import chroma_qp
+from video_codecs_tpu.ops import deblock as deblock_ops
+from video_codecs_tpu.ops import interp
+from video_codecs_tpu.utils import rom
+
+L0, L1 = 0, 1
+DC = 1
+MODE_INTER, MODE_INTRA = 0, 1
+NAL_TRAIL_N, NAL_TRAIL_R = 0, 1
+
+
+# ---------------------------------------------------------------------------
+# Device phase: 32x32 merge/skip tree decision + final recon
+# ---------------------------------------------------------------------------
+
+def _sse_blocks(a_plane, b_blocks, xs, ys, n):
+    a = encoder_jax._extract_blocks(a_plane, xs, ys, n)
+    d = (a - b_blocks).astype(jnp.int32)
+    return jnp.sum(d * d, axis=(-2, -1))
+
+
+def _coef_bits_blocks(coef_plane, xs, ys, n):
+    """Cheap device-side coefficient-rate proxy per block: 2 bits per
+    nonzero + 2 bits per magnitude doubling (Exp-Golomb-ish)."""
+    lv = encoder_jax._extract_blocks(coef_plane, xs, ys, n)
+    a = jnp.abs(lv)
+    nnz = jnp.sum(a > 0, axis=(-2, -1))
+    mag = jnp.sum(jnp.ceil(jnp.log2(1.0 + a.astype(jnp.float32))
+                           ).astype(jnp.int32), axis=(-2, -1))
+    return 2 * nnz + 2 * mag
+
+
+def _pred_cand(refs_y_pair, zr, xs, ys, n, dirs, mv0x, mv0y, mv1x, mv1y,
+               has_l1, mc14):
+    """Uni/bi prediction for per-block candidate motion (8-bit clipped)."""
+    q0 = mc14(refs_y_pair[0][None], zr, xs, ys, mv0x, mv0y, n)
+    if not has_l1:
+        return jnp.clip((q0 + 32) >> 6, 0, 255).astype(jnp.int32)
+    q1 = mc14(refs_y_pair[1][None], zr, xs, ys, mv1x, mv1y, n)
+    return jnp.where(
+        (dirs == 3)[:, None, None], interp.bi_average(q0, q1),
+        jnp.where((dirs == 1)[:, None, None],
+                  jnp.clip((q0 + 32) >> 6, 0, 255),
+                  jnp.clip((q1 + 32) >> 6, 0, 255))).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("qp", "w", "h", "has_l1", "sbh", "rdoq", "deblock"))
+def qt_merge_dev(y, u, v, ref0_y, ref0_u, ref0_v, ref1_y, ref1_u, ref1_v,
+                 st16, qp: int, w: int, h: int, has_l1: bool, sbh: bool,
+                 rdoq: bool, deblock: bool = True):
+    """Tree pass over the per-16 decision `st16` (encode_b_frame_dev
+    output with deblock=False): decide skip-CU32 regions, substitute
+    their prediction, re-run the intra wavefront on the final recon,
+    and deblock.  Returns the final state + tree maps."""
+    bw, bh = w // 16, h // 16
+    nb = bw * bh
+    g32w, g32h = bw // 2, bh // 2
+    qp_c = chroma_qp(qp)
+    yi = y.astype(jnp.int32)
+    ui = u.astype(jnp.int32)
+    vi = v.astype(jnp.int32)
+    refs_y = [ref0_y.astype(jnp.int32), ref1_y.astype(jnp.int32)]
+    refs_u = [ref0_u.astype(jnp.int32), ref1_u.astype(jnp.int32)]
+    refs_v = [ref0_v.astype(jnp.int32), ref1_v.astype(jnp.int32)]
+    lam = 0.85 * 2.0 ** ((qp - 12) / 3.0)
+
+    x0 = jnp.tile(jnp.arange(bw, dtype=jnp.int32) * 16, bh)
+    y0 = jnp.repeat(jnp.arange(bh, dtype=jnp.int32) * 16, bw)
+    cx0, cy0 = x0 // 2, y0 // 2
+
+    rec_y = st16["rec_y"].astype(jnp.int32)
+    rec_u = st16["rec_u"].astype(jnp.int32)
+    rec_v = st16["rec_v"].astype(jnp.int32)
+    coef_y = st16["coef_y"].astype(jnp.int32)
+    coef_u = st16["coef_u"].astype(jnp.int32)
+    coef_v = st16["coef_v"].astype(jnp.int32)
+
+    # ---- per-16 cost: true SSE of the coded result + rate proxy ----
+    rec_blk = encoder_jax._extract_blocks(rec_y, x0, y0, 16)
+    d16 = _sse_blocks(yi, rec_blk, x0, y0, 16)
+    d16 = d16 + _sse_blocks(
+        ui, encoder_jax._extract_blocks(rec_u, cx0, cy0, 8), cx0, cy0, 8)
+    d16 = d16 + _sse_blocks(
+        vi, encoder_jax._extract_blocks(rec_v, cx0, cy0, 8), cx0, cy0, 8)
+    r16 = 8 + _coef_bits_blocks(coef_y, x0, y0, 16) + \
+        _coef_bits_blocks(coef_u, cx0, cy0, 8) + \
+        _coef_bits_blocks(coef_v, cx0, cy0, 8)
+    cost16 = (d16 + jnp.round(lam * r16).astype(jnp.int32)).reshape(bh, bw)
+
+    # ---- candidate motion per aligned 32x32 region ----
+    pred_mode = st16["pred_mode"].astype(jnp.int32)
+    fb_dir = 3 if has_l1 else 1
+    is_inter = pred_mode == MODE_INTER
+    dir_m = jnp.where(is_inter, st16["inter_dir"].astype(jnp.int32), 0)
+    mv = {k: st16[k] for k in ("mv0x", "mv0y", "mv1x", "mv1y")}
+
+    def child(f, dy, dx):
+        return f[dy::2, dx::2][:g32h, :g32w]
+
+    cands = []
+    for dy in (0, 1):
+        for dx in (0, 1):
+            d = child(dir_m, dy, dx)
+            ok = d > 0
+            cands.append(tuple(
+                jnp.where(ok, child(mv[k], dy, dx), 0).reshape(-1)
+                for k in ("mv0x", "mv0y", "mv1x", "mv1y")) +
+                (jnp.where(ok, d, fb_dir).reshape(-1),))
+    zg = jnp.zeros(g32h * g32w, jnp.int32)
+    cands.append((zg, zg, zg, zg, jnp.full(g32h * g32w, fb_dir, jnp.int32)))
+
+    x32 = jnp.tile(jnp.arange(g32w, dtype=jnp.int32) * 32, g32h)
+    y32 = jnp.repeat(jnp.arange(g32h, dtype=jnp.int32) * 32, g32w)
+    zr = jnp.zeros(g32h * g32w, jnp.int32)
+    cur32 = encoder_jax._extract_blocks(yi, x32, y32, 32)
+    cur32u = encoder_jax._extract_blocks(ui, x32 // 2, y32 // 2, 16)
+    cur32v = encoder_jax._extract_blocks(vi, x32 // 2, y32 // 2, 16)
+
+    INF = jnp.int32(1 << 30)
+    best_cost = jnp.full(g32h * g32w, INF, jnp.int32)
+    best = [zg, zg, zg, zg, jnp.full(g32h * g32w, fb_dir, jnp.int32)]
+    best_planes = None
+    for c in cands:
+        m0x, m0y, m1x, m1y, dirs = c
+        py32 = _pred_cand(refs_y, zr, x32, y32, 32, dirs, m0x, m0y,
+                          m1x, m1y, has_l1, interp.mc_luma14_multi)
+        pu32 = _pred_cand(refs_u, zr, x32 // 2, y32 // 2, 16, dirs,
+                          m0x, m0y, m1x, m1y, has_l1,
+                          interp.mc_chroma14_multi)
+        pv32 = _pred_cand(refs_v, zr, x32 // 2, y32 // 2, 16, dirs,
+                          m0x, m0y, m1x, m1y, has_l1,
+                          interp.mc_chroma14_multi)
+        d = jnp.sum((cur32 - py32) ** 2, axis=(-2, -1)) + \
+            jnp.sum((cur32u - pu32) ** 2, axis=(-2, -1)) + \
+            jnp.sum((cur32v - pv32) ** 2, axis=(-2, -1))
+        cost = d + jnp.round(lam * 14).astype(jnp.int32)
+        better = cost < best_cost
+        best_cost = jnp.where(better, cost, best_cost)
+        best = [jnp.where(better, a, b) for a, b in zip(c, best)]
+        sel = better[:, None, None]
+        if best_planes is None:
+            best_planes = (py32, pu32, pv32)
+        else:
+            best_planes = tuple(jnp.where(sel, n_, o_) for n_, o_ in
+                                zip((py32, pu32, pv32), best_planes))
+
+    child_sum = (child(cost16, 0, 0) + child(cost16, 0, 1) +
+                 child(cost16, 1, 0) + child(cost16, 1, 1)).reshape(-1)
+    merged = best_cost <= child_sum                       # [G]
+    merged_g = merged.reshape(g32h, g32w)
+
+    # ---- substitute merged regions into the final state ----
+    m2 = jnp.zeros((bh, bw), bool)
+    m2 = m2.at[:2 * g32h:2, :2 * g32w:2].set(merged_g)
+    m2 = m2.at[:2 * g32h:2, 1:2 * g32w:2].set(merged_g)
+    m2 = m2.at[1:2 * g32h:2, :2 * g32w:2].set(merged_g)
+    m2 = m2.at[1:2 * g32h:2, 1:2 * g32w:2].set(merged_g)
+
+    def up2(f32):
+        f = jnp.zeros((bh, bw), f32.dtype)
+        g = f32.reshape(g32h, g32w)
+        for dy in (0, 1):
+            for dx in (0, 1):
+                f = f.at[dy:2 * g32h:2, dx:2 * g32w:2].set(g)
+        return f
+
+    fin_pred_mode = jnp.where(m2, MODE_INTER, pred_mode)
+    fin_dir = jnp.where(m2, up2(best[4]), dir_m)
+    fin_mv = {}
+    for i, k in enumerate(("mv0x", "mv0y", "mv1x", "mv1y")):
+        fin_mv[k] = jnp.where(m2, up2(best[i]), mv[k])
+    cbf_y = jnp.where(m2, False, st16["cbf_y"])
+    cbf_cb = jnp.where(m2, False, st16["cbf_cb"])
+    cbf_cr = jnp.where(m2, False, st16["cbf_cr"])
+
+    sel32 = merged
+    rec_y = inter_jax._scatter_blocks(rec_y, best_planes[0], x32, y32, 32,
+                                      sel32)
+    rec_u = inter_jax._scatter_blocks(rec_u, best_planes[1], x32 // 2,
+                                      y32 // 2, 16, sel32)
+    rec_v = inter_jax._scatter_blocks(rec_v, best_planes[2], x32 // 2,
+                                      y32 // 2, 16, sel32)
+    zero32y = jnp.zeros((g32h * g32w, 32, 32), jnp.int32)
+    zero32c = jnp.zeros((g32h * g32w, 16, 16), jnp.int32)
+    coef_y = inter_jax._scatter_blocks(coef_y, zero32y, x32, y32, 32, sel32)
+    coef_u = inter_jax._scatter_blocks(coef_u, zero32c, x32 // 2, y32 // 2,
+                                       16, sel32)
+    coef_v = inter_jax._scatter_blocks(coef_v, zero32c, x32 // 2, y32 // 2,
+                                       16, sel32)
+
+    # ---- intra blocks re-run on the FINAL recon (their neighbors may
+    # have been replaced by merged-region prediction) ----
+    intra_grid = (fin_pred_mode == MODE_INTRA)
+    intra_modes = st16["intra_mode"].astype(jnp.int32)
+    planes, cbfs = inter_jax._intra_wavefront(
+        yi, ui, vi, intra_grid, intra_modes,
+        (rec_y, rec_u, rec_v, coef_y, coef_u, coef_v),
+        (jnp.where(intra_grid.reshape(-1), False, cbf_y.reshape(-1)),
+         jnp.where(intra_grid.reshape(-1), False, cbf_cb.reshape(-1)),
+         jnp.where(intra_grid.reshape(-1), False, cbf_cr.reshape(-1))),
+        qp, qp_c, sbh, rdoq, bw, bh)
+    rec_y, rec_u, rec_v, coef_y, coef_u, coef_v = planes
+    cbf_y, cbf_cb, cbf_cr = (c.reshape(bh, bw) for c in cbfs)
+
+    # ---- BS maps on the final fields (twin of encode_b_frame_dev) ----
+    pm = fin_pred_mode
+    dirg = fin_dir
+    m0x, m0y = fin_mv["mv0x"], fin_mv["mv0y"]
+    m1x, m1y = fin_mv["mv1x"], fin_mv["mv1y"]
+
+    def bs_pair(sl_a, sl_b):
+        a_i = (pm == MODE_INTRA)[sl_a]
+        b_i = (pm == MODE_INTRA)[sl_b]
+        intra2 = a_i | b_i
+        diff_dir = dirg[sl_a] != dirg[sl_b]
+        d0 = (jnp.abs(m0x[sl_a] - m0x[sl_b]) >= 4) | \
+             (jnp.abs(m0y[sl_a] - m0y[sl_b]) >= 4)
+        d1 = (jnp.abs(m1x[sl_a] - m1x[sl_b]) >= 4) | \
+             (jnp.abs(m1y[sl_a] - m1y[sl_b]) >= 4)
+        use0 = (dirg[sl_a] & 1) > 0
+        mv_diff = jnp.where(dirg[sl_a] == 3, d0 | d1,
+                            jnp.where(use0, d0, d1))
+        one = cbf_y[sl_a] | cbf_y[sl_b] | diff_dir | mv_diff
+        return jnp.where(intra2, 2,
+                         jnp.where(one, 1, 0)).astype(jnp.int32)
+
+    bs_ver = bs_pair(np.s_[:, :-1], np.s_[:, 1:]).T
+    bs_hor = bs_pair(np.s_[:-1, :], np.s_[1:, :])
+    if deblock:
+        rec_y, rec_u, rec_v = deblock_ops.deblock_420_bs(
+            rec_y, rec_u, rec_v, qp, bs_ver, bs_hor, block=16)
+
+    return dict(
+        merged32=merged_g,
+        pred_mode=fin_pred_mode.astype(jnp.int8),
+        intra_mode=intra_modes.astype(jnp.int8),
+        inter_dir=fin_dir.astype(jnp.int8),
+        mv0x=fin_mv["mv0x"], mv0y=fin_mv["mv0y"],
+        mv1x=fin_mv["mv1x"], mv1y=fin_mv["mv1y"],
+        cbf_y=cbf_y, cbf_cb=cbf_cb, cbf_cr=cbf_cr,
+        coef_y=jnp.clip(coef_y, -32768, 32767).astype(jnp.int16),
+        coef_u=jnp.clip(coef_u, -32768, 32767).astype(jnp.int16),
+        coef_v=jnp.clip(coef_v, -32768, 32767).astype(jnp.int16),
+        rec_y=rec_y.astype(jnp.uint8),
+        rec_u=rec_u.astype(jnp.uint8),
+        rec_v=rec_v.astype(jnp.uint8),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Host phase: spec-exact reconciliation + CABAC over the CU quadtree
+# ---------------------------------------------------------------------------
+
+class QtDeviceRandomAccessEncoder(ra.RandomAccessEncoder):
+    """GOP-driven RA encoder emitting CTB32 streams: device intra
+    quadtree for IDR, device per-16 inter decision + 32x32 skip-merge
+    tree for B/P pictures, merge-5 syntax via motion_hm."""
+
+    def __init__(self, cfg, gop: tuple = ra.GOP8_RA,
+                 search_range: int = 64, me_method: str = "pyr") -> None:
+        assert cfg.log2_ctb == 5 and cfg.log2_min_cb == 3 and \
+            cfg.log2_max_tb == 5, "qt inter build is CTB32 (quadtree SPS)"
+        assert not cfg.temporal_mvp, "TMVP on the qt path: later"
+        assert cfg.width % 16 == 0 and cfg.height % 16 == 0
+        super().__init__(cfg, gop, search_range, me_method)
+        self._qt_intra = quadtree_codec.QuadtreeFastEncoder(cfg)
+
+    def encode_frame(self, y, u, v, *args, **kwargs):
+        """IDR via the device intra CU-quadtree (CTB32 geometry)."""
+        return self._qt_intra.encode_frame_fast(y, u, v)
+
+    def _encode_b_frame(self, frame, poc, refs, is_anchor):
+        e = next((e for e in self.gop
+                  if (poc - e.poc) % self.gop_size == 0), None)
+        self._cur_is_ref = e is None or e.temporal_id < 3
+        cfg = self.cfg
+        y, u, v = frame
+        has_l1 = L1 in refs
+        r0 = refs[L0][1]
+        r1 = refs[L1][1] if has_l1 else r0
+        ref_poc = {lx: rp for lx, (rp, _) in refs.items()}
+
+        args = [jnp.asarray(np.asarray(p, np.int32))
+                for p in (*r0, *r1)]
+        st16 = inter_jax.encode_b_frame_dev(
+            jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), *args,
+            qp=cfg.qp, w=cfg.width, h=cfg.height, has_l1=has_l1,
+            search_range=self.search_range, sbh=cfg.sign_data_hiding,
+            rdoq=True, me_method=self.me_method, deblock=False,
+            allow_intra=False)
+        qt = qt_merge_dev(
+            jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), *args, st16,
+            qp=cfg.qp, w=cfg.width, h=cfg.height, has_l1=has_l1,
+            sbh=cfg.sign_data_hiding, rdoq=True,
+            deblock=not cfg.deblocking_disabled)
+        qt = {k: np.asarray(val) for k, val in qt.items()}
+
+        slice_nal = self._serialize_qt_slice(qt, poc, is_anchor, ref_poc)
+        rec = tuple(qt[k].astype(np.int32)
+                    for k in ("rec_y", "rec_u", "rec_v"))
+        sei_nal = self._hash_sei(*rec)
+        return [slice_nal, sei_nal], rec
+
+    # ---- serializer ----
+
+    def _serialize_qt_slice(self, qt, poc, is_anchor, ref_poc) -> bytes:
+        cfg = self.cfg
+        rps = getattr(self, "_cur_rps", None)
+        if rps is None:
+            neg = [(ref_poc[L0] - poc, True)]
+            pos = [(ref_poc[L1] - poc, True)] if L1 in ref_poc else []
+            rps = (neg, pos)
+        w = ra.write_ra_slice_header(cfg, poc, 1 if is_anchor else 0,
+                                     cfg.qp, *rps)
+        enc = cabac.CabacEncoder(
+            w, ctx.init_states(ctx.P if is_anchor else ctx.B, cfg.qp))
+
+        st = _QtSliceState(cfg, qt, poc, is_anchor, ref_poc)
+        n_ctbs = cfg.ctbs_x * cfg.ctbs_y
+        i = 0
+        for cy in range(0, cfg.height, 32):
+            for cx in range(0, cfg.width, 32):
+                self._code_qt_node(enc, st, cx, cy, 5)
+                i += 1
+                enc.encode_terminate(1 if i == n_ctbs else 0)
+        enc.finish_slice()
+        nal_type = NAL_TRAIL_R if getattr(self, "_cur_is_ref", True) \
+            else NAL_TRAIL_N
+        return bs.nal_unit(nal_type, w.data())
+
+    def _code_qt_node(self, enc, st, x, y, log2):
+        cfg = self.cfg
+        size = 1 << log2
+        inside = x + size <= cfg.width and y + size <= cfg.height
+        if inside and log2 == 5:
+            split = not bool(st.qt["merged32"][y // 32, x // 32])
+            enc.encode_bin(ctx.off("split_cu_flag", st.split_ctx(x, y, 0)),
+                           1 if split else 0)
+            if not split:
+                self._code_cu(enc, st, x, y, 32)
+                return
+        elif not inside:
+            # implicit split (boundary CTB); recurse into valid children
+            pass
+        if log2 == 4:
+            if inside:
+                # min CB is 8: an explicit non-split flag at 16
+                enc.encode_bin(
+                    ctx.off("split_cu_flag", st.split_ctx(x, y, 1)), 0)
+                self._code_cu(enc, st, x, y, 16)
+            return
+        half = size // 2
+        for q in range(4):
+            nx, ny = x + (q & 1) * half, y + (q >> 1) * half
+            if nx >= cfg.width or ny >= cfg.height:
+                continue
+            self._code_qt_node(enc, st, nx, ny, log2 - 1)
+
+    def _code_cu(self, enc, st, x, y, size):
+        cfg = self.cfg
+        qt = st.qt
+        bx, by = x // 16, y // 16
+        nblk = size // 16
+        depth = 5 - size.bit_length() + 1       # 0 at 32, 1 at 16
+        st.set_depth(x, y, size, 0 if size == 32 else 1)
+        if qt["pred_mode"][by, bx] == MODE_INTRA:
+            self._code_intra_cu(enc, st, x, y)
+            return
+        d = int(qt["inter_dir"][by, bx])
+        m = motion_hm.Motion(
+            [bool(d & 1), bool(d & 2)],
+            [(int(qt["mv0x"][by, bx]), int(qt["mv0y"][by, bx])),
+             (int(qt["mv1x"][by, bx]), int(qt["mv1y"][by, bx]))],
+            [0 if d & 1 else -1, 0 if d & 2 else -1],
+            [st.ref_poc.get(L0, 0) if d & 1 else 0,
+             st.ref_poc.get(L1, 0) if d & 2 else 0])
+        cands = motion_hm.merge_candidates_pu(
+            st.pm, st.mctx, x, y, size, size, "2Nx2N", 0, cfg.log2_ctb)
+        midx = next((i for i, c in enumerate(cands)
+                     if c.same_motion(m)), -1)
+        cbfs = [bool(qt[k][by:by + nblk, bx:bx + nblk].any())
+                for k in ("cbf_y", "cbf_cb", "cbf_cr")]
+        no_res = not any(cbfs)
+        assert size == 16 or no_res, "32 CUs are skip/no-residual only"
+
+        skip = midx >= 0 and no_res
+        enc.encode_bin(ctx.off("skip_flag", st.skip_ctx(x, y)),
+                       1 if skip else 0)
+        if skip:
+            self._code_merge_idx(enc, midx)
+            st.set_inter(x, y, size, m, skip=True)
+            return
+        enc.encode_bin(ctx.off("pred_mode"), 0)
+        enc.encode_bin(ctx.off("part_size"), 1)     # PART_2Nx2N
+        enc.encode_bin(ctx.off("merge_flag"), 1 if midx >= 0 else 0)
+        if midx >= 0:
+            self._code_merge_idx(enc, midx)
+            # 2Nx2N merge non-skip: rqt_root_cbf inferred 1
+            assert not no_res, "no-residual merge must be skip"
+        else:
+            if not st.is_anchor:
+                # inter_pred_idc, ctx = CU depth (sizes >= 16 -> 2 forms)
+                if d == 3:
+                    enc.encode_bin(ctx.off("inter_dir", depth), 1)
+                else:
+                    enc.encode_bin(ctx.off("inter_dir", depth), 0)
+                    enc.encode_bin(ctx.off("inter_dir", 4),
+                                   0 if d == 1 else 1)
+            for lx in (L0, L1):
+                if not m.pf[lx]:
+                    continue
+                amvp = motion_hm.amvp_candidates_pu(
+                    st.pm, st.mctx, x, y, size, size, lx, 0, cfg.log2_ctb)
+                mvds = [(m.mv[lx][0] - p[0], m.mv[lx][1] - p[1])
+                        for p in amvp]
+                bits = [pc.mvd_bits_estimate(dd) for dd in mvds]
+                mi = 0 if bits[0] <= bits[1] else 1
+                self._encode_mvd(enc, mvds[mi])
+                enc.encode_bin(ctx.off("mvp_idx"), mi)
+            enc.encode_bin(ctx.off("qt_root_cbf"), 0 if no_res else 1)
+            if no_res:
+                st.set_inter(x, y, size, m, skip=False)
+                return
+        # residual (16 CUs only): TU == CU
+        cbf_y, cbf_cb, cbf_cr = cbfs
+        enc.encode_bin(ctx.off("cbf_chroma"), 1 if cbf_cb else 0)
+        enc.encode_bin(ctx.off("cbf_chroma"), 1 if cbf_cr else 0)
+        if cbf_cb or cbf_cr:
+            enc.encode_bin(ctx.off("cbf_luma", 1), 1 if cbf_y else 0)
+        else:
+            assert cbf_y
+        self._write_tu16(enc, st, x, y, cbf_y, cbf_cb, cbf_cr)
+        st.set_inter(x, y, size, m, skip=False)
+
+    def _code_intra_cu(self, enc, st, x, y):
+        cfg = self.cfg
+        qt = st.qt
+        bx, by = x // 16, y // 16
+        enc.encode_bin(ctx.off("skip_flag", st.skip_ctx(x, y)), 0)
+        enc.encode_bin(ctx.off("pred_mode"), 1)
+        # intra CU at 16 is NOT min CB (8): no part_size bin
+        mode = int(qt["intra_mode"][by, bx])
+        mpm = st.mpm(x, y)
+        if mode in mpm:
+            enc.encode_bin(ctx.off("prev_intra_luma_pred"), 1)
+            idx = mpm.index(mode)
+            enc.encode_bypass(0 if idx == 0 else 1)
+            if idx:
+                enc.encode_bypass(idx - 1)
+        else:
+            enc.encode_bin(ctx.off("prev_intra_luma_pred"), 0)
+            rem = mode
+            for c in sorted(mpm, reverse=True):
+                if mode > c:
+                    rem -= 1
+            enc.encode_bypass_bins(rem, 5)
+        enc.encode_bin(ctx.off("chroma_pred_mode"), 0)   # DM
+        cbf_y = bool(qt["cbf_y"][by, bx])
+        cbf_cb = bool(qt["cbf_cb"][by, bx])
+        cbf_cr = bool(qt["cbf_cr"][by, bx])
+        enc.encode_bin(ctx.off("cbf_chroma"), 1 if cbf_cb else 0)
+        enc.encode_bin(ctx.off("cbf_chroma"), 1 if cbf_cr else 0)
+        enc.encode_bin(ctx.off("cbf_luma", 1), 1 if cbf_y else 0)
+        self._write_tu16(enc, st, x, y, cbf_y, cbf_cb, cbf_cr)
+        st.set_intra(x, y, 16, mode)
+
+    def _write_tu16(self, enc, st, x, y, cbf_y, cbf_cb, cbf_cr):
+        sbh = self.cfg.sign_data_hiding
+        qt = st.qt
+        if cbf_y:
+            residual.encode_residual(
+                enc, qt["coef_y"][y:y + 16, x:x + 16].astype(np.int32),
+                4, rom.SCAN_DIAG, True, sign_hiding=sbh)
+        cx, cy = x // 2, y // 2
+        if cbf_cb:
+            residual.encode_residual(
+                enc, qt["coef_u"][cy:cy + 8, cx:cx + 8].astype(np.int32),
+                3, rom.SCAN_DIAG, False, sign_hiding=sbh)
+        if cbf_cr:
+            residual.encode_residual(
+                enc, qt["coef_v"][cy:cy + 8, cx:cx + 8].astype(np.int32),
+                3, rom.SCAN_DIAG, False, sign_hiding=sbh)
+
+    def _code_merge_idx(self, enc, idx: int) -> None:
+        pc.LowDelayEncoder._encode_merge_idx(self, enc, idx)
+
+    _encode_mvd = pc.LowDelayEncoder._encode_mvd
+
+
+class _QtSliceState:
+    """Per-slice serializer state: spec motion grid + depth/mode maps."""
+
+    def __init__(self, cfg, qt, poc, is_anchor, ref_poc):
+        self.cfg = cfg
+        self.qt = qt
+        self.is_anchor = is_anchor
+        self.ref_poc = ref_poc
+        self.pm = motion_hm.PicMotion(cfg.width, cfg.height, poc)
+        ref_pocs = [[ref_poc[L0]],
+                    [ref_poc[L1]] if L1 in ref_poc else []]
+        no_backward = all(p <= poc for lst in ref_pocs for p in lst)
+        self.mctx = motion_hm.SliceMotionCtx(
+            poc, ref_pocs, not is_anchor, cfg.merge_cands, False, None,
+            True, no_backward)
+        self.depth8 = np.zeros((cfg.height // 8, cfg.width // 8), np.int32)
+        self.mode4 = np.full((cfg.height // 4, cfg.width // 4), DC,
+                             np.int32)
+
+    def split_ctx(self, x, y, depth):
+        c = 0
+        if x > 0 and self.depth8[y // 8, (x - 1) // 8] > depth:
+            c += 1
+        if y > 0 and self.depth8[(y - 1) // 8, x // 8] > depth:
+            c += 1
+        return c
+
+    def set_depth(self, x, y, size, depth):
+        s8 = size // 8
+        self.depth8[y // 8:y // 8 + s8, x // 8:x // 8 + s8] = depth
+
+    def skip_ctx(self, x, y):
+        pm = self.pm
+        c = 0
+        gx, gy = x // 4, y // 4
+        if x > 0 and pm.decoded[gy, gx - 1] and pm.skip[gy, gx - 1]:
+            c += 1
+        if y > 0 and pm.decoded[gy - 1, gx] and pm.skip[gy - 1, gx]:
+            c += 1
+        return c
+
+    def set_inter(self, x, y, size, m, skip):
+        self.pm.set_pu(x, y, size, size, m)
+        if skip:
+            self.pm.skip[y // 4:(y + size) // 4, x // 4:(x + size) // 4] \
+                = True
+
+    def set_intra(self, x, y, size, mode):
+        self.pm.set_intra(x, y, size)
+        s4 = size // 4
+        self.mode4[y // 4:y // 4 + s4, x // 4:x // 4 + s4] = mode
+
+    def mpm(self, x, y):
+        """Spec MPM (twin of the general decoder's _PicState.mpm; CTB-row
+        clamp for the above neighbor)."""
+        pm = self.pm
+
+        def mode_at(sx, sy, clamp_ctb):
+            if sx < 0 or sy < 0 or sx >= self.cfg.width or \
+                    sy >= self.cfg.height:
+                return DC
+            if clamp_ctb and (sy >> self.cfg.log2_ctb) != \
+                    (y >> self.cfg.log2_ctb):
+                return DC
+            if not pm.decoded[sy // 4, sx // 4] or \
+                    not pm.intra[sy // 4, sx // 4]:
+                return DC
+            return int(self.mode4[sy // 4, sx // 4])
+
+        a = mode_at(x - 1, y, False)
+        b = mode_at(x, y - 1, True)
+        if a == b:
+            if a < 2:
+                return [0, 1, 26]
+            return [a, 2 + ((a + 29) % 32), 2 + ((a - 2 + 1) % 32)]
+        out = [a, b]
+        for third in (0, 1, 26):
+            if third not in out:
+                out.append(third)
+                break
+        return out
