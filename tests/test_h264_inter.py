@@ -222,3 +222,57 @@ def test_weighted_prediction_conformance(tmp_path, entropy):
     for i in range(5):
         np.testing.assert_array_equal(ry[i], recons[i][0].astype(np.uint8))
         np.testing.assert_array_equal(ru[i], recons[i][1].astype(np.uint8))
+
+
+@pytest.mark.skipif(not os.path.exists(JM_DECODER),
+                    reason="JM reference decoder not built")
+@pytest.mark.parametrize("entropy", ["cavlc", "cabac"])
+def test_p_partitions_jm_conformance(tmp_path, entropy):
+    """Partitioned P MBs (16x8/8x16/P8x8 with 8x4/4x8/4x4 subs): our
+    streams decode bit-exactly in JM ldecod, both entropies."""
+    ys, us, vs = yuv.read_frames(FOREMAN, 176, 144)
+    frames = [(ys[i], us[i], vs[i]) for i in range(len(ys))]
+    enc = H264Encoder(176, 144, qp=30, entropy=entropy, partitions=True)
+    stream, recons = roundtrip(enc, frames)
+    (tmp_path / "p.264").write_bytes(stream)
+    r = subprocess.run([JM_DECODER, "-i", "p.264", "-o", "jm.yuv"],
+                       capture_output=True, text=True, timeout=120,
+                       cwd=tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert f"{len(frames)} frames are decoded" in r.stdout, r.stdout
+    ry, ru, rv = yuv.read_frames(str(tmp_path / "jm.yuv"), 176, 144)
+    for i in range(len(frames)):
+        for ours, ref in zip(recons[i], (ry[i], ru[i], rv[i])):
+            np.testing.assert_array_equal(ref, ours.astype(np.uint8))
+
+
+@pytest.mark.skipif(not (os.path.exists(JM_ENCODER)
+                         and os.path.exists(FOREMAN)),
+                    reason="JM reference encoder not built")
+@pytest.mark.parametrize("entropy", ["cavlc", "cabac"])
+def test_p_decode_jm_partition_stream(tmp_path, entropy):
+    """Our decoder reproduces JM streams that USE the partition tree
+    (default mode loops + RDO + 2 refs) bit-exactly."""
+    cfg = "/root/repo/.refbuild/jm18.5/bin/encoder_baseline.cfg"
+    cabac = entropy == "cabac"
+    r = subprocess.run(
+        [JM_ENCODER, "-d", cfg,
+         "-p", f"InputFile={FOREMAN}",
+         "-p", "SourceWidth=176", "-p", "SourceHeight=144",
+         "-p", "FramesToBeEncoded=3", "-p", "IntraPeriod=0",
+         "-p", "IDRPeriod=0",
+         "-p", f"ProfileIDC={77 if cabac else 66}",
+         "-p", f"SymbolMode={1 if cabac else 0}",
+         "-p", "QPISlice=30", "-p", "QPPSlice=30", "-p", "OutFileMode=0",
+         "-p", "OutputFile=jm.264", "-p", "ReconFile=jm_rec.yuv",
+         "-p", "Transform8x8Mode=0", "-p", "PicOrderCntType=2",
+         "-p", "Log2MaxFNumMinus4=4", "-p", "RDOptimization=1",
+         "-p", "SearchRange=16", "-p", "NumberReferenceFrames=2"],
+        capture_output=True, text=True, timeout=300, cwd=tmp_path)
+    assert (tmp_path / "jm.264").exists(), r.stdout + r.stderr
+    out = H264Decoder().decode((tmp_path / "jm.264").read_bytes())
+    assert len(out) == 3
+    ry, ru, rv = yuv.read_frames(str(tmp_path / "jm_rec.yuv"), 176, 144)
+    for i in range(3):
+        for ours, ref in zip(out[i], (ry[i], ru[i], rv[i])):
+            np.testing.assert_array_equal(ours.astype(np.uint8), ref)

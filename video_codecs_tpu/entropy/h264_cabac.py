@@ -304,6 +304,20 @@ class H264CabacEncoder:
         else:
             raise AssertionError(act_sym)
 
+    def sub_mb_type_p(self, v: int) -> None:
+        """writeB8_typeInfo_CABAC, P rows (cabac.c:584): sub_mb_type
+        0 = 8x8 '1'@ctx1, 1 = 8x4 '00'@1,3, 2 = 4x8 '011'@1,3,4,
+        3 = 4x4 '010' (spec Table 9-38)."""
+        if v == 0:
+            self.bin(off("b8_type", 0, 1), 1)
+            return
+        self.bin(off("b8_type", 0, 1), 0)
+        if v == 1:
+            self.bin(off("b8_type", 0, 3), 0)
+            return
+        self.bin(off("b8_type", 0, 3), 1)
+        self.bin(off("b8_type", 0, 4), 1 if v == 2 else 0)
+
     def mb_skip_flag_b(self, skip: int, left_nonskip: int,
                        up_nonskip: int) -> None:
         """writeMB_Bskip_flagInfo_CABAC (cabac.c:456): 1 = skip
@@ -654,6 +668,14 @@ class H264CabacDecoder:
         if self.bin(off("mb_type", r, 5)):
             return (2, 0) if self.bin(off("mb_type", r, 7)) else (3, 0)
         return (4, 0) if self.bin(off("mb_type", r, 6)) else (1, 0)
+
+    def sub_mb_type_p(self) -> int:
+        """readB8_typeInfo_CABAC_p_slice (ldecod cabac.c): ctx 1/3/4."""
+        if self.bin(off("b8_type", 0, 1)):
+            return 0
+        if not self.bin(off("b8_type", 0, 3)):
+            return 1
+        return 2 if self.bin(off("b8_type", 0, 4)) else 3
 
     def mb_skip_flag_b(self, left_nonskip: int, up_nonskip: int) -> int:
         return self.bin(off("mb_type", 2, 7 + left_nonskip + up_nonskip))

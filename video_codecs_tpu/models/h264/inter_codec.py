@@ -64,23 +64,37 @@ def _te_bits(v: int, cmax: int) -> int:
     return 1 if cmax == 1 else 2 * (v + 1).bit_length() - 1
 
 
-def median_mv_pred(mvg, refg, gx, gy, w4, ref: int = 0):
-    """16x16 L0 MV predictor (spec 8.4.1.3): median of A/B/C with the
-    only-A and single-matching-ref special cases. refg is -1 for intra
-    or out-of-picture blocks (which predict mv 0); `ref` is the target
-    reference index the predictor is derived for."""
-    h4 = mvg.shape[0]
+def mv_pred_part(mvg, refg, dec4, gx, gy, pw4, ph4, ref: int = 0,
+                 shape: str = ""):
+    """Partition L0 MV predictor (spec 8.4.1.3): median of A/B/C with
+    the only-A, single-matching-ref and 16x8/8x16 directional special
+    cases.  refg is -1 for intra or unavailable blocks (predict mv 0);
+    dec4 marks 4x4 blocks already decoded (partition decode order —
+    None means everything inside the picture counts as decoded).
+    shape: '' | '16x8_0' | '16x8_1' | '8x16_0' | '8x16_1'."""
+    h4, w4 = refg.shape
 
-    def nb(bx, by, inside_only_row=False):
+    def nb(bx, by):
         if bx < 0 or by < 0 or bx >= w4 or by >= h4:
-            return None                       # MB outside picture
+            return None                       # outside picture
+        if dec4 is not None and not dec4[by, bx]:
+            return None                       # not yet decoded
         return (int(refg[by, bx]), int(mvg[by, bx, 0]), int(mvg[by, bx, 1]))
 
     A = nb(gx - 1, gy)
     B = nb(gx, gy - 1)
-    C = nb(gx + 4, gy - 1)
+    C = nb(gx + pw4, gy - 1)
     if C is None:
         C = nb(gx - 1, gy - 1)                # fall back to D
+    # directional shortcuts for the rectangular MB partitions
+    if shape == "16x8_0" and B is not None and B[0] == ref:
+        return B[1], B[2]
+    if shape == "16x8_1" and A is not None and A[0] == ref:
+        return A[1], A[2]
+    if shape == "8x16_0" and A is not None and A[0] == ref:
+        return A[1], A[2]
+    if shape == "8x16_1" and C is not None and C[0] == ref:
+        return C[1], C[2]
     if B is None and C is None and A is not None:
         return A[1], A[2]
     cands = [A, B, C]
@@ -91,6 +105,30 @@ def median_mv_pred(mvg, refg, gx, gy, w4, ref: int = 0):
     ys = [c[2] if c is not None else 0 for c in cands]
     med = lambda a: sorted(a)[1]
     return med(xs), med(ys)
+
+
+def median_mv_pred(mvg, refg, gx, gy, w4, ref: int = 0):
+    """16x16 MV predictor (kept as the whole-MB entry point)."""
+    return mv_pred_part(mvg, refg, None, gx, gy, 4, 4, ref)
+
+
+# MB partition geometry: mb_type -> [(off_x, off_y, w, h)]
+_P_PARTS = {1: ((0, 0, 16, 8), (0, 8, 16, 8)),
+            2: ((0, 0, 8, 16), (8, 0, 8, 16))}
+# sub_mb_type -> [(off_x, off_y, w, h)] within the 8x8 block
+_SUB_PARTS = {0: ((0, 0, 8, 8),),
+              1: ((0, 0, 8, 4), (0, 4, 8, 4)),
+              2: ((0, 0, 4, 8), (4, 0, 4, 8)),
+              3: ((0, 0, 4, 4), (4, 0, 4, 4), (0, 4, 4, 4), (4, 4, 4, 4))}
+
+
+def _commit_part(mvg, refg, dec4, gx, gy, ox, oy, pw, ph, ref_i, mv):
+    """Write one partition's motion into the 4x4 grids + decode mask."""
+    x4, y4 = gx + ox // 4, gy + oy // 4
+    mvg[y4:y4 + ph // 4, x4:x4 + pw // 4] = mv
+    refg[y4:y4 + ph // 4, x4:x4 + pw // 4] = ref_i
+    if dec4 is not None:
+        dec4[y4:y4 + ph // 4, x4:x4 + pw // 4] = True
 
 
 def skip_mv(mvg, refg, gx, gy, w4):
@@ -207,6 +245,22 @@ def _code_residual_16(w, lv, nc_grid, gx, gy):
     nc_grid.set(gx, gy, total)
 
 
+def _ue_bits(v: int) -> int:
+    return 2 * (v + 1).bit_length() - 1
+
+
+def _b8_first_parts(parts):
+    """First sub-partition of each 8x8 block (the ref_idx carriers of a
+    P_8x8 MB; refs are signalled per 8x8, spec 7.3.5.2)."""
+    out, seen = [], set()
+    for p in parts:
+        b8 = (p[0] // 8, p[1] // 8)
+        if b8 not in seen:
+            seen.add(b8)
+            out.append(p)
+    return out
+
+
 class H264Encoder(H264IntraEncoder):
     """IPPP: IDR then P frames, one (deblocked) reference."""
 
@@ -214,7 +268,8 @@ class H264Encoder(H264IntraEncoder):
                  search_range: int = 16, gop: int = 0,
                  entropy: str = "cavlc", perceptual: str = "",
                  n_refs: int = 1, quant: str = "normal",
-                 me: str = "full", weighted_pred: bool = False) -> None:
+                 me: str = "full", weighted_pred: bool = False,
+                 partitions: bool = True) -> None:
         super().__init__(width, height, qp=qp, deblock=True, entropy=entropy,
                          perceptual=perceptual, quant=quant)
         assert me in ("full", "epzs", "umhex")
@@ -223,6 +278,7 @@ class H264Encoder(H264IntraEncoder):
         self.n_refs = n_refs           # sliding-window DPB size (list0)
         self.me = me                   # integer ME engine (mv_search.c:143)
         self.weighted_pred = weighted_pred
+        self.partitions = partitions   # 16x8/8x16/P8x8 mode loops (md_low)
         self._wp = None                # per-ref WP params of this slice
         self._prev_mvg = None          # temporal predictor source (EPZS)
 
@@ -253,7 +309,8 @@ class H264Encoder(H264IntraEncoder):
         return annexb(nals), recons
 
     # -- motion search -----------------------------------------------------
-    def _search(self, orig, ref_y, x, y, pred_mv, lam):
+    def _search(self, orig, ref_y, x, y, pred_mv, lam, pw: int = 16,
+                ph: int = 16):
         sr = self.sr
         px = min(max(pred_mv[0] >> 2, -sr), sr)
         py = min(max(pred_mv[1] >> 2, -sr), sr)
@@ -263,8 +320,8 @@ class H264Encoder(H264IntraEncoder):
         refp = np.pad(ref_y, pad, mode='edge')
         x0 = x + pad + px - sr
         y0 = y + pad + py - sr
-        area = refp[y0:y0 + 2 * sr + 16, x0:x0 + 2 * sr + 16]
-        win = np.lib.stride_tricks.sliding_window_view(area, (16, 16))
+        area = refp[y0:y0 + 2 * sr + ph, x0:x0 + 2 * sr + pw]
+        win = np.lib.stride_tricks.sliding_window_view(area, (ph, pw))
         sad = np.abs(win.astype(np.int32)
                      - orig[None, None]).sum((2, 3))        # (2sr+1, 2sr+1)
         dxs = (np.arange(-sr, sr + 1) + px) * 4
@@ -274,9 +331,11 @@ class H264Encoder(H264IntraEncoder):
         cost = sad + np.round(lam * (bits_y[:, None] + bits_x[None, :]))
         iy_, ix_ = np.unravel_index(int(np.argmin(cost)), cost.shape)
         best = (int(cost[iy_, ix_]), int(dxs[ix_]), int(dys[iy_]))
-        return self._subpel_refine(orig, ref_y, x, y, pred_mv, lam, best)
+        return self._subpel_refine(orig, ref_y, x, y, pred_mv, lam, best,
+                                   pw, ph)
 
-    def _subpel_refine(self, orig, ref_y, x, y, pred_mv, lam, best):
+    def _subpel_refine(self, orig, ref_y, x, y, pred_mv, lam, best,
+                       pw: int = 16, ph: int = 16):
         """Half then quarter-pel refinement around the integer best."""
         for step in (2, 1):
             _, bx, by = best
@@ -285,7 +344,7 @@ class H264Encoder(H264IntraEncoder):
                     if dx == 0 and dy == 0:
                         continue
                     mvx, mvy = bx + dx, by + dy
-                    blk = mc_luma_np(ref_y, x, y, mvx, mvy, 16, 16)
+                    blk = mc_luma_np(ref_y, x, y, mvx, mvy, pw, ph)
                     cost = int(np.abs(orig - blk).sum()) + round(
                         lam * (_se_bits(mvx - pred_mv[0])
                                + _se_bits(mvy - pred_mv[1])))
@@ -438,32 +497,46 @@ class H264Encoder(H264IntraEncoder):
         best = (best[0], best[1] * 4, best[2] * 4)
         return self._subpel_refine(orig, ref_y, x, y, pred_mv, lam, best)
 
-    def _write_p16_cabac(self, ce, mbx, mby, mvdx, mvdy, cbp, lv,
-                         c_dc_q, c_ac_q, skip_ctx_terms, mvd_err,
-                         ref=0, n_active=1, refg=None):
-        """CABAC syntax for one non-skip P_L0_16x16 MB.
+    def _write_p_mb_cabac(self, ce, mbx, mby, mb_type, parts, subs, cbp,
+                          lv, c_dc_q, c_ac_q, skip_ctx_terms, n_active,
+                          refg, mvd4):
+        """CABAC syntax for one non-skip inter P MB (any partitioning).
 
         Parity: jm18.5/lencod/src/cabac.c writeMB_Pskip_flagInfo :424,
-        writeMB_P_typeInfo :520 (act_sym 1), writeRefPic :1016, writeMVD
-        :1152, writeCBP :1326, writeDquant :1116, residual blocks via
-        entropy/h264_cabac.py (LUMA_4x4 category for non-I16 luma).
+        writeMB_P_typeInfo :520, writeB8_typeInfo :584, writeRefPic
+        :1016 (per-partition ctx), writeMVD :1152 (neighbor-partition
+        |mvd| ctx at 4x4 granularity), writeCBP :1326, writeDquant
+        :1116, residual blocks via entropy/h264_cabac.py.
         """
         from video_codecs_tpu.entropy import h264_cabac as hc
         from video_codecs_tpu.entropy import cavlc as _cavlc
         zz = _cavlc.ZIGZAG_4x4
         cbf = self._cbf
+        gx, gy = mbx * 4, mby * 4
         a, b = skip_ctx_terms(mbx, mby)
         ce.mb_skip_flag_p(0, a, b)
-        ce.mb_type_p(1)  # P_L0_16x16
+        ce.mb_type_p({0: 1, 1: 2, 2: 3, 3: 4}[mb_type])
+        if mb_type == 3:
+            for s in subs:
+                ce.sub_mb_type_p(s)
         if n_active > 1:
-            # ctxIdxInc (spec 9.3.3.1.1.6): left/top inter MB with ref>0
-            gx, gy = mbx * 4, mby * 4
-            ra = 1 if (gx > 0 and refg[gy, gx - 1] > 0) else 0
-            rb = 1 if (gy > 0 and refg[gy - 1, gx] > 0) else 0
-            ce.ref_idx(ref, ra + 2 * rb)
-        ce.mvd(mvdx, 0, mvd_err(mbx, mby, 0))
-        ce.mvd(mvdy, 1, mvd_err(mbx, mby, 1))
-        self._mvd_arr[mby, mbx] = (mvdx, mvdy)
+            ref_parts = (parts if mb_type != 3 else _b8_first_parts(parts))
+            for (ox, oy, pw_, ph_, ri_, _, _) in ref_parts:
+                # ctxIdxInc (spec 9.3.3.1.1.6): neighbor partitions with
+                # ref > 0, at 4x4 granularity
+                x4, y4 = gx + ox // 4, gy + oy // 4
+                ra = 1 if (x4 > 0 and refg[y4, x4 - 1] > 0) else 0
+                rb = 1 if (y4 > 0 and refg[y4 - 1, x4] > 0) else 0
+                ce.ref_idx(ri_, ra + 2 * rb)
+        for (ox, oy, pw_, ph_, ri_, mv_, pmv_) in parts:
+            x4, y4 = gx + ox // 4, gy + oy // 4
+            mvdx, mvdy = mv_[0] - pmv_[0], mv_[1] - pmv_[1]
+            for comp, d in ((0, mvdx), (1, mvdy)):
+                ea = int(mvd4[y4, x4 - 1, comp]) if x4 > 0 else 0
+                eb = int(mvd4[y4 - 1, x4, comp]) if y4 > 0 else 0
+                ce.mvd(d, comp, ea + eb)
+            mvd4[y4:y4 + ph_ // 4, x4:x4 + pw_ // 4] = (abs(mvdx),
+                                                        abs(mvdy))
 
         def nbr(dx, dy):
             nx, ny = mbx + dx, mby + dy
@@ -534,6 +607,8 @@ class H264Encoder(H264IntraEncoder):
         self._is_i4 = np.zeros((mbh, mbw), bool)
         mvg = np.zeros((mbh * 4, mbw * 4, 2), np.int32)
         refg = np.full((mbh * 4, mbw * 4), -1, np.int32)
+        dec4 = np.zeros((mbh * 4, mbw * 4), bool)
+        mvd4 = np.zeros((mbh * 4, mbw * 4, 2), np.int32)   # |mvd| per comp
         intra_mb = np.zeros((mbh, mbw), bool)
         lam = 0.85 * 2.0 ** ((qp - 12) / 3.0)
         lam_me = lam ** 0.5
@@ -579,18 +654,12 @@ class H264Encoder(H264IntraEncoder):
             self._cbp_arr = np.zeros((mbh, mbw), np.int32)
             self._cipred = np.zeros((mbh, mbw), np.int32)
             self._skip = np.zeros((mbh, mbw), bool)
-            self._mvd_arr = np.zeros((mbh, mbw, 2), np.int32)
             self._decoded = np.zeros((mbh, mbw), bool)
 
         def skip_ctx_terms(mbx, mby):
             a = 1 if (mbx > 0 and not self._skip[mby, mbx - 1]) else 0
             b = 1 if (mby > 0 and not self._skip[mby - 1, mbx]) else 0
             return a, b
-
-        def mvd_err(mbx, mby, comp):
-            a = abs(int(self._mvd_arr[mby, mbx - 1, comp])) if mbx > 0 else 0
-            b = abs(int(self._mvd_arr[mby - 1, mbx, comp])) if mby > 0 else 0
-            return a + b
 
         skip_run = 0
         for mby in range(mbh):
@@ -625,14 +694,111 @@ class H264Encoder(H264IntraEncoder):
                     if cost is None or c_r < cost:
                         best_ref, cost, mvx, mvy, pmv = \
                             ri, c_r, mx_r, my_r, pmv_r
-                ref_y, ref_u, ref_v = refs[best_ref]
+
+                # ---- partition mode loops (md_low.c:38 semantics) ----
+                # candidate: (cost, mb_type, parts, subs); parts carry
+                # (off_x, off_y, w, h, ref, mv, pmv) in decode order
+                best_mode = (cost + round(lam_me_mb * 1), 0,
+                             [(0, 0, 16, 16, best_ref, (mvx, mvy), pmv)],
+                             None)
+
+                def me_part(tmp, og, px_, py_, pw_, ph_, ri, shape):
+                    pmv_r = mv_pred_part(tmp[0], tmp[1], tmp[2],
+                                         px_ // 4, py_ // 4, pw_ // 4,
+                                         ph_ // 4, ri, shape)
+                    c, mx, my = self._search(og, refs[ri][0], px_, py_,
+                                             pmv_r, lam_me_mb, pw_, ph_)
+                    return c, (mx, my), pmv_r
+
+                def eval_rect(mbt):
+                    geo = _P_PARTS[mbt]
+                    base = "16x8" if mbt == 1 else "8x16"
+                    tmp = (mvg.copy(), refg.copy(), dec4.copy())
+                    tot = round(lam_me_mb * 3)      # ue(mb_type)
+                    parts = []
+                    for pi, (ox, oy, pw_, ph_) in enumerate(geo):
+                        og = yv[yy + oy:yy + oy + ph_, x + ox:x + ox + pw_]
+                        bp = None
+                        for ri in range(n_active):
+                            c, mv_, pmv_r = me_part(
+                                tmp, og, x + ox, yy + oy, pw_, ph_, ri,
+                                f"{base}_{pi}")
+                            if n_active > 1:
+                                c += round(lam_me_mb
+                                           * _te_bits(ri, n_active - 1))
+                            if bp is None or c < bp[0]:
+                                bp = (c, ri, mv_, pmv_r)
+                        c, ri, mv_, pmv_r = bp
+                        _commit_part(tmp[0], tmp[1], tmp[2], gx, gy, ox,
+                                     oy, pw_, ph_, ri, mv_)
+                        parts.append((ox, oy, pw_, ph_, ri, mv_, pmv_r))
+                        tot += c
+                    return tot, parts
+
+                def eval_p8x8():
+                    tmp = (mvg.copy(), refg.copy(), dec4.copy())
+                    tot = round(lam_me_mb * 5)      # ue(3)
+                    parts, subs = [], []
+                    for b8 in range(4):
+                        ox8, oy8 = (b8 & 1) * 8, (b8 >> 1) * 8
+                        og8 = yv[yy + oy8:yy + oy8 + 8,
+                                 x + ox8:x + ox8 + 8]
+                        b8_ref = None
+                        for ri in range(n_active):
+                            c, mv_, pmv_r = me_part(
+                                tmp, og8, x + ox8, yy + oy8, 8, 8, ri, "")
+                            if n_active > 1:
+                                c += round(lam_me_mb
+                                           * _te_bits(ri, n_active - 1))
+                            if b8_ref is None or c < b8_ref[0]:
+                                b8_ref = (c, ri)
+                        ri = b8_ref[1]
+                        bs_ = None
+                        for smode, sgeo in _SUB_PARTS.items():
+                            t2 = (tmp[0].copy(), tmp[1].copy(),
+                                  tmp[2].copy())
+                            ct = round(lam_me_mb * _ue_bits(smode))
+                            sp = []
+                            for (sx, sy, pw_, ph_) in sgeo:
+                                ox, oy = ox8 + sx, oy8 + sy
+                                og = yv[yy + oy:yy + oy + ph_,
+                                        x + ox:x + ox + pw_]
+                                c, mv_, pmv_r = me_part(
+                                    t2, og, x + ox, yy + oy, pw_, ph_,
+                                    ri, "")
+                                _commit_part(t2[0], t2[1], t2[2], gx, gy,
+                                             ox, oy, pw_, ph_, ri, mv_)
+                                sp.append((ox, oy, pw_, ph_, ri, mv_,
+                                           pmv_r))
+                                ct += c
+                            if bs_ is None or ct < bs_[0]:
+                                bs_ = (ct, smode, sp)
+                        ct, smode, sp = bs_
+                        for (ox, oy, pw_, ph_, ri_, mv_, _) in sp:
+                            _commit_part(tmp[0], tmp[1], tmp[2], gx, gy,
+                                         ox, oy, pw_, ph_, ri_, mv_)
+                        parts.extend(sp)
+                        subs.append(smode)
+                        tot += ct + (round(lam_me_mb
+                                           * _te_bits(ri, n_active - 1))
+                                     if n_active > 1 else 0)
+                    return tot, parts, subs
+
+                if self.partitions:
+                    for mbt in (1, 2):
+                        c_m, parts_m = eval_rect(mbt)
+                        if c_m < best_mode[0]:
+                            best_mode = (c_m, mbt, parts_m, None)
+                    c_m, parts_m, subs_m = eval_p8x8()
+                    if c_m < best_mode[0]:
+                        best_mode = (c_m, 3, parts_m, subs_m)
 
                 # crude intra/inter decision: best I_16x16 pred SAD
                 isad = min(
                     int(np.abs(orig - pred_luma16(rec_y, x, yy, m)).sum())
                     for m in ([2] + ([0] if mby else [])
                               + ([1] if mbx else [])))
-                if isad + round(lam_me_mb * 8) < cost:
+                if isad + round(lam_me_mb * 8) < best_mode[0]:
                     # intra MB inside the P slice
                     if ce is not None:
                         a, b = skip_ctx_terms(mbx, mby)
@@ -648,17 +814,37 @@ class H264Encoder(H264IntraEncoder):
                                         nc_y, nc_u, nc_v, mbx, mby, qp, qpc,
                                         mb_type_offset=5)
                     intra_mb[mby, mbx] = True
+                    dec4[gy:gy + 4, gx:gx + 4] = True
                     # refg stays -1, mv stays 0
                     continue
 
-                pred = mc_luma_np(ref_y, x, yy, mvx, mvy, 16, 16)
-                pu = mc_chroma_np(ref_u, cx, cy, mvx, mvy, 8, 8)
-                pv = mc_chroma_np(ref_v, cx, cy, mvx, mvy, 8, 8)
-                if self._wp is not None:
-                    wp = self._wp[best_ref]
-                    pred = wp_apply(pred, wp["w"][0], wp["o"][0], wp["logd"])
-                    pu = wp_apply(pu, wp["w"][1], wp["o"][1], wp["logd"])
-                    pv = wp_apply(pv, wp["w"][2], wp["o"][2], wp["logd"])
+                _, mb_type_sel, parts, subs = best_mode
+                best_ref = parts[0][4]
+                mvx, mvy = parts[0][5]
+                pred = np.zeros((16, 16), np.int32)
+                pu = np.zeros((8, 8), np.int32)
+                pv = np.zeros((8, 8), np.int32)
+                for (ox, oy, pw_, ph_, ri_, mv_, _) in parts:
+                    rpy, rpu, rpv = refs[ri_]
+                    pl = mc_luma_np(rpy, x + ox, yy + oy, mv_[0], mv_[1],
+                                    pw_, ph_)
+                    pcu = mc_chroma_np(rpu, cx + ox // 2, cy + oy // 2,
+                                       mv_[0], mv_[1], pw_ // 2, ph_ // 2)
+                    pcv = mc_chroma_np(rpv, cx + ox // 2, cy + oy // 2,
+                                       mv_[0], mv_[1], pw_ // 2, ph_ // 2)
+                    if self._wp is not None:
+                        wp = self._wp[ri_]
+                        pl = wp_apply(pl, wp["w"][0], wp["o"][0],
+                                      wp["logd"])
+                        pcu = wp_apply(pcu, wp["w"][1], wp["o"][1],
+                                       wp["logd"])
+                        pcv = wp_apply(pcv, wp["w"][2], wp["o"][2],
+                                       wp["logd"])
+                    pred[oy:oy + ph_, ox:ox + pw_] = pl
+                    pu[oy // 2:(oy + ph_) // 2, ox // 2:(ox + pw_) // 2] \
+                        = pcu
+                    pv[oy // 2:(oy + ph_) // 2, ox // 2:(ox + pw_) // 2] \
+                        = pcv
 
                 res = orig - pred
                 blk = res.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3)
@@ -685,10 +871,12 @@ class H264Encoder(H264IntraEncoder):
                     1 if any(q.any() for q in c_dc_q) else 0)
                 cbp = cbp_luma | (cbp_chroma << 4)
 
-                mvg[gy:gy + 4, gx:gx + 4] = (mvx, mvy)
-                refg[gy:gy + 4, gx:gx + 4] = best_ref
+                for (ox, oy, pw_, ph_, ri_, mv_, _) in parts:
+                    _commit_part(mvg, refg, dec4, gx, gy, ox, oy, pw_,
+                                 ph_, ri_, mv_)
 
-                if cbp == 0 and best_ref == 0 and (mvx, mvy) == smv:
+                if mb_type_sel == 0 and cbp == 0 and best_ref == 0 and \
+                        (mvx, mvy) == smv:
                     # P_Skip: recon is the prediction, nothing coded
                     if ce is not None:
                         a, b = skip_ctx_terms(mbx, mby)
@@ -711,11 +899,10 @@ class H264Encoder(H264IntraEncoder):
                     continue
 
                 if ce is not None:
-                    self._write_p16_cabac(ce, mbx, mby, mvx - pmv[0],
-                                          mvy - pmv[1], cbp, lv, c_dc_q,
-                                          c_ac_q, skip_ctx_terms, mvd_err,
-                                          ref=best_ref, n_active=n_active,
-                                          refg=refg)
+                    self._write_p_mb_cabac(ce, mbx, mby, mb_type_sel,
+                                           parts, subs, cbp, lv, c_dc_q,
+                                           c_ac_q, skip_ctx_terms,
+                                           n_active, refg, mvd4)
                     for i8 in range(4):
                         for k in range(4):
                             idx = 4 * i8 + k
@@ -733,11 +920,18 @@ class H264Encoder(H264IntraEncoder):
                 else:
                     w.ue(skip_run)
                     skip_run = 0
-                    w.ue(0)                      # mb_type P_L0_16x16
+                    w.ue(mb_type_sel)            # mb_type
+                    if mb_type_sel == 3:
+                        for s in subs:           # sub_mb_type (7.3.5.2)
+                            w.ue(s)
                     if n_active > 1:
-                        _te_write(w, best_ref, n_active - 1)  # ref_idx_l0
-                    w.se(mvx - pmv[0])           # mvd_l0 x
-                    w.se(mvy - pmv[1])           # mvd_l0 y
+                        ref_parts = (parts if mb_type_sel != 3 else
+                                     _b8_first_parts(parts))
+                        for p_ in ref_parts:
+                            _te_write(w, p_[4], n_active - 1)
+                    for (_, _, _, _, _, mv_, pmv_) in parts:
+                        w.se(mv_[0] - pmv_[0])   # mvd_l0 x
+                        w.se(mv_[1] - pmv_[1])   # mvd_l0 y
                     w.ue(_NCBP_INTER_420[cbp])   # coded_block_pattern me(v)
                     if cbp:
                         w.se(0)                  # mb_qp_delta
@@ -945,6 +1139,7 @@ class H264Decoder(H264IntraDecoder):
         nc_v = NcGrid(mbw * 2, mbh * 2)
         mvg = np.zeros((mbh * 4, mbw * 4, 2), np.int32)
         refg = np.full((mbh * 4, mbw * 4), -1, np.int32)
+        dec4 = np.zeros((mbh * 4, mbw * 4), bool)
         intra_mb = np.zeros((mbh, mbw), bool)
         mode4 = np.full((mbh * 4, mbw * 4), 2, np.int32)
         is_i4 = np.zeros((mbh, mbw), bool)
@@ -972,6 +1167,7 @@ class H264Decoder(H264IntraDecoder):
             mvx, mvy = skip_mv(mvg, refg, gx, gy, w4)
             mvg[gy:gy + 4, gx:gx + 4] = (mvx, mvy)
             refg[gy:gy + 4, gx:gx + 4] = 0
+            dec4[gy:gy + 4, gx:gx + 4] = True
             x, yy = mbx * 16, mby * 16
             cx, cy = mbx * 8, mby * 8
             rec_y[yy:yy + 16, x:x + 16] = self._mc_wp(
@@ -992,7 +1188,7 @@ class H264Decoder(H264IntraDecoder):
             self._decode_p_mbs_cabac(
                 r, qp, qpc, model, rec_y, rec_u, rec_v, ref_y, ref_u, ref_v,
                 nc_y, nc_u, nc_v, mvg, refg, intra_mb, mode4, is_i4,
-                pred_mode4, decode_skip, n_active=n_active)
+                pred_mode4, decode_skip, n_active=n_active, dec4=dec4)
             if dbf_idc != 1:
                 bs_ver, bs_hor = bs_maps_p(intra_mb, nc_y.tc, mvg, refg)
                 rec_y, rec_u, rec_v = deblock_frame(
@@ -1014,6 +1210,7 @@ class H264Decoder(H264IntraDecoder):
             mb_type = r.ue()
             if mb_type >= 5:
                 intra_mb[mby, mbx] = True
+                dec4[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = True
                 if mb_type == 5:
                     self._decode_i4_mb(r, None, rec_y, rec_u, rec_v,
                                        nc_y, nc_u, nc_v, mbx, mby,
@@ -1022,17 +1219,37 @@ class H264Decoder(H264IntraDecoder):
                     self._decode_i16_mb(r, mb_type - 6, rec_y, rec_u, rec_v,
                                         nc_y, nc_u, nc_v, mbx, mby, qp, qpc)
                 continue
-            assert mb_type == 0, f"unsupported P mb_type {mb_type}"
+            assert mb_type <= 4, f"unsupported P mb_type {mb_type}"
             gx, gy = mbx * 4, mby * 4
             x, yy = mbx * 16, mby * 16
             cx, cy = mbx * 8, mby * 8
-            ref_i = _te_read(r, n_active - 1) if n_active > 1 else 0
-            ref_y, ref_u, ref_v = self.dpb[ref_i]
-            pmv = median_mv_pred(mvg, refg, gx, gy, w4, ref=ref_i)
-            mvx = pmv[0] + r.se()
-            mvy = pmv[1] + r.se()
-            mvg[gy:gy + 4, gx:gx + 4] = (mvx, mvy)
-            refg[gy:gy + 4, gx:gx + 4] = ref_i
+            if mb_type == 0:
+                ref_i = _te_read(r, n_active - 1) if n_active > 1 else 0
+                pmv = mv_pred_part(mvg, refg, dec4, gx, gy, 4, 4, ref_i)
+                parts = [(0, 0, 16, 16, ref_i,
+                          (pmv[0] + r.se(), pmv[1] + r.se()))]
+                for ox, oy, pw_, ph_, ri_, mv_ in parts:
+                    _commit_part(mvg, refg, dec4, gx, gy, ox, oy, pw_,
+                                 ph_, ri_, mv_)
+            else:
+                parts = self._parse_p_parts_cavlc(r, mb_type, mvg, refg,
+                                                  dec4, gx, gy, n_active)
+            pred = np.zeros((16, 16), np.int32)
+            pu = np.zeros((8, 8), np.int32)
+            pv = np.zeros((8, 8), np.int32)
+            for ox, oy, pw_, ph_, ri_, (mvx, mvy) in parts:
+                rpy, rpu, rpv = self.dpb[ri_]
+                pred[oy:oy + ph_, ox:ox + pw_] = self._mc_wp(
+                    mc_luma_np(rpy, x + ox, yy + oy, mvx, mvy, pw_, ph_),
+                    ri_, 0)
+                pu[oy // 2:(oy + ph_) // 2, ox // 2:(ox + pw_) // 2] = \
+                    self._mc_wp(mc_chroma_np(
+                        rpu, cx + ox // 2, cy + oy // 2, mvx, mvy,
+                        pw_ // 2, ph_ // 2), ri_, 1)
+                pv[oy // 2:(oy + ph_) // 2, ox // 2:(ox + pw_) // 2] = \
+                    self._mc_wp(mc_chroma_np(
+                        rpv, cx + ox // 2, cy + oy // 2, mvx, mvy,
+                        pw_ // 2, ph_ // 2), ri_, 2)
             cbp = _CBP_FROM_CODE_INTER_420[r.ue()]
             cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
             if cbp:
@@ -1073,17 +1290,11 @@ class H264Decoder(H264IntraDecoder):
                     else:
                         grid.set(mbx * 2 + x4, mby * 2 + y4, 0)
 
-            pred = self._mc_wp(
-                mc_luma_np(ref_y, x, yy, mvx, mvy, 16, 16), ref_i, 0)
             d = ht.dequant_ac(lv, qp)
             rec_y[yy:yy + 16, x:x + 16] = np.clip(
                 pred + ht.inverse4x4(d)
                 .transpose(0, 2, 1, 3).reshape(16, 16), 0, 255)
-            for comp, (plane, refp) in enumerate(
-                    ((rec_u, ref_u), (rec_v, ref_v))):
-                cp = self._mc_wp(
-                    mc_chroma_np(refp, cx, cy, mvx, mvy, 8, 8),
-                    ref_i, 1 + comp)
+            for comp, (plane, cp) in enumerate(((rec_u, pu), (rec_v, pv))):
                 cdc_deq = (ht.dequant_chroma_dc(c_dc_q[comp], qpc)
                            if cbp_chroma else np.zeros((2, 2), np.int64))
                 cd = ht.dequant_ac(
@@ -1110,10 +1321,54 @@ class H264Decoder(H264IntraDecoder):
         logd = e["logd"] if comp == 0 else e["logdc"]
         return wp_apply(pred, e["w"][comp], e["o"][comp], logd)
 
+    def _parse_p_parts_cavlc(self, r, mb_type, mvg, refg, dec4, gx, gy,
+                             n_active):
+        """mb_pred / sub_mb_pred parse for P partitions (spec 7.3.5.2):
+        all ref_idx first, then all MVDs; MV reconstruction follows
+        partition decode order so each predictor sees the earlier
+        partitions' final motion."""
+        out = []
+        if mb_type in (1, 2):
+            geo = _P_PARTS[mb_type]
+            refs = [(_te_read(r, n_active - 1) if n_active > 1 else 0)
+                    for _ in geo]
+            mvds = [(r.se(), r.se()) for _ in geo]
+            base = "16x8" if mb_type == 1 else "8x16"
+            for pi, (ox, oy, pw_, ph_) in enumerate(geo):
+                pmv = mv_pred_part(mvg, refg, dec4, gx + ox // 4,
+                                   gy + oy // 4, pw_ // 4, ph_ // 4,
+                                   refs[pi], f"{base}_{pi}")
+                mv = (pmv[0] + mvds[pi][0], pmv[1] + mvds[pi][1])
+                _commit_part(mvg, refg, dec4, gx, gy, ox, oy, pw_, ph_,
+                             refs[pi], mv)
+                out.append((ox, oy, pw_, ph_, refs[pi], mv))
+            return out
+        # P_8x8 (3) / P_8x8ref0 (4)
+        subs = [r.ue() for _ in range(4)]
+        assert all(s <= 3 for s in subs), subs
+        if mb_type == 3 and n_active > 1:
+            refs = [_te_read(r, n_active - 1) for _ in range(4)]
+        else:
+            refs = [0, 0, 0, 0]
+        mvds = [[(r.se(), r.se()) for _ in _SUB_PARTS[subs[b8]]]
+                for b8 in range(4)]
+        for b8 in range(4):
+            ox8, oy8 = (b8 & 1) * 8, (b8 >> 1) * 8
+            for si, (sx, sy, pw_, ph_) in enumerate(_SUB_PARTS[subs[b8]]):
+                ox, oy = ox8 + sx, oy8 + sy
+                pmv = mv_pred_part(mvg, refg, dec4, gx + ox // 4,
+                                   gy + oy // 4, pw_ // 4, ph_ // 4,
+                                   refs[b8])
+                mv = (pmv[0] + mvds[b8][si][0], pmv[1] + mvds[b8][si][1])
+                _commit_part(mvg, refg, dec4, gx, gy, ox, oy, pw_, ph_,
+                             refs[b8], mv)
+                out.append((ox, oy, pw_, ph_, refs[b8], mv))
+        return out
+
     def _decode_p_mbs_cabac(self, r, qp, qpc, model, rec_y, rec_u, rec_v,
                             ref_y, ref_u, ref_v, nc_y, nc_u, nc_v, mvg,
                             refg, intra_mb, mode4, is_i4, pred_mode4,
-                            decode_skip, n_active=1):
+                            decode_skip, n_active=1, dec4=None):
         """CABAC P-slice MB loop (mirror of the encoder's CABAC path)."""
         from video_codecs_tpu.entropy import h264_cabac as hc
         mbw, mbh = self.size
@@ -1128,12 +1383,14 @@ class H264Decoder(H264IntraDecoder):
         cbp_arr = np.zeros((mbh, mbw), np.int32)
         cipred = np.zeros((mbh, mbw), np.int32)
         skip = np.zeros((mbh, mbw), bool)
-        mvd_arr = np.zeros((mbh, mbw, 2), np.int32)
+        mvd4 = np.zeros((mbh * 4, mbw * 4, 2), np.int32)
         i16 = np.zeros((mbh, mbw), bool)
+        if dec4 is None:
+            dec4 = np.zeros((mbh * 4, mbw * 4), bool)
 
-        def mvd_err(mbx, mby, comp):
-            a = abs(int(mvd_arr[mby, mbx - 1, comp])) if mbx > 0 else 0
-            b = abs(int(mvd_arr[mby - 1, mbx, comp])) if mby > 0 else 0
+        def mvd_err4(x4, y4, comp):
+            a = int(mvd4[y4, x4 - 1, comp]) if x4 > 0 else 0
+            b = int(mvd4[y4 - 1, x4, comp]) if y4 > 0 else 0
             return a + b
 
         for mby in range(mbh):
@@ -1154,26 +1411,98 @@ class H264Decoder(H264IntraDecoder):
                 if act in (6, 7):
                     # intra MB in P slice
                     intra_mb[mby, mbx] = True
+                    dec4[gy:gy + 4, gx:gx + 4] = True
                     self._decode_intra_mb_cabac(
                         cd, act, i16_sym, mbx, mby, qp, qpc, rec_y, rec_u,
                         rec_v, cbf, cbp_arr, cipred, mode4, is_i4,
                         pred_mode4, i16)
                     assert cd.final() == (1 if last_mb else 0)
                     continue
-                assert act == 1, f"unsupported P mb_type act {act}"
-                ref_i = 0
-                if n_active > 1:
-                    ra = 1 if (gx > 0 and refg[gy, gx - 1] > 0) else 0
-                    rb = 1 if (gy > 0 and refg[gy - 1, gx] > 0) else 0
-                    ref_i = cd.ref_idx(ra + 2 * rb)
-                ref_y, ref_u, ref_v = self.dpb[ref_i]
-                mvdx = cd.mvd(0, mvd_err(mbx, mby, 0))
-                mvdy = cd.mvd(1, mvd_err(mbx, mby, 1))
-                mvd_arr[mby, mbx] = (mvdx, mvdy)
-                pmv = median_mv_pred(mvg, refg, gx, gy, w4, ref=ref_i)
-                mvx, mvy = pmv[0] + mvdx, pmv[1] + mvdy
-                mvg[gy:gy + 4, gx:gx + 4] = (mvx, mvy)
-                refg[gy:gy + 4, gx:gx + 4] = ref_i
+                assert act in (1, 2, 3, 4), f"P mb_type act {act}"
+                # geometry + sub types (read order per spec 7.3.5.2)
+                if act == 1:
+                    geo = [(0, 0, 16, 16)]
+                    shapes = [""]
+                elif act == 2:
+                    geo = list(_P_PARTS[1])
+                    shapes = ["16x8_0", "16x8_1"]
+                elif act == 3:
+                    geo = list(_P_PARTS[2])
+                    shapes = ["8x16_0", "8x16_1"]
+                else:
+                    subs = [cd.sub_mb_type_p() for _ in range(4)]
+                    geo, shapes = [], []
+                    for b8 in range(4):
+                        ox8, oy8 = (b8 & 1) * 8, (b8 >> 1) * 8
+                        for (sx, sy, pw_, ph_) in _SUB_PARTS[subs[b8]]:
+                            geo.append((ox8 + sx, oy8 + sy, pw_, ph_))
+                            shapes.append("")
+                # ref indices: per partition (per 8x8 block for P_8x8)
+                refs_i = []
+                if act == 4:
+                    b8refs = []
+                    for b8 in range(4):
+                        ri = 0
+                        if n_active > 1:
+                            x4 = gx + ((b8 & 1) * 8) // 4
+                            y4 = gy + ((b8 >> 1) * 8) // 4
+                            ra = 1 if (x4 > 0 and refg[y4, x4 - 1] > 0) \
+                                else 0
+                            rb = 1 if (y4 > 0 and refg[y4 - 1, x4] > 0) \
+                                else 0
+                            ri = cd.ref_idx(ra + 2 * rb)
+                        b8refs.append(ri)
+                        # visible to the next 8x8's ref ctx (JM stores
+                        # refs immediately)
+                        refg[gy + ((b8 >> 1) * 8) // 4:
+                             gy + ((b8 >> 1) * 8) // 4 + 2,
+                             gx + ((b8 & 1) * 8) // 4:
+                             gx + ((b8 & 1) * 8) // 4 + 2] = ri
+                    for (ox, oy, _, _) in geo:
+                        refs_i.append(b8refs[(oy // 8) * 2 + ox // 8])
+                else:
+                    for (ox, oy, pw_, ph_) in geo:
+                        ri = 0
+                        if n_active > 1:
+                            x4, y4 = gx + ox // 4, gy + oy // 4
+                            ra = 1 if (x4 > 0 and refg[y4, x4 - 1] > 0) \
+                                else 0
+                            rb = 1 if (y4 > 0 and refg[y4 - 1, x4] > 0) \
+                                else 0
+                            ri = cd.ref_idx(ra + 2 * rb)
+                        refs_i.append(ri)
+                        refg[gy + oy // 4:gy + (oy + ph_) // 4,
+                             gx + ox // 4:gx + (ox + pw_) // 4] = ri
+                # MVDs + reconstruction in partition decode order
+                parts = []
+                for pi, (ox, oy, pw_, ph_) in enumerate(geo):
+                    x4, y4 = gx + ox // 4, gy + oy // 4
+                    mvdx = cd.mvd(0, mvd_err4(x4, y4, 0))
+                    mvdy = cd.mvd(1, mvd_err4(x4, y4, 1))
+                    pmv = mv_pred_part(mvg, refg, dec4, x4, y4, pw_ // 4,
+                                       ph_ // 4, refs_i[pi], shapes[pi])
+                    mv = (pmv[0] + mvdx, pmv[1] + mvdy)
+                    _commit_part(mvg, refg, dec4, gx, gy, ox, oy, pw_,
+                                 ph_, refs_i[pi], mv)
+                    mvd4[y4:y4 + ph_ // 4, x4:x4 + pw_ // 4] = \
+                        (abs(mvdx), abs(mvdy))
+                    parts.append((ox, oy, pw_, ph_, refs_i[pi], mv))
+                pred = np.zeros((16, 16), np.int32)
+                pred_u = np.zeros((8, 8), np.int32)
+                pred_v = np.zeros((8, 8), np.int32)
+                for (ox, oy, pw_, ph_, ri_, (mvx, mvy)) in parts:
+                    rpy, rpu, rpv = self.dpb[ri_]
+                    pred[oy:oy + ph_, ox:ox + pw_] = self._mc_wp(
+                        mc_luma_np(rpy, x + ox, yy + oy, mvx, mvy, pw_,
+                                   ph_), ri_, 0)
+                    pred_u[oy // 2:(oy + ph_) // 2,
+                           ox // 2:(ox + pw_) // 2] = self._mc_wp(
+                        mc_chroma_np(rpu, cx + ox // 2, cy + oy // 2,
+                                     mvx, mvy, pw_ // 2, ph_ // 2), ri_, 1)
+                    pred_v[oy // 2:(oy + ph_) // 2,
+                           ox // 2:(ox + pw_) // 2] = self._mc_wp(
+                        mc_chroma_np(rpv, cx + ox // 2, cy + oy // 2,
+                                     mvx, mvy, pw_ // 2, ph_ // 2), ri_, 2)
 
                 def nbr(dx, dy):
                     nx, ny = mbx + dx, mby + dy
@@ -1240,17 +1569,12 @@ class H264Decoder(H264IntraDecoder):
                             cbf.set_bit(mbx, mby, base + 4 * y4 + x4)
                 cbf.mark(mbx, mby)
 
-                pred = self._mc_wp(
-                    mc_luma_np(ref_y, x, yy, mvx, mvy, 16, 16), ref_i, 0)
                 d = ht.dequant_ac(lv, qp)
                 rec_y[yy:yy + 16, x:x + 16] = np.clip(
                     pred + ht.inverse4x4(d)
                     .transpose(0, 2, 1, 3).reshape(16, 16), 0, 255)
-                for comp, (plane, refp) in enumerate(
-                        ((rec_u, ref_u), (rec_v, ref_v))):
-                    cp = self._mc_wp(
-                        mc_chroma_np(refp, cx, cy, mvx, mvy, 8, 8),
-                        ref_i, 1 + comp)
+                for comp, (plane, cp) in enumerate(
+                        ((rec_u, pred_u), (rec_v, pred_v))):
                     cdc_deq = (ht.dequant_chroma_dc(c_dc_q[comp], qpc)
                                if cbp_chroma
                                else np.zeros((2, 2), np.int64))
