@@ -27,33 +27,49 @@ from video_codecs_tpu.entropy.cabac import CabacDecoder, CabacEncoder
 # --- CABAC block types (jm18.5/lencod/inc/defines.h:210, 4:2:0 subset) ---
 LUMA_16DC = 0
 LUMA_16AC = 1
+LUMA_8x8 = 2
 LUMA_4x4 = 5
 CHROMA_DC = 6
 CHROMA_AC = 7
 
-MAXPOS = {LUMA_16DC: 15, LUMA_16AC: 14, LUMA_4x4: 15,
+MAXPOS = {LUMA_16DC: 15, LUMA_16AC: 14, LUMA_8x8: 63, LUMA_4x4: 15,
           CHROMA_DC: 3, CHROMA_AC: 14}
-C1ISDC = {LUMA_16DC: 1, LUMA_16AC: 0, LUMA_4x4: 1,
+C1ISDC = {LUMA_16DC: 1, LUMA_16AC: 0, LUMA_8x8: 1, LUMA_4x4: 1,
           CHROMA_DC: 1, CHROMA_AC: 0}
-TYPE2CTX_BCBP = {LUMA_16DC: 0, LUMA_16AC: 1, LUMA_4x4: 4,
+TYPE2CTX_BCBP = {LUMA_16DC: 0, LUMA_16AC: 1, LUMA_8x8: 2, LUMA_4x4: 4,
                  CHROMA_DC: 5, CHROMA_AC: 6}
-TYPE2CTX_MAP = {LUMA_16DC: 0, LUMA_16AC: 1, LUMA_4x4: 5,
+TYPE2CTX_MAP = {LUMA_16DC: 0, LUMA_16AC: 1, LUMA_8x8: 2, LUMA_4x4: 5,
                 CHROMA_DC: 6, CHROMA_AC: 7}
-TYPE2CTX_ONE = {LUMA_16DC: 0, LUMA_16AC: 1, LUMA_4x4: 4,
+TYPE2CTX_ONE = {LUMA_16DC: 0, LUMA_16AC: 1, LUMA_8x8: 2, LUMA_4x4: 4,
                 CHROMA_DC: 5, CHROMA_AC: 6}
-MAX_C2 = {LUMA_16DC: 4, LUMA_16AC: 4, LUMA_4x4: 4,
+MAX_C2 = {LUMA_16DC: 4, LUMA_16AC: 4, LUMA_8x8: 4, LUMA_4x4: 4,
           CHROMA_DC: 3, CHROMA_AC: 4}
 
 POS2CTX_MAP4x4 = [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 14]
 POS2CTX_MAP2x4C = [0, 0, 1, 1, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2]
 POS2CTX_LAST4x4 = list(range(16))
 POS2CTX_LAST2x4C = [0, 0, 1, 1, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2]
+# 8x8 significance/last position->ctx maps (frame coding; spec Table
+# 9-43 / jm18.5 lencod/src/cabac.c:36 pos2ctx_map8x8, :102
+# pos2ctx_last8x8 — spec-mandated constants).
+POS2CTX_MAP8x8 = [
+    0, 1, 2, 3, 4, 5, 5, 4, 4, 3, 3, 4, 4, 4, 5, 5,
+    4, 4, 4, 4, 3, 3, 6, 7, 7, 7, 8, 9, 10, 9, 8, 7,
+    7, 6, 11, 12, 13, 11, 6, 7, 8, 9, 14, 10, 9, 8, 6, 11,
+    12, 13, 11, 6, 9, 14, 10, 9, 11, 12, 13, 11, 14, 10, 12, 14]
+POS2CTX_LAST8x8 = [
+    0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2,
+    3, 3, 3, 3, 3, 3, 3, 3, 4, 4, 4, 4, 4, 4, 4, 4,
+    5, 5, 5, 5, 6, 6, 6, 6, 7, 7, 7, 7, 8, 8, 8, 8]
 # NB: the 2x4c tables belong to 4:2:2's CHROMA_DC_2x4 (type 8); 4:2:0
 # CHROMA_DC (type 6) indexes pos2ctx_map4x4 (lencod/src/cabac.c:60,126).
 POS2CTX_MAP = {LUMA_16DC: POS2CTX_MAP4x4, LUMA_16AC: POS2CTX_MAP4x4,
+               LUMA_8x8: POS2CTX_MAP8x8,
                LUMA_4x4: POS2CTX_MAP4x4, CHROMA_DC: POS2CTX_MAP4x4,
                CHROMA_AC: POS2CTX_MAP4x4}
 POS2CTX_LAST = {LUMA_16DC: POS2CTX_LAST4x4, LUMA_16AC: POS2CTX_LAST4x4,
+                LUMA_8x8: POS2CTX_LAST8x8,
                 LUMA_4x4: POS2CTX_LAST4x4, CHROMA_DC: POS2CTX_LAST4x4,
                 CHROMA_AC: POS2CTX_LAST4x4}
 
@@ -371,6 +387,11 @@ class H264CabacEncoder:
         self.bin(off("ipr", 1), rem & 1)
         self.bin(off("ipr", 1), (rem >> 1) & 1)
         self.bin(off("ipr", 1), (rem >> 2) & 1)
+
+    def transform_size_8x8_flag(self, flag: int, ctx_inc: int) -> None:
+        """writeMB_transform_size_flag_CABAC (cabac.c:498): ctx_inc =
+        left.trans8 + up.trans8."""
+        self.bin(off("transform_size", ctx_inc), flag)
 
     def intra_chroma_pred_mode(self, mode: int, ctx_inc: int) -> None:
         """writeCIPredMode_CABAC."""
@@ -715,6 +736,9 @@ class H264CabacDecoder:
                (self.bin(off("ipr", 1)) << 1) |
                (self.bin(off("ipr", 1)) << 2))
         return rem if rem < pred else rem + 1
+
+    def transform_size_8x8_flag(self, ctx_inc: int) -> int:
+        return self.bin(off("transform_size", ctx_inc))
 
     def intra_chroma_pred_mode(self, ctx_inc: int) -> int:
         if not self.bin(off("cipr", ctx_inc)):

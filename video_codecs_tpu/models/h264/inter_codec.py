@@ -1064,6 +1064,8 @@ class H264Decoder(H264IntraDecoder):
                     parse_pps(rbsp, full=True)
                 self.default_l0 = ppsinfo["num_ref_idx_l0_default_active"]
                 self.wp_enabled = ppsinfo.get("weighted_pred", False)
+                self.trans8_enabled = ppsinfo.get("transform_8x8_mode",
+                                                  False)
             elif nal_type in (NAL_SLICE_IDR, 1):
                 if nal_type == NAL_SLICE_IDR:
                     self.dpb = []        # IDR: sliding window resets
@@ -1143,6 +1145,9 @@ class H264Decoder(H264IntraDecoder):
         intra_mb = np.zeros((mbh, mbw), bool)
         mode4 = np.full((mbh * 4, mbw * 4), 2, np.int32)
         is_i4 = np.zeros((mbh, mbw), bool)
+        trans8 = np.zeros((mbh, mbw), bool)     # 8x8-transform MBs
+        nz8 = np.zeros((mbh * 4, mbw * 4), bool)  # their coded-8x8 marks
+        t8_on = getattr(self, "trans8_enabled", False)
         zz = cavlc.ZIGZAG_4x4
 
         def pred_mode4(gx4, gy4):
@@ -1188,11 +1193,15 @@ class H264Decoder(H264IntraDecoder):
             self._decode_p_mbs_cabac(
                 r, qp, qpc, model, rec_y, rec_u, rec_v, ref_y, ref_u, ref_v,
                 nc_y, nc_u, nc_v, mvg, refg, intra_mb, mode4, is_i4,
-                pred_mode4, decode_skip, n_active=n_active, dec4=dec4)
+                pred_mode4, decode_skip, n_active=n_active, dec4=dec4,
+                trans8=trans8, nz8=nz8)
             if dbf_idc != 1:
-                bs_ver, bs_hor = bs_maps_p(intra_mb, nc_y.tc, mvg, refg)
+                bs_ver, bs_hor = bs_maps_p(intra_mb,
+                                           nc_y.tc + nz8.astype(np.int32),
+                                           mvg, refg)
                 rec_y, rec_u, rec_v = deblock_frame(
-                    rec_y, rec_u, rec_v, qp, qpc, bs_ver, bs_hor, aoff, boff)
+                    rec_y, rec_u, rec_v, qp, qpc, bs_ver, bs_hor, aoff, boff,
+                    trans8=trans8 if trans8.any() else None)
             self._last_mv = (mvg.copy(), refg.copy())
             return rec_y, rec_u, rec_v
 
@@ -1212,9 +1221,17 @@ class H264Decoder(H264IntraDecoder):
                 intra_mb[mby, mbx] = True
                 dec4[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = True
                 if mb_type == 5:
-                    self._decode_i4_mb(r, None, rec_y, rec_u, rec_v,
-                                       nc_y, nc_u, nc_v, mbx, mby,
-                                       qp, qpc, mode4, is_i4, pred_mode4)
+                    if t8_on and r.flag():   # transform_size_8x8_flag
+                        trans8[mby, mbx] = True
+                        self._decode_i8_mb(r, rec_y, rec_u, rec_v,
+                                           nc_y, nc_u, nc_v, mbx, mby,
+                                           qp, qpc, mode4, is_i4,
+                                           pred_mode4)
+                    else:
+                        self._decode_i4_mb(r, None, rec_y, rec_u, rec_v,
+                                           nc_y, nc_u, nc_v, mbx, mby,
+                                           qp, qpc, mode4, is_i4,
+                                           pred_mode4)
                 else:
                     self._decode_i16_mb(r, mb_type - 6, rec_y, rec_u, rec_v,
                                         nc_y, nc_u, nc_v, mbx, mby, qp, qpc)
@@ -1252,10 +1269,36 @@ class H264Decoder(H264IntraDecoder):
                         pw_ // 2, ph_ // 2), ri_, 2)
             cbp = _CBP_FROM_CODE_INTER_420[r.ue()]
             cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+            mb_t8 = False
+            if t8_on and cbp_luma and \
+                    all(p[2] >= 8 and p[3] >= 8 for p in parts):
+                mb_t8 = bool(r.flag())   # transform_size_8x8_flag
+                trans8[mby, mbx] = mb_t8
             if cbp:
                 assert r.se() == 0      # mb_qp_delta
             lv = np.zeros((4, 4, 4, 4), np.int64)
+            lv8 = [np.zeros((8, 8), np.int64) for _ in range(4)]
             for i8 in range(4):
+                if mb_t8:
+                    lv64 = np.zeros(64, np.int64)
+                    for k in range(4):
+                        idx = 4 * i8 + k
+                        x4, y4 = _BLK_X[idx], _BLK_Y[idx]
+                        if cbp_luma & (1 << i8):
+                            coeffs = cavlc.decode_block(
+                                r, nc_y.nc(gx + x4, gy + y4), 16)
+                            lv64[4 * np.arange(16) + k] = coeffs
+                            nc_y.set(gx + x4, gy + y4,
+                                     sum(1 for c in coeffs if c))
+                        else:
+                            nc_y.set(gx + x4, gy + y4, 0)
+                    flat = np.zeros(64, np.int64)
+                    flat[ht.ZIGZAG_8x8] = lv64
+                    lv8[i8] = flat.reshape(8, 8)
+                    if lv64.any():
+                        x4, y4 = (i8 & 1) * 2, (i8 >> 1) * 2
+                        nz8[gy + y4:gy + y4 + 2, gx + x4:gx + x4 + 2] = True
+                    continue
                 for k in range(4):
                     idx = 4 * i8 + k
                     x4, y4 = _BLK_X[idx], _BLK_Y[idx]
@@ -1290,10 +1333,17 @@ class H264Decoder(H264IntraDecoder):
                     else:
                         grid.set(mbx * 2 + x4, mby * 2 + y4, 0)
 
-            d = ht.dequant_ac(lv, qp)
-            rec_y[yy:yy + 16, x:x + 16] = np.clip(
-                pred + ht.inverse4x4(d)
-                .transpose(0, 2, 1, 3).reshape(16, 16), 0, 255)
+            if mb_t8:
+                res = np.zeros((16, 16), np.int64)
+                for i8 in range(4):
+                    ox, oy = (i8 & 1) * 8, (i8 >> 1) * 8
+                    res[oy:oy + 8, ox:ox + 8] = ht.inverse8x8(
+                        ht.dequant8x8(lv8[i8], qp))
+                rec_y[yy:yy + 16, x:x + 16] = np.clip(pred + res, 0, 255)
+            else:
+                rec_y[yy:yy + 16, x:x + 16] = np.clip(
+                    pred + ht.inverse4x4(ht.dequant_ac(lv, qp))
+                    .transpose(0, 2, 1, 3).reshape(16, 16), 0, 255)
             for comp, (plane, cp) in enumerate(((rec_u, pu), (rec_v, pv))):
                 cdc_deq = (ht.dequant_chroma_dc(c_dc_q[comp], qpc)
                            if cbp_chroma else np.zeros((2, 2), np.int64))
@@ -1306,9 +1356,13 @@ class H264Decoder(H264IntraDecoder):
                     .transpose(0, 2, 1, 3).reshape(8, 8), 0, 255)
 
         if dbf_idc != 1:
-            bs_ver, bs_hor = bs_maps_p(intra_mb, nc_y.tc, mvg, refg)
+            bs_ver, bs_hor = bs_maps_p(intra_mb,
+                                       nc_y.tc + nz8.astype(np.int32),
+                                       mvg, refg)
             rec_y, rec_u, rec_v = deblock_frame(rec_y, rec_u, rec_v, qp, qpc,
-                                                bs_ver, bs_hor, aoff, boff)
+                                                bs_ver, bs_hor, aoff, boff,
+                                                trans8=trans8
+                                                if trans8.any() else None)
         self._last_mv = (mvg.copy(), refg.copy())
         return rec_y, rec_u, rec_v
 
@@ -1368,7 +1422,8 @@ class H264Decoder(H264IntraDecoder):
     def _decode_p_mbs_cabac(self, r, qp, qpc, model, rec_y, rec_u, rec_v,
                             ref_y, ref_u, ref_v, nc_y, nc_u, nc_v, mvg,
                             refg, intra_mb, mode4, is_i4, pred_mode4,
-                            decode_skip, n_active=1, dec4=None):
+                            decode_skip, n_active=1, dec4=None,
+                            trans8=None, nz8=None):
         """CABAC P-slice MB loop (mirror of the encoder's CABAC path)."""
         from video_codecs_tpu.entropy import h264_cabac as hc
         mbw, mbh = self.size
@@ -1415,7 +1470,7 @@ class H264Decoder(H264IntraDecoder):
                     self._decode_intra_mb_cabac(
                         cd, act, i16_sym, mbx, mby, qp, qpc, rec_y, rec_u,
                         rec_v, cbf, cbp_arr, cipred, mode4, is_i4,
-                        pred_mode4, i16)
+                        pred_mode4, i16, trans8=trans8)
                     assert cd.final() == (1 if last_mb else 0)
                     continue
                 assert act in (1, 2, 3, 4), f"P mb_type act {act}"
@@ -1513,11 +1568,41 @@ class H264Decoder(H264IntraDecoder):
                 cbp = cd.cbp(nbr(0, -1), nbr(-1, 0))
                 cbp_arr[mby, mbx] = cbp
                 cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+                mb_t8 = False
+                if getattr(self, "trans8_enabled", False) and \
+                        trans8 is not None and cbp_luma and \
+                        all(g[2] >= 8 and g[3] >= 8 for g in geo):
+                    ta = 1 if (mbx > 0 and trans8[mby, mbx - 1]) else 0
+                    tb = 1 if (mby > 0 and trans8[mby - 1, mbx]) else 0
+                    mb_t8 = bool(cd.transform_size_8x8_flag(ta + tb))
+                    trans8[mby, mbx] = mb_t8
                 if cbp:
                     assert cd.mb_qp_delta(False) == 0, "dqp unsupported"
                 cur_bits = 0
                 lv = np.zeros((4, 4, 4, 4), np.int64)
+                lv8 = [np.zeros((8, 8), np.int64) for _ in range(4)]
+                if mb_t8:
+                    for b8 in range(4):
+                        if not (cbp_luma & (1 << b8)):
+                            continue
+                        coeffs = cd.residual_block(hc.LUMA_8x8, 64, 0,
+                                                   code_cbf=False)
+                        flat = np.zeros(64, np.int64)
+                        flat[ht.ZIGZAG_8x8] = coeffs
+                        lv8[b8] = flat.reshape(8, 8)
+                        if any(coeffs):
+                            bx4, by4 = (b8 & 1) * 2, (b8 >> 1) * 2
+                            if nz8 is not None:
+                                nz8[gy + by4:gy + by4 + 2,
+                                    gx + bx4:gx + bx4 + 2] = True
+                            for k in range(4):
+                                idx = 4 * b8 + k
+                                x4, y4 = _BLK_X[idx], _BLK_Y[idx]
+                                cur_bits |= 1 << (1 + 4 * y4 + x4)
+                                cbf.set_bit(mbx, mby, 1 + 4 * y4 + x4)
                 for i8 in range(4):
+                    if mb_t8:
+                        break
                     for k in range(4):
                         idx = 4 * i8 + k
                         x4, y4 = _BLK_X[idx], _BLK_Y[idx]
@@ -1569,10 +1654,19 @@ class H264Decoder(H264IntraDecoder):
                             cbf.set_bit(mbx, mby, base + 4 * y4 + x4)
                 cbf.mark(mbx, mby)
 
-                d = ht.dequant_ac(lv, qp)
-                rec_y[yy:yy + 16, x:x + 16] = np.clip(
-                    pred + ht.inverse4x4(d)
-                    .transpose(0, 2, 1, 3).reshape(16, 16), 0, 255)
+                if mb_t8:
+                    res = np.zeros((16, 16), np.int64)
+                    for b8 in range(4):
+                        ox, oy = (b8 & 1) * 8, (b8 >> 1) * 8
+                        res[oy:oy + 8, ox:ox + 8] = ht.inverse8x8(
+                            ht.dequant8x8(lv8[b8], qp))
+                    rec_y[yy:yy + 16, x:x + 16] = np.clip(pred + res,
+                                                          0, 255)
+                else:
+                    d = ht.dequant_ac(lv, qp)
+                    rec_y[yy:yy + 16, x:x + 16] = np.clip(
+                        pred + ht.inverse4x4(d)
+                        .transpose(0, 2, 1, 3).reshape(16, 16), 0, 255)
                 for comp, (plane, cp) in enumerate(
                         ((rec_u, pred_u), (rec_v, pred_v))):
                     cdc_deq = (ht.dequant_chroma_dc(c_dc_q[comp], qpc)
@@ -1589,9 +1683,11 @@ class H264Decoder(H264IntraDecoder):
 
     def _decode_intra_mb_cabac(self, cd, act, i16_sym, mbx, mby, qp, qpc,
                                rec_y, rec_u, rec_v, cbf, cbp_arr, cipred,
-                               mode4, is_i4, pred_mode4, i16):
-        """Intra MB inside a CABAC P slice (act 6 = I_4x4, 7 = I_16x16)."""
+                               mode4, is_i4, pred_mode4, i16, trans8=None):
+        """Intra MB inside a CABAC P slice (act 6 = I_4x4/I_8x8,
+        7 = I_16x16)."""
         from video_codecs_tpu.entropy import h264_cabac as hc
+        from video_codecs_tpu.models.h264 import intra8
         mbw, mbh = self.size
         zz = cavlc.ZIGZAG_4x4
         x, y = mbx * 16, mby * 16
@@ -1599,8 +1695,23 @@ class H264Decoder(H264IntraDecoder):
         use_i4 = act == 6
         is_i4[mby, mbx] = use_i4
         i16[mby, mbx] = not use_i4
+        use_i8 = False
+        if use_i4 and trans8 is not None and \
+                getattr(self, "trans8_enabled", False):
+            ta = 1 if (mbx > 0 and trans8[mby, mbx - 1]) else 0
+            tb = 1 if (mby > 0 and trans8[mby - 1, mbx]) else 0
+            use_i8 = bool(cd.transform_size_8x8_flag(ta + tb))
+            trans8[mby, mbx] = use_i8
         modes = []
-        if use_i4:
+        if use_i8:
+            for b8 in range(4):
+                bx4, by4 = (b8 & 1) * 2, (b8 >> 1) * 2
+                pm = pred_mode4(mbx * 4 + bx4, mby * 4 + by4)
+                m = cd.intra4x4_pred_mode(pm)
+                modes.append(m)
+                mode4[mby * 4 + by4:mby * 4 + by4 + 2,
+                      mbx * 4 + bx4:mbx * 4 + bx4 + 2] = m
+        elif use_i4:
             for idx in range(16):
                 x4, y4 = _BLK_X[idx], _BLK_Y[idx]
                 pm = pred_mode4(mbx * 4 + x4, mby * 4 + y4)
@@ -1644,8 +1755,26 @@ class H264Decoder(H264IntraDecoder):
                 cur_bits |= 1 << hc.CbfState.LUMA_DC_BIT
                 cbf.set_bit(mbx, mby, hc.CbfState.LUMA_DC_BIT)
         levels4 = [np.zeros((4, 4), np.int64) for _ in range(16)]
+        levels8 = [np.zeros((8, 8), np.int64) for _ in range(4)]
         ac_q = np.zeros((4, 4, 4, 4), np.int64)
+        if use_i8:
+            for b8 in range(4):
+                if not (cbp_luma & (1 << b8)):
+                    continue
+                coeffs = cd.residual_block(hc.LUMA_8x8, 64, 0,
+                                           code_cbf=False)
+                flat = np.zeros(64, np.int64)
+                flat[ht.ZIGZAG_8x8] = coeffs
+                levels8[b8] = flat.reshape(8, 8)
+                if any(coeffs):
+                    for k in range(4):
+                        idx = 4 * b8 + k
+                        x4, y4 = _BLK_X[idx], _BLK_Y[idx]
+                        cur_bits |= 1 << (1 + 4 * y4 + x4)
+                        cbf.set_bit(mbx, mby, 1 + 4 * y4 + x4)
         for i8 in range(4):
+            if use_i8:
+                break
             for k in range(4):
                 idx = 4 * i8 + k
                 x4, y4 = _BLK_X[idx], _BLK_Y[idx]
@@ -1698,7 +1827,14 @@ class H264Decoder(H264IntraDecoder):
         # ---- reconstruction ----
         from video_codecs_tpu.models.h264.intra_codec import (
             gather_ref4, pred_luma4)
-        if use_i4:
+        if use_i8:
+            for b8 in range(4):
+                ox, oy = (b8 & 1) * 8, (b8 >> 1) * 8
+                pb = intra8.predict8(rec_y, x + ox, y + oy, mbw, modes[b8])
+                d8 = ht.inverse8x8(ht.dequant8x8(levels8[b8], qp))
+                rec_y[y + oy:y + oy + 8, x + ox:x + ox + 8] = \
+                    np.clip(pb + d8, 0, 255)
+        elif use_i4:
             for idx in range(16):
                 x4, y4 = _BLK_X[idx], _BLK_Y[idx]
                 px, py = x + x4 * 4, y + y4 * 4

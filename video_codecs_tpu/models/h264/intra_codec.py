@@ -121,9 +121,24 @@ def parse_sps(rbsp: bytes, full: bool = False):
     return wmb, hmb
 
 
+def more_rbsp_data(r: BitReader) -> bool:
+    """Spec 7.2: data remains before the rbsp_stop_one_bit."""
+    data = r._data
+    i = len(data) - 1
+    while i >= 0 and data[i] == 0:
+        i -= 1
+    if i < 0:
+        return False
+    b = data[i]
+    tz = (b & -b).bit_length() - 1        # trailing zeros
+    stop_pos = i * 8 + (7 - tz)
+    return r.bit_pos() < stop_pos
+
+
 def parse_pps(rbsp: bytes, full: bool = False):
     """Returns (deblocking_filter_control_present, entropy_coding_mode),
-    plus {num_ref_idx_l0_default_active} when full=True."""
+    plus {num_ref_idx_l0_default_active, weighted_pred,
+    transform_8x8_mode} when full=True."""
     r = BitReader(rbsp)
     assert r.ue() == 0 and r.ue() == 0
     cabac = bool(r.flag())
@@ -140,10 +155,16 @@ def parse_pps(rbsp: bytes, full: bool = False):
     assert r.flag() == 0
     r.flag()
     assert init_qp == 26
+    trans8 = False
+    if more_rbsp_data(r):                 # High-profile PPS tail
+        trans8 = bool(r.flag())           # transform_8x8_mode_flag
+        assert r.flag() == 0, "pic scaling matrix unsupported"
+        r.se()                            # second_chroma_qp_index_offset
     if full:
         return dbf_present, cabac, {"num_ref_idx_l0_default_active":
                                     l0_default,
-                                    "weighted_pred": weighted_pred}
+                                    "weighted_pred": weighted_pred,
+                                    "transform_8x8_mode": trans8}
     return dbf_present, cabac
 
 
@@ -932,7 +953,9 @@ class H264IntraDecoder:
                 wmb, hmb, self.sps_info = parse_sps(rbsp, full=True)
                 self.size = (wmb, hmb)
             elif nal_type == NAL_PPS:
-                self.dbf_present, self.cabac = parse_pps(rbsp)
+                self.dbf_present, self.cabac, ppsi = \
+                    parse_pps(rbsp, full=True)
+                self.trans8_enabled = ppsi["transform_8x8_mode"]
             elif nal_type in (NAL_SLICE_IDR, 1):
                 frames.append(self._decode_slice(rbsp))
         return frames
@@ -973,6 +996,7 @@ class H264IntraDecoder:
 
         mode4 = np.full((mbh * 4, mbw * 4), 2, np.int32)
         is_i4 = np.zeros((mbh, mbw), bool)
+        trans8 = np.zeros((mbh, mbw), bool)
 
         def pred_mode4(gx4, gy4):
             def nbr(sx4, sy4):
@@ -991,7 +1015,8 @@ class H264IntraDecoder:
 
         if getattr(self, "cabac", False):
             self._decode_slice_mbs_cabac(r, qp, qpc, rec_y, rec_u, rec_v,
-                                         mode4, is_i4, pred_mode4)
+                                         mode4, is_i4, pred_mode4,
+                                         trans8=trans8)
         else:
             for mby in range(mbh):
                 for mbx in range(mbw):
@@ -999,23 +1024,36 @@ class H264IntraDecoder:
                     assert 0 <= mb_type <= 24, \
                         f"unsupported mb_type {mb_type}"
                     if mb_type == 0:
-                        self._decode_i4_mb(r, None, rec_y, rec_u,
-                                           rec_v, nc_y, nc_u, nc_v, mbx, mby,
-                                           qp, qpc, mode4, is_i4, pred_mode4)
+                        if getattr(self, "trans8_enabled", False) and \
+                                r.flag():    # transform_size_8x8_flag
+                            trans8[mby, mbx] = True
+                            self._decode_i8_mb(r, rec_y, rec_u, rec_v,
+                                               nc_y, nc_u, nc_v, mbx, mby,
+                                               qp, qpc, mode4, is_i4,
+                                               pred_mode4)
+                        else:
+                            self._decode_i4_mb(r, None, rec_y, rec_u,
+                                               rec_v, nc_y, nc_u, nc_v,
+                                               mbx, mby, qp, qpc, mode4,
+                                               is_i4, pred_mode4)
                         continue
                     self._decode_i16_mb(r, mb_type - 1, rec_y, rec_u, rec_v,
                                         nc_y, nc_u, nc_v, mbx, mby, qp, qpc)
         if dbf_idc != 1:
             from video_codecs_tpu.ops.h264_deblock import deblock_frame_intra
             rec_y, rec_u, rec_v = deblock_frame_intra(
-                rec_y, rec_u, rec_v, qp, qpc, aoff, boff)
+                rec_y, rec_u, rec_v, qp, qpc, aoff, boff,
+                trans8=trans8 if trans8.any() else None)
         return rec_y, rec_u, rec_v
 
     def _decode_slice_mbs_cabac(self, r, qp, qpc, rec_y, rec_u, rec_v,
-                                mode4, is_i4, pred_mode4):
+                                mode4, is_i4, pred_mode4, trans8=None):
         """CABAC I-slice MB loop (mirror of _write_mb_cabac)."""
         from video_codecs_tpu.entropy import h264_cabac as hc
+        from video_codecs_tpu.models.h264 import intra8
         mbw, mbh = self.size
+        if trans8 is None:
+            trans8 = np.zeros((mbh, mbw), bool)
         zz = cavlc.ZIGZAG_4x4
         cd = hc.H264CabacDecoder(r, "I", qp)
         from video_codecs_tpu.utils import trace as _tr
@@ -1038,8 +1076,22 @@ class H264IntraDecoder:
                 use_i4 = act == 0
                 i16[mby, mbx] = not use_i4
                 is_i4[mby, mbx] = use_i4
+                use_i8 = False
+                if use_i4 and getattr(self, "trans8_enabled", False):
+                    ta = 1 if (mbx > 0 and trans8[mby, mbx - 1]) else 0
+                    tb = 1 if (mby > 0 and trans8[mby - 1, mbx]) else 0
+                    use_i8 = bool(cd.transform_size_8x8_flag(ta + tb))
+                    trans8[mby, mbx] = use_i8
                 modes = []
-                if use_i4:
+                if use_i8:
+                    for b8 in range(4):
+                        bx4, by4 = (b8 & 1) * 2, (b8 >> 1) * 2
+                        pm = pred_mode4(mbx * 4 + bx4, mby * 4 + by4)
+                        m = cd.intra4x4_pred_mode(pm)
+                        modes.append(m)
+                        mode4[mby * 4 + by4:mby * 4 + by4 + 2,
+                              mbx * 4 + bx4:mbx * 4 + bx4 + 2] = m
+                elif use_i4:
                     for idx in range(16):
                         x4, y4 = _BLK_X[idx], _BLK_Y[idx]
                         pm = pred_mode4(mbx * 4 + x4, mby * 4 + y4)
@@ -1084,8 +1136,26 @@ class H264IntraDecoder:
                         cur_bits |= 1 << hc.CbfState.LUMA_DC_BIT
                         cbf.set_bit(mbx, mby, hc.CbfState.LUMA_DC_BIT)
                 levels4 = [np.zeros((4, 4), np.int64) for _ in range(16)]
+                levels8 = [np.zeros((8, 8), np.int64) for _ in range(4)]
                 ac_q = np.zeros((4, 4, 4, 4), np.int64)
+                if use_i8:
+                    for b8 in range(4):
+                        if not (cbp_luma & (1 << b8)):
+                            continue
+                        coeffs = cd.residual_block(hc.LUMA_8x8, 64, 0,
+                                                   code_cbf=False)
+                        lv = np.zeros(64, np.int64)
+                        lv[ht.ZIGZAG_8x8] = coeffs
+                        levels8[b8] = lv.reshape(8, 8)
+                        if any(coeffs):
+                            for k in range(4):
+                                idx = 4 * b8 + k
+                                x4, y4 = _BLK_X[idx], _BLK_Y[idx]
+                                cur_bits |= 1 << (1 + 4 * y4 + x4)
+                                cbf.set_bit(mbx, mby, 1 + 4 * y4 + x4)
                 for i8 in range(4):
+                    if use_i8:
+                        break
                     for k in range(4):
                         idx = 4 * i8 + k
                         x4, y4 = _BLK_X[idx], _BLK_Y[idx]
@@ -1140,7 +1210,15 @@ class H264IntraDecoder:
                 cbf.mark(mbx, mby)
 
                 # ---- reconstruction ----
-                if use_i4:
+                if use_i8:
+                    for b8 in range(4):
+                        ox, oy = (b8 & 1) * 8, (b8 >> 1) * 8
+                        pb = intra8.predict8(rec_y, x + ox, y + oy, mbw,
+                                             modes[b8])
+                        d8 = ht.inverse8x8(ht.dequant8x8(levels8[b8], qp))
+                        rec_y[y + oy:y + oy + 8, x + ox:x + ox + 8] = \
+                            np.clip(pb + d8, 0, 255)
+                elif use_i4:
                     for idx in range(16):
                         x4, y4 = _BLK_X[idx], _BLK_Y[idx]
                         px, py = x + x4 * 4, y + y4 * 4
@@ -1239,6 +1317,92 @@ class H264IntraDecoder:
             plane[cy:cy + 8, cx:cx + 8] = np.clip(
                 cpred + cr.transpose(0, 2, 1, 3).reshape(8, 8), 0, 255)
 
+
+    def _decode_i8_mb(self, r, rec_y, rec_u, rec_v, nc_y, nc_u,
+                      nc_v, mbx, mby, qp, qpc, mode4, is_i4, pred_mode4):
+        """I_8x8 MB, CAVLC residuals (each 8x8 block read as four
+        de-interleaved 4x4 scans: sub-block k holds 8x8-scan positions
+        4*i + k — jm18.5/ldecod read_comp_cavlc.c:1009)."""
+        import numpy as np
+        from video_codecs_tpu.models.h264 import intra8
+        mbw = rec_y.shape[1] // 16
+        x, y = mbx * 16, mby * 16
+        cx, cy = mbx * 8, mby * 8
+        zz = cavlc.ZIGZAG_4x4
+        is_i4[mby, mbx] = True          # I_NxN for mode prediction
+        modes = []
+        for b8 in range(4):
+            bx4, by4 = (b8 & 1) * 2, (b8 >> 1) * 2
+            pm = pred_mode4(mbx * 4 + bx4, mby * 4 + by4)
+            if r.flag():
+                m = pm
+            else:
+                rem = r.read(3)
+                m = rem if rem < pm else rem + 1
+            modes.append(m)
+            mode4[mby * 4 + by4:mby * 4 + by4 + 2,
+                  mbx * 4 + bx4:mbx * 4 + bx4 + 2] = m
+        cmode = r.ue()
+        cbp = _CBP_FROM_CODE_INTRA_420[r.ue()]
+        if cbp:
+            dqp = r.se()
+            assert dqp == 0
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        for b8 in range(4):
+            ox, oy = (b8 & 1) * 8, (b8 >> 1) * 8
+            lv64 = np.zeros(64, np.int64)
+            for k in range(4):
+                idx = 4 * b8 + k
+                x4, y4 = _BLK_X[idx], _BLK_Y[idx]
+                gx, gy = mbx * 4 + x4, mby * 4 + y4
+                if cbp_luma & (1 << b8):
+                    coeffs = cavlc.decode_block(r, nc_y.nc(gx, gy), 16)
+                    lv64[4 * np.arange(16) + k] = coeffs
+                    nc_y.set(gx, gy, sum(1 for cc in coeffs if cc))
+                else:
+                    nc_y.set(gx, gy, 0)
+            lv = np.zeros(64, np.int64)
+            lv[ht.ZIGZAG_8x8] = lv64
+            pb = intra8.predict8(rec_y, x + ox, y + oy, mbw, modes[b8])
+            d8 = ht.inverse8x8(ht.dequant8x8(lv.reshape(8, 8), qp))
+            rec_y[y + oy:y + oy + 8, x + ox:x + ox + 8] = np.clip(
+                pb + d8, 0, 255)
+        self._decode_chroma_cavlc(r, rec_u, rec_v, nc_u, nc_v, mbx, mby,
+                                  qpc, cmode, cbp_chroma)
+
+    def _decode_chroma_cavlc(self, r, rec_u, rec_v, nc_u, nc_v, mbx, mby,
+                             qpc, cmode, cbp_chroma):
+        """Shared 4:2:0 chroma residual decode (DC + AC CAVLC)."""
+        import numpy as np
+        cx, cy = mbx * 8, mby * 8
+        zz = cavlc.ZIGZAG_4x4
+        c_dc_q = [np.zeros((2, 2), np.int64) for _ in range(2)]
+        c_ac_q = [np.zeros((2, 2, 4, 4), np.int64) for _ in range(2)]
+        if cbp_chroma:
+            for comp in (0, 1):
+                lst = cavlc.decode_block(r, -1, 4)
+                c_dc_q[comp][0, 0], c_dc_q[comp][0, 1] = lst[0], lst[1]
+                c_dc_q[comp][1, 0], c_dc_q[comp][1, 1] = lst[2], lst[3]
+        for comp, grid in ((0, nc_u), (1, nc_v)):
+            for idx in range(4):
+                x4, y4 = idx & 1, idx >> 1
+                gx, gy = mbx * 2 + x4, mby * 2 + y4
+                if cbp_chroma == 2:
+                    coeffs = cavlc.decode_block(r, grid.nc(gx, gy), 15)
+                    flat = np.zeros(16, np.int64)
+                    flat[zz[1:]] = coeffs
+                    c_ac_q[comp][y4, x4] = flat.reshape(4, 4)
+                    grid.set(gx, gy, sum(1 for cc in coeffs if cc))
+                else:
+                    grid.set(gx, gy, 0)
+        for comp, plane in ((0, rec_u), (1, rec_v)):
+            cpred = pred_chroma8(plane, cx, cy, cmode)
+            cdc_deq = ht.dequant_chroma_dc(c_dc_q[comp], qpc)
+            cd = ht.dequant_ac(c_ac_q[comp], qpc)
+            cd[:, :, 0, 0] = cdc_deq
+            cr2 = ht.inverse4x4(cd)
+            plane[cy:cy + 8, cx:cx + 8] = np.clip(
+                cpred + cr2.transpose(0, 2, 1, 3).reshape(8, 8), 0, 255)
 
     def _decode_i4_mb(self, r, _unused, rec_y, rec_u, rec_v, nc_y, nc_u,
                       nc_v, mbx, mby, qp, qpc, mode4, is_i4, pred_mode4):

@@ -114,14 +114,18 @@ def _edge_chroma(win: np.ndarray, bs: np.ndarray, alpha: int, beta: int,
 def deblock_frame(y: np.ndarray, u: np.ndarray, v: np.ndarray,
                   qp: int, qpc: int,
                   bs_ver: np.ndarray, bs_hor: np.ndarray,
-                  alpha_off: int = 0, beta_off: int = 0):
+                  alpha_off: int = 0, beta_off: int = 0,
+                  trans8: np.ndarray | None = None):
     """Deblock a reconstructed 4:2:0 frame with explicit bS maps.
 
     bs_ver[by, bx] is the strength of the vertical edge at x = 4*bx for
     luma rows [4*by, 4*by+4); bs_hor[by, bx] the horizontal edge at
     y = 4*by for columns [4*bx, 4*bx+4). Column/row 0 entries are the
     picture border and ignored. qp/qpc are the (uniform) luma and chroma
-    QPs; alpha_off/beta_off are FilterOffsetA/B.
+    QPs; alpha_off/beta_off are FilterOffsetA/B.  trans8 (optional,
+    per-MB bool) marks 8x8-transform MBs whose internal luma 4-grid
+    edges (offsets 4 and 12) are not filtered (spec 8.7 transform-size
+    rule; chroma edges are unaffected in 4:2:0).
     """
     Y = y.astype(np.int32).copy()
     U = u.astype(np.int32).copy()
@@ -174,11 +178,13 @@ def deblock_frame(y: np.ndarray, u: np.ndarray, v: np.ndarray,
         for mbx in range(w // 16):
             x0, y0 = mbx * 16, mby * 16
             cx0, cy0 = mbx * 8, mby * 8
+            t8 = trans8 is not None and bool(trans8[mby, mbx])
             # vertical edges, left to right
             for e in range(4):
                 if e == 0 and mbx == 0:
                     continue
-                luma_ver(x0 + 4 * e, y0)
+                if not (t8 and e in (1, 3)):
+                    luma_ver(x0 + 4 * e, y0)
                 if e in (0, 2):        # chroma_edge[0][e][YUV420]
                     for P in (U, V):
                         chroma_ver(P, cx0 + 2 * e, cy0)
@@ -186,7 +192,8 @@ def deblock_frame(y: np.ndarray, u: np.ndarray, v: np.ndarray,
             for e in range(4):
                 if e == 0 and mby == 0:
                     continue
-                luma_hor(x0, y0 + 4 * e)
+                if not (t8 and e in (1, 3)):
+                    luma_hor(x0, y0 + 4 * e)
                 if e in (0, 2):
                     for P in (U, V):
                         chroma_hor(P, cx0, cy0 + 2 * e)
@@ -206,8 +213,9 @@ def intra_bs_maps(h: int, w: int):
 
 def deblock_frame_intra(y: np.ndarray, u: np.ndarray, v: np.ndarray,
                         qp: int, qpc: int, alpha_off: int = 0,
-                        beta_off: int = 0):
+                        beta_off: int = 0,
+                        trans8: np.ndarray | None = None):
     """Deblock a reconstructed all-intra 4:2:0 frame; returns new planes."""
     bs_ver, bs_hor = intra_bs_maps(*y.shape)
     return deblock_frame(y, u, v, qp, qpc, bs_ver, bs_hor,
-                         alpha_off, beta_off)
+                         alpha_off, beta_off, trans8=trans8)
