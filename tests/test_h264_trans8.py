@@ -64,6 +64,35 @@ def test_decode_jm_trans8_stream(tmp_path, entropy, gop):
             np.testing.assert_array_equal(ours.astype(np.uint8), ref)
 
 
+@needs_jm
+@pytest.mark.parametrize("entropy", ["cavlc", "cabac"])
+def test_encode_trans8_jm_conformance(tmp_path, entropy, monkeypatch):
+    """Our High-profile streams (I_8x8 forced on IDR + natural 8x8
+    transform choice on P MBs) decode bit-exactly in JM ldecod."""
+    from video_codecs_tpu.models.h264.inter_codec import (H264Decoder,
+                                                          H264Encoder)
+    monkeypatch.setenv("VCT_FORCE_I8", "1")
+    ys, us, vs = yuv.read_frames(FOREMAN, 176, 144)
+    frames = [(ys[i], us[i], vs[i]) for i in range(3)]
+    enc = H264Encoder(176, 144, qp=28, entropy=entropy, transform8x8=True)
+    stream, recons = enc.encode_sequence(frames)
+    assert enc._trans8.any()           # 8x8 transform actually used
+    out = H264Decoder().decode(stream)  # self roundtrip
+    for o, rc in zip(out, recons):
+        for a, b in zip(o, rc):
+            np.testing.assert_array_equal(np.asarray(a, np.int64),
+                                          np.asarray(b, np.int64))
+    (tmp_path / "t8.264").write_bytes(stream)
+    r = subprocess.run([JM_DECODER, "-i", "t8.264", "-o", "jm.yuv"],
+                       capture_output=True, text=True, timeout=120,
+                       cwd=tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    ry, ru, rv = yuv.read_frames(str(tmp_path / "jm.yuv"), 176, 144)
+    for i in range(len(frames)):
+        for ours, ref in zip(recons[i], (ry[i], ru[i], rv[i])):
+            np.testing.assert_array_equal(ref, ours.astype(np.uint8))
+
+
 def test_8x8_transform_roundtrip():
     from video_codecs_tpu.ops import h264_transform as ht
     rng = np.random.default_rng(0)

@@ -269,9 +269,11 @@ class H264Encoder(H264IntraEncoder):
                  entropy: str = "cavlc", perceptual: str = "",
                  n_refs: int = 1, quant: str = "normal",
                  me: str = "full", weighted_pred: bool = False,
-                 partitions: bool = True) -> None:
+                 partitions: bool = True,
+                 transform8x8: bool = False) -> None:
         super().__init__(width, height, qp=qp, deblock=True, entropy=entropy,
-                         perceptual=perceptual, quant=quant)
+                         perceptual=perceptual, quant=quant,
+                         transform8x8=transform8x8)
         assert me in ("full", "epzs", "umhex")
         self.sr = search_range
         self.gop = gop                 # 0 = only first frame is IDR
@@ -284,11 +286,13 @@ class H264Encoder(H264IntraEncoder):
 
     def encode_sequence(self, frames):
         cabac = self.entropy == "cabac"
+        profile = 100 if self.transform8x8 else (77 if cabac else 66)
         nals = [nal_unit(NAL_SPS, write_sps(self.w // 16, self.h // 16,
-                                            profile=77 if cabac else 66,
+                                            profile=profile,
                                             num_ref_frames=self.n_refs)),
                 nal_unit(NAL_PPS, write_pps(
-                    cabac=cabac, weighted_pred=self.weighted_pred))]
+                    cabac=cabac, weighted_pred=self.weighted_pred,
+                    transform8x8=self.transform8x8))]
         recons = []
         refs = []            # DPB list0: most recently decoded first
         frame_num = 0
@@ -499,7 +503,7 @@ class H264Encoder(H264IntraEncoder):
 
     def _write_p_mb_cabac(self, ce, mbx, mby, mb_type, parts, subs, cbp,
                           lv, c_dc_q, c_ac_q, skip_ctx_terms, n_active,
-                          refg, mvd4):
+                          refg, mvd4, mb_t8=False, lv8=None):
         """CABAC syntax for one non-skip inter P MB (any partitioning).
 
         Parity: jm18.5/lencod/src/cabac.c writeMB_Pskip_flagInfo :424,
@@ -547,11 +551,31 @@ class H264Encoder(H264IntraEncoder):
         ce.cbp(cbp, nbr(0, -1), nbr(-1, 0))
         self._cbp_arr[mby, mbx] = cbp
         cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        from video_codecs_tpu.models.h264.intra_codec import _BLK_X, _BLK_Y
+        if self.transform8x8 and cbp_luma and \
+                all(p_[2] >= 8 and p_[3] >= 8 for p_ in parts):
+            ta = 1 if (mbx > 0 and self._trans8[mby, mbx - 1]) else 0
+            tb = 1 if (mby > 0 and self._trans8[mby - 1, mbx]) else 0
+            ce.transform_size_8x8_flag(1 if mb_t8 else 0, ta + tb)
         if cbp:
             ce.mb_qp_delta(0, False)
         cur_bits = 0
-        from video_codecs_tpu.models.h264.intra_codec import _BLK_X, _BLK_Y
+        if mb_t8:
+            for b8 in range(4):
+                if not (cbp_luma & (1 << b8)):
+                    continue
+                coeffs = [int(c) for c in
+                          lv8[b8].reshape(64)[ht.ZIGZAG_8x8]]
+                ce.residual_block(hc.LUMA_8x8, coeffs, 0, code_cbf=False)
+                if any(coeffs):
+                    for k in range(4):
+                        idx = 4 * b8 + k
+                        x4, y4 = _BLK_X[idx], _BLK_Y[idx]
+                        cur_bits |= 1 << (1 + 4 * y4 + x4)
+                        cbf.set_bit(mbx, mby, 1 + 4 * y4 + x4)
         for i8 in range(4):
+            if mb_t8:
+                break
             if not (cbp_luma & (1 << i8)):
                 continue
             for k in range(4):
@@ -605,6 +629,8 @@ class H264Encoder(H264IntraEncoder):
         nc_v = NcGrid(mbw * 2, mbh * 2)
         self._mode4 = np.full((mbh * 4, mbw * 4), 2, np.int32)
         self._is_i4 = np.zeros((mbh, mbw), bool)
+        self._trans8 = np.zeros((mbh, mbw), bool)
+        nz8 = np.zeros((mbh * 4, mbw * 4), bool)
         mvg = np.zeros((mbh * 4, mbw * 4, 2), np.int32)
         refg = np.full((mbh * 4, mbw * 4), -1, np.int32)
         dec4 = np.zeros((mbh * 4, mbw * 4), bool)
@@ -849,11 +875,40 @@ class H264Encoder(H264IntraEncoder):
                 res = orig - pred
                 blk = res.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3)
                 lv = self._quant_ac(ht.forward4x4(blk), qp, intra=False)
+                # ---- 4x4 vs 8x8 transform decision (High profile) ----
+                mb_t8 = False
+                lv8 = None
+                if self.transform8x8 and \
+                        all(p_[2] >= 8 and p_[3] >= 8 for p_ in parts):
+                    lv8 = [ht.quant8x8(ht.forward8x8(
+                        res[(b >> 1) * 8:(b >> 1) * 8 + 8,
+                            (b & 1) * 8:(b & 1) * 8 + 8]), qp, intra=False)
+                        for b in range(4)]
+                    r4 = ht.inverse4x4(ht.dequant_ac(lv, qp)) \
+                        .transpose(0, 2, 1, 3).reshape(16, 16)
+                    r8 = np.zeros((16, 16), np.int64)
+                    for b in range(4):
+                        ox8, oy8 = (b & 1) * 8, (b >> 1) * 8
+                        r8[oy8:oy8 + 8, ox8:ox8 + 8] = ht.inverse8x8(
+                            ht.dequant8x8(lv8[b], qp))
+                    lam_mb = lam if self._eta is None else \
+                        lam * float(self._eta[mby, mbx])
+                    c4 = int(np.abs(res - r4).sum()) + \
+                        round(lam_mb * 3 * int((lv != 0).sum()))
+                    c8 = int(np.abs(res - r8).sum()) + \
+                        round(lam_mb * 3 * int(sum((q != 0).sum()
+                                                   for q in lv8)))
+                    mb_t8 = c8 < c4 and any(q.any() for q in lv8)
                 cbp_luma = 0
-                for i8 in range(4):
-                    ids = [4 * i8 + k for k in range(4)]
-                    if any(lv[_BLK_Y[i], _BLK_X[i]].any() for i in ids):
-                        cbp_luma |= 1 << i8
+                if mb_t8:
+                    for b in range(4):
+                        if lv8[b].any():
+                            cbp_luma |= 1 << b
+                else:
+                    for i8 in range(4):
+                        ids = [4 * i8 + k for k in range(4)]
+                        if any(lv[_BLK_Y[i], _BLK_X[i]].any() for i in ids):
+                            cbp_luma |= 1 << i8
 
                 c_dc_q, c_ac_q = [], []
                 for comp, (co, cp) in enumerate(
@@ -898,15 +953,24 @@ class H264Encoder(H264IntraEncoder):
                                 comp.set(mbx * 2 + bx2, mby * 2 + by2, 0)
                     continue
 
+                if mb_t8:
+                    self._trans8[mby, mbx] = True
+                    for b in range(4):
+                        if lv8[b].any():
+                            bx4, by4 = (b & 1) * 2, (b >> 1) * 2
+                            nz8[gy + by4:gy + by4 + 2,
+                                gx + bx4:gx + bx4 + 2] = True
                 if ce is not None:
                     self._write_p_mb_cabac(ce, mbx, mby, mb_type_sel,
                                            parts, subs, cbp, lv, c_dc_q,
                                            c_ac_q, skip_ctx_terms,
-                                           n_active, refg, mvd4)
+                                           n_active, refg, mvd4,
+                                           mb_t8=mb_t8, lv8=lv8)
                     for i8 in range(4):
                         for k in range(4):
                             idx = 4 * i8 + k
                             nc_y.set(gx + _BLK_X[idx], gy + _BLK_Y[idx],
+                                     0 if mb_t8 else
                                      int((lv[_BLK_Y[idx],
                                              _BLK_X[idx]] != 0).sum())
                                      if cbp_luma & (1 << i8) else 0)
@@ -933,10 +997,27 @@ class H264Encoder(H264IntraEncoder):
                         w.se(mv_[0] - pmv_[0])   # mvd_l0 x
                         w.se(mv_[1] - pmv_[1])   # mvd_l0 y
                     w.ue(_NCBP_INTER_420[cbp])   # coded_block_pattern me(v)
+                    if self.transform8x8 and cbp_luma and \
+                            all(p_[2] >= 8 and p_[3] >= 8 for p_ in parts):
+                        w.flag(1 if mb_t8 else 0)  # transform_size_8x8
                     if cbp:
                         w.se(0)                  # mb_qp_delta
                     # luma residual: 16-coeff blocks per coded 8x8 group
                     for i8 in range(4):
+                        if mb_t8:
+                            lv64 = lv8[i8].reshape(64)[ht.ZIGZAG_8x8]
+                            for k in range(4):
+                                idx = 4 * i8 + k
+                                x4, y4 = _BLK_X[idx], _BLK_Y[idx]
+                                if cbp_luma & (1 << i8):
+                                    coeffs = lv64[4 * np.arange(16) + k]
+                                    total = cavlc.encode_block(
+                                        w, [int(cc) for cc in coeffs],
+                                        nc_y.nc(gx + x4, gy + y4), 16)
+                                else:
+                                    total = 0
+                                nc_y.set(gx + x4, gy + y4, total)
+                            continue
                         for k in range(4):
                             idx = 4 * i8 + k
                             x4, y4 = _BLK_X[idx], _BLK_Y[idx]
@@ -965,15 +1046,26 @@ class H264Encoder(H264IntraEncoder):
                             grid.set(mbx * 2 + x4, mby * 2 + y4, total)
 
                 # recon
-                d = ht.dequant_ac(lv, qp)
-                for i8 in range(4):
-                    if not (cbp_luma & (1 << i8)):
-                        for k in range(4):
-                            idx = 4 * i8 + k
-                            d[_BLK_Y[idx], _BLK_X[idx]] = 0
-                rec_y[yy:yy + 16, x:x + 16] = np.clip(
-                    pred + ht.inverse4x4(d)
-                    .transpose(0, 2, 1, 3).reshape(16, 16), 0, 255)
+                if mb_t8:
+                    res8 = np.zeros((16, 16), np.int64)
+                    for b in range(4):
+                        if not (cbp_luma & (1 << b)):
+                            continue
+                        ox8, oy8 = (b & 1) * 8, (b >> 1) * 8
+                        res8[oy8:oy8 + 8, ox8:ox8 + 8] = ht.inverse8x8(
+                            ht.dequant8x8(lv8[b], qp))
+                    rec_y[yy:yy + 16, x:x + 16] = np.clip(pred + res8,
+                                                          0, 255)
+                else:
+                    d = ht.dequant_ac(lv, qp)
+                    for i8 in range(4):
+                        if not (cbp_luma & (1 << i8)):
+                            for k in range(4):
+                                idx = 4 * i8 + k
+                                d[_BLK_Y[idx], _BLK_X[idx]] = 0
+                    rec_y[yy:yy + 16, x:x + 16] = np.clip(
+                        pred + ht.inverse4x4(d)
+                        .transpose(0, 2, 1, 3).reshape(16, 16), 0, 255)
                 for comp, (plane, cp) in enumerate(
                         ((rec_u, pu), (rec_v, pv))):
                     cdc_deq = (ht.dequant_chroma_dc(c_dc_q[comp], qpc)
@@ -994,9 +1086,12 @@ class H264Encoder(H264IntraEncoder):
                 w.ue(skip_run)
             w.rbsp_trailing_bits()
 
-        bs_ver, bs_hor = bs_maps_p(intra_mb, nc_y.tc, mvg, refg)
-        rec_y, rec_u, rec_v = deblock_frame(rec_y, rec_u, rec_v, qp, qpc,
-                                            bs_ver, bs_hor)
+        bs_ver, bs_hor = bs_maps_p(intra_mb,
+                                   nc_y.tc + nz8.astype(np.int32),
+                                   mvg, refg)
+        rec_y, rec_u, rec_v = deblock_frame(
+            rec_y, rec_u, rec_v, qp, qpc, bs_ver, bs_hor,
+            trans8=self._trans8 if self._trans8.any() else None)
         self._prev_mvg = mvg.copy()    # EPZS temporal predictors
         self._prev_refg = refg.copy()  # colocated motion for B direct
         return w.data(), (rec_y, rec_u, rec_v)

@@ -44,12 +44,18 @@ def annexb(nals: list[bytes]) -> bytes:
 def write_sps(width_mbs: int, height_mbs: int, profile: int = 66,
               num_ref_frames: int = 1, poc_type: int = 2) -> bytes:
     w = BitWriter()
-    w.write(profile, 8)  # 66 = baseline (CAVLC), 77 = main (CABAC)
+    w.write(profile, 8)  # 66 baseline (CAVLC), 77 main (CABAC), 100 high
     w.flag(1 if profile == 66 else 0)   # constraint_set0
-    w.flag(1)        # constraint_set1 (main-compatible)
+    w.flag(1 if profile < 100 else 0)   # constraint_set1 (main-compatible)
     w.write(0, 6)    # other constraint flags + reserved
     w.write(30, 8)   # level_idc 3.0
     w.ue(0)          # sps_id
+    if profile >= 100:   # High-profile SPS extension (spec 7.3.2.1.1)
+        w.ue(1)          # chroma_format_idc 4:2:0
+        w.ue(0)          # bit_depth_luma_minus8
+        w.ue(0)          # bit_depth_chroma_minus8
+        w.flag(0)        # qpprime_y_zero_transform_bypass
+        w.flag(0)        # seq_scaling_matrix_present
     w.ue(4)          # log2_max_frame_num_minus4 -> 8 bits
     w.ue(poc_type)   # pic_order_cnt_type (0 for reordered/B streams)
     if poc_type == 0:
@@ -66,7 +72,8 @@ def write_sps(width_mbs: int, height_mbs: int, profile: int = 66,
     return w.data()
 
 
-def write_pps(cabac: bool = False, weighted_pred: bool = False) -> bytes:
+def write_pps(cabac: bool = False, weighted_pred: bool = False,
+              transform8x8: bool = False) -> bytes:
     w = BitWriter()
     w.ue(0)          # pps_id
     w.ue(0)          # sps_id
@@ -83,6 +90,10 @@ def write_pps(cabac: bool = False, weighted_pred: bool = False) -> bytes:
     w.flag(1)        # deblocking_filter_control_present_flag
     w.flag(0)        # constrained_intra_pred_flag
     w.flag(0)        # redundant_pic_cnt_present_flag
+    if transform8x8:     # High-profile PPS tail (spec 7.3.2.2)
+        w.flag(1)        # transform_8x8_mode_flag
+        w.flag(0)        # pic_scaling_matrix_present
+        w.se(0)          # second_chroma_qp_index_offset
     w.rbsp_trailing_bits()
     return w.data()
 
@@ -466,10 +477,12 @@ def block_ssim(a: np.ndarray, b: np.ndarray) -> float:
 class H264IntraEncoder:
     def __init__(self, width: int, height: int, qp: int = 28,
                  deblock: bool = True, entropy: str = "cavlc",
-                 perceptual: str = "", quant: str = "normal") -> None:
+                 perceptual: str = "", quant: str = "normal",
+                 transform8x8: bool = False) -> None:
         assert width % 16 == 0 and height % 16 == 0
         assert entropy in ("cavlc", "cabac")
         assert quant in ("normal", "trellis", "around")
+        self.transform8x8 = transform8x8   # High profile: I_8x8 + T8x8
         if quant == "around":
             from video_codecs_tpu.ops.h264_rdoq import AdaptiveRounding
             self._around = AdaptiveRounding()
@@ -487,6 +500,9 @@ class H264IntraEncoder:
         self.force_i4 = debug.env_flag(
             "VCT_FORCE_I4", False,
             "H.264: force I_4x4 for every intra MB")
+        self.force_i8 = debug.env_flag(
+            "VCT_FORCE_I8", False,
+            "H.264: force I_8x8 for every intra MB (transform8x8 only)")
         self.ssim_weight = 1024.0   # rdopt.c ssimscale analog (per 16x16)
         self._eta = None            # per-MB lambda weights, set per frame
         self._prev_y = None
@@ -513,9 +529,11 @@ class H264IntraEncoder:
 
     def encode_sequence(self, frames) -> tuple[bytes, list]:
         cabac = self.entropy == "cabac"
+        profile = 100 if self.transform8x8 else (77 if cabac else 66)
         nals = [nal_unit(NAL_SPS, write_sps(self.w // 16, self.h // 16,
-                                            profile=77 if cabac else 66)),
-                nal_unit(NAL_PPS, write_pps(cabac=cabac))]
+                                            profile=profile)),
+                nal_unit(NAL_PPS, write_pps(
+                    cabac=cabac, transform8x8=self.transform8x8))]
         recons = []
         for idx, (y, u, v) in enumerate(frames):
             rbsp, rec = self.encode_frame(y, u, v, idx)
@@ -538,6 +556,7 @@ class H264IntraEncoder:
         nc_v = NcGrid(mbw * 2, mbh * 2)
         self._mode4 = np.full((mbh * 4, mbw * 4), 2, np.int32)
         self._is_i4 = np.zeros((mbh, mbw), bool)
+        self._trans8 = np.zeros((mbh, mbw), bool)
 
         w = BitWriter()
         # slice header (IDR, I slice)
@@ -585,7 +604,8 @@ class H264IntraEncoder:
             # output picture is the deblocked one (spec 8.7).
             from video_codecs_tpu.ops.h264_deblock import deblock_frame_intra
             rec_y, rec_u, rec_v = deblock_frame_intra(
-                rec_y, rec_u, rec_v, qp, qpc)
+                rec_y, rec_u, rec_v, qp, qpc,
+                trans8=self._trans8 if self._trans8.any() else None)
         return w.data(), (rec_y, rec_u, rec_v)
 
     def _encode_mb(self, w, yv, uv, vv, rec_y, rec_u, rec_v,
@@ -663,16 +683,76 @@ class H264IntraEncoder:
             cost4 += round(self.ssim_weight *
                            (1.0 - block_ssim(
                                orig, rec_trial[y:y + 16, x:x + 16])))
-        use_i4 = cost4 < cost16 or getattr(self, 'force_i4', False)
-        self._is_i4[mby, mbx] = use_i4
-        if not use_i4:
+        # ---- I_8x8 candidate (High profile; trial recon like I_4x4) ----
+        modes4_cells = self._mode4[mby * 4:mby * 4 + 4,
+                                   mbx * 4:mbx * 4 + 4].copy()
+        cost8 = None
+        if self.transform8x8 and not getattr(self, 'force_i4', False):
+            from video_codecs_tpu.models.h264 import intra8
+            rec_t8 = rec_y.copy()
+            modes8, levels8 = [], []
+            cost8_bits = 5          # mb_type + transform_size_8x8_flag
+            for b8 in range(4):
+                ox, oy = (b8 & 1) * 8, (b8 >> 1) * 8
+                px, py = x + ox, y + oy
+                bx4, by4 = (b8 & 1) * 2, (b8 >> 1) * 2
+                pm = self._pred_mode4(mbx * 4 + bx4, mby * 4 + by4,
+                                      upto=4 * b8, mbx=mbx, mby=mby)
+                l8, t8, c8, av8 = intra8.gather_ref8(rec_t8, px, py, mbw)
+                lf, tf, cf = intra8.filter_ref8(l8, t8, c8, av8)
+                ob = yv[py:py + 8, px:px + 8]
+                bestb = None
+                for m in intra8.allowed_modes8(av8):
+                    pb = intra8.pred_luma8(lf, tf, cf, av8, m)
+                    sad = int(np.abs(ob - pb).sum()) + \
+                        round(lam * (1 if m == pm else 4))
+                    if bestb is None or sad < bestb[0]:
+                        bestb = (sad, m, pb)
+                _, m8, pb = bestb
+                lv8 = ht.quant8x8(ht.forward8x8(ob - pb), qp, intra=True)
+                recb = np.clip(pb + ht.inverse8x8(ht.dequant8x8(lv8, qp)),
+                               0, 255)
+                rec_t8[py:py + 8, px:px + 8] = recb
+                modes8.append(int(m8))
+                levels8.append(lv8)
+                self._mode4[mby * 4 + by4:mby * 4 + by4 + 2,
+                            mbx * 4 + bx4:mbx * 4 + bx4 + 2] = m8
+                cost8_bits += 1 if m8 == pm else 4
+            cost8 = int(np.abs(rec_t8[y:y + 16, x:x + 16] - orig).sum()) + \
+                round(lam * cost8_bits)
+            if self.ssim_rdo:
+                cost8 += round(self.ssim_weight *
+                               (1.0 - block_ssim(
+                                   orig, rec_t8[y:y + 16, x:x + 16])))
+
+        use_i8 = (cost8 is not None and
+                  ((cost8 < cost16 and cost8 <= cost4) or
+                   getattr(self, 'force_i8', False)))
+        use_i4 = (not use_i8) and (cost4 < cost16 or
+                                   getattr(self, 'force_i4', False))
+        self._is_i4[mby, mbx] = use_i4 or use_i8   # I_NxN
+        self._trans8[mby, mbx] = use_i8
+        # finalize the MB's mode grid per the winner
+        if use_i8:
+            for b8 in range(4):
+                bx4, by4 = (b8 & 1) * 2, (b8 >> 1) * 2
+                self._mode4[mby * 4 + by4:mby * 4 + by4 + 2,
+                            mbx * 4 + bx4:mbx * 4 + bx4 + 2] = modes8[b8]
+        elif use_i4:
+            self._mode4[mby * 4:mby * 4 + 4,
+                        mbx * 4:mbx * 4 + 4] = modes4_cells
+        else:
             self._mode4[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 2
-            # re-derive I4 trial side effects away; I16 recon applies
         cbp_luma4 = 0
         if use_i4:
             for i8 in range(4):
                 if any(levels4[4 * i8 + k].any() for k in range(4)):
                     cbp_luma4 |= 1 << i8
+        cbp_luma8 = 0
+        if use_i8:
+            for b8 in range(4):
+                if levels8[b8].any():
+                    cbp_luma8 |= 1 << b8
 
         # ---- chroma (shared) ----
         cmodes = [0] + ([1] if avail_l else []) + ([2] if avail_t else []) + \
@@ -704,13 +784,55 @@ class H264IntraEncoder:
             self._write_mb_cabac(ce, mbx, mby, use_i4, modes4, mode16,
                                  best_cm, cbp_luma4, cbp_luma16, cbp_chroma,
                                  levels4, dc_q, ac_q, c_dc_q, c_ac_q,
-                                 p_slice=p_slice, b_ctx=b_ctx)
+                                 p_slice=p_slice, b_ctx=b_ctx,
+                                 use_i8=use_i8,
+                                 modes8=modes8 if use_i8 else None,
+                                 levels8=levels8 if use_i8 else None,
+                                 cbp_luma8=cbp_luma8)
             rec_y[y:y + 16, x:x + 16] = (
+                rec_t8[y:y + 16, x:x + 16] if use_i8 else
                 rec_trial[y:y + 16, x:x + 16] if use_i4 else rec16)
+        elif use_i8:
+            # ---- I_8x8 syntax (spec 7.3.5, transform_size_8x8_flag) ----
+            cbp = cbp_luma8 | (cbp_chroma << 4)
+            w.ue(0 + mb_type_offset)     # mb_type I_NxN
+            w.flag(1)                    # transform_size_8x8_flag
+            for b8 in range(4):
+                bx4, by4 = (b8 & 1) * 2, (b8 >> 1) * 2
+                pm = self._pred_mode4(mbx * 4 + bx4, mby * 4 + by4,
+                                      upto=4 * b8, mbx=mbx, mby=mby)
+                m = modes8[b8]
+                if m == pm:
+                    w.flag(1)
+                else:
+                    w.flag(0)
+                    w.write(m if m < pm else m - 1, 3)
+            w.ue(best_cm)
+            w.ue(_NCBP_INTRA_420[cbp])   # coded_block_pattern me(v)
+            if cbp:
+                w.se(0)              # mb_qp_delta
+            for b8 in range(4):
+                lv64 = np.zeros(64, np.int64)
+                lv64[:] = levels8[b8].reshape(64)[ht.ZIGZAG_8x8]
+                for k in range(4):
+                    idx = 4 * b8 + k
+                    x4, y4 = _BLK_X[idx], _BLK_Y[idx]
+                    gx, gy = mbx * 4 + x4, mby * 4 + y4
+                    if cbp_luma8 & (1 << b8):
+                        coeffs = lv64[4 * np.arange(16) + k]
+                        total = cavlc.encode_block(
+                            w, [int(cc) for cc in coeffs],
+                            nc_y.nc(gx, gy), 16)
+                    else:
+                        total = 0
+                    nc_y.set(gx, gy, total)
+            rec_y[y:y + 16, x:x + 16] = rec_t8[y:y + 16, x:x + 16]
         elif use_i4:
             # ---- I_4x4 syntax (spec 7.3.5.1) ----
             cbp = cbp_luma4 | (cbp_chroma << 4)
             w.ue(0 + mb_type_offset)     # mb_type I_4x4
+            if self.transform8x8:
+                w.flag(0)                # transform_size_8x8_flag
             for idx in range(16):
                 x4, y4 = _BLK_X[idx], _BLK_Y[idx]
                 pm = self._pred_mode4(mbx * 4 + x4, mby * 4 + y4,
@@ -796,7 +918,9 @@ class H264IntraEncoder:
 
     def _write_mb_cabac(self, ce, mbx, mby, use_i4, modes4, mode16, best_cm,
                         cbp_luma4, cbp_luma16, cbp_chroma, levels4, dc_q,
-                        ac_q, c_dc_q, c_ac_q, p_slice=False, b_ctx=None):
+                        ac_q, c_dc_q, c_ac_q, p_slice=False,
+                        b_ctx=None, use_i8=False, modes8=None, levels8=None,
+                        cbp_luma8=0):
         """CABAC syntax for one intra MB (I slice, or intra MB in P slice).
 
         Parity: jm18.5/lencod/src/cabac.c writeMB_I_typeInfo_CABAC,
@@ -808,18 +932,20 @@ class H264IntraEncoder:
         cbf = self._cbf
         mbw, mbh = self.w // 16, self.h // 16
 
-        cbp = (cbp_luma4 | (cbp_chroma << 4)) if use_i4 else \
+        i_nxn = use_i4 or use_i8
+        cbp = ((cbp_luma8 if use_i8 else cbp_luma4) | (cbp_chroma << 4)) \
+            if i_nxn else \
             ((15 if cbp_luma16 else 0) | (cbp_chroma << 4))
         if b_ctx is not None:
             # intra MB inside a B slice (writeMB_B_typeInfo :626)
-            if use_i4:
+            if i_nxn:
                 ce.mb_type_b(23, b_ctx)
             else:
                 i16 = mode16 + 4 * cbp_chroma + 12 * (1 if cbp_luma16 else 0)
                 ce.mb_type_b(24, b_ctx, i16)
         elif p_slice:
             # intra suffix inside a P slice (writeMB_P_typeInfo :566-612)
-            if use_i4:
+            if i_nxn:
                 ce.mb_type_p(6)
             else:
                 i16 = mode16 + 4 * cbp_chroma + 12 * (1 if cbp_luma16 else 0)
@@ -828,10 +954,20 @@ class H264IntraEncoder:
             # mb_type: ctx term = neighbor present and not I_4x4
             a = 1 if (mbx > 0 and not self._is_i4[mby, mbx - 1]) else 0
             b = 1 if (mby > 0 and not self._is_i4[mby - 1, mbx]) else 0
-            act = 0 if use_i4 else \
+            act = 0 if i_nxn else \
                 1 + mode16 + 4 * cbp_chroma + 12 * (1 if cbp_luma16 else 0)
             ce.mb_type_i(act, a + b)
-        if use_i4:
+        if i_nxn and self.transform8x8:
+            ta = 1 if (mbx > 0 and self._trans8[mby, mbx - 1]) else 0
+            tb = 1 if (mby > 0 and self._trans8[mby - 1, mbx]) else 0
+            ce.transform_size_8x8_flag(1 if use_i8 else 0, ta + tb)
+        if use_i8:
+            for b8 in range(4):
+                bx4, by4 = (b8 & 1) * 2, (b8 >> 1) * 2
+                pm = self._pred_mode4(mbx * 4 + bx4, mby * 4 + by4,
+                                      upto=4 * b8, mbx=mbx, mby=mby)
+                ce.intra4x4_pred_mode(modes8[b8], pm)
+        elif use_i4:
             for idx in range(16):
                 x4, y4 = _BLK_X[idx], _BLK_Y[idx]
                 pm = self._pred_mode4(mbx * 4 + x4, mby * 4 + y4,
@@ -849,14 +985,14 @@ class H264IntraEncoder:
                 return None
             return {"cbp": int(self._cbp_arr[ny, nx]), "ipcm": False}
 
-        if use_i4:
+        if i_nxn:
             ce.cbp(cbp, nbr(0, -1), nbr(-1, 0))
         self._cbp_arr[mby, mbx] = cbp
-        if (not use_i4) or cbp:
+        if (not i_nxn) or cbp:
             ce.mb_qp_delta(0, False)
 
         cur_bits = 0
-        if not use_i4:
+        if not i_nxn:
             # I_16x16: luma DC always coded (with cbf)
             dc_list = [int(dc_q.reshape(16)[zz[i]]) for i in range(16)]
             ctx = cbf.ctx_dc(mbx, mby, hc.CbfState.LUMA_DC_BIT, True)
@@ -864,7 +1000,22 @@ class H264IntraEncoder:
             if any(dc_list):
                 cur_bits |= 1 << hc.CbfState.LUMA_DC_BIT
                 cbf.set_bit(mbx, mby, hc.CbfState.LUMA_DC_BIT)
+        if use_i8:
+            for b8 in range(4):
+                if not (cbp_luma8 & (1 << b8)):
+                    continue
+                coeffs = [int(c) for c in
+                          levels8[b8].reshape(64)[ht.ZIGZAG_8x8]]
+                ce.residual_block(hc.LUMA_8x8, coeffs, 0, code_cbf=False)
+                if any(coeffs):
+                    for k in range(4):
+                        idx = 4 * b8 + k
+                        x4, y4 = _BLK_X[idx], _BLK_Y[idx]
+                        cur_bits |= 1 << (1 + 4 * y4 + x4)
+                        cbf.set_bit(mbx, mby, 1 + 4 * y4 + x4)
         for i8 in range(4):
+            if use_i8:
+                break
             for k in range(4):
                 idx = 4 * i8 + k
                 x4, y4 = _BLK_X[idx], _BLK_Y[idx]
