@@ -79,3 +79,31 @@ def test_ra_gop8_hm_conformance(tmp_path):
         np.testing.assert_array_equal(ry[i], recons[i][0].astype(np.uint8))
         np.testing.assert_array_equal(ru[i], recons[i][1].astype(np.uint8))
         np.testing.assert_array_equal(rv[i], recons[i][2].astype(np.uint8))
+
+
+@pytest.mark.skipif(not os.path.exists(HM_DECODER),
+                    reason="HM reference decoder not built")
+def test_ra_gop8_sao_hm_conformance(tmp_path):
+    """RA streams WITH SAO on the B pyramid (host + device encoders):
+    self-roundtrip bit-exact and HM hash-SEI OK on every picture
+    (TEncSampleAdaptiveOffset parity on B slices)."""
+    from video_codecs_tpu.models.hevc import inter_jax as ij
+    frames = _clip(9)
+    cfg = headers.HevcConfig(width=80, height=48, qp=32, reorder_pics=3,
+                             num_refs=4, sao=True)
+    for enc in (ra_codec.RandomAccessEncoder(cfg, search_range=8),
+                ij.DeviceRandomAccessEncoder(cfg, search_range=8)):
+        stream, recons = enc.encode_sequence_ra(frames)
+        out = ra_codec.RandomAccessDecoder().decode(stream)
+        for i, (o, r) in enumerate(zip(out, recons)):
+            for a, b in zip(o, r):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                              err_msg=f"frame {i}")
+        p = tmp_path / "ra_sao.bin"
+        p.write_bytes(stream)
+        r = subprocess.run([HM_DECODER, "-b", str(p), "-o",
+                            str(tmp_path / "hm.yuv")],
+                           capture_output=True, text=True, timeout=300)
+        assert r.returncode == 0, r.stdout + r.stderr
+        assert r.stdout.count("(OK)") == len(frames), r.stdout
+        assert "ERROR" not in r.stdout

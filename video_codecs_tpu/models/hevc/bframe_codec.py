@@ -190,6 +190,9 @@ def write_b_slice_header(cfg, poc: int, is_anchor: bool,
         w.flag(1)
         w.ue(0)            # pos delta 1
         w.flag(1)
+    if cfg.sao:
+        w.flag(1)          # slice_sao_luma_flag
+        w.flag(1)          # slice_sao_chroma_flag
     w.flag(0)              # num_ref_idx_active_override_flag
     if not is_anchor:
         w.flag(0)          # mvd_l1_zero_flag
@@ -201,7 +204,7 @@ def write_b_slice_header(cfg, poc: int, is_anchor: bool,
     return w
 
 
-def parse_b_slice_header(rbsp: bytes, pps):
+def parse_b_slice_header(rbsp: bytes, pps, sps_sao: bool = False):
     r = bs.BitReader(rbsp)
     assert r.flag() == 1
     assert r.ue() == 0
@@ -214,6 +217,10 @@ def parse_b_slice_header(rbsp: bytes, pps):
         r.ue(), r.flag()
     for _ in range(num_pos):
         r.ue(), r.flag()
+    sao = False
+    if sps_sao:
+        sao = bool(r.flag())
+        assert bool(r.flag()) == sao, "joint luma+chroma SAO expected"
     assert r.flag() == 0
     if st == 0:
         r.flag()           # mvd_l1_zero_flag
@@ -223,7 +230,7 @@ def parse_b_slice_header(rbsp: bytes, pps):
         r.flag()
     assert r.flag() == 1
     r.byte_align()
-    return st, poc, qp, r.bit_pos()
+    return st, poc, qp, r.bit_pos(), sao
 
 
 class HierarchicalBEncoder(pc.LowDelayEncoder):
@@ -415,17 +422,21 @@ class HierarchicalBEncoder(pc.LowDelayEncoder):
                 info[by][bx] = b
 
         neg_delta = poc - ref_poc[L0]
-        slice_nal = self._encode_b_slice(info, poc, is_anchor, ref_poc,
-                                         neg_delta)
         if not cfg.deblocking_disabled:
             bs_ver, bs_hor = _bs_maps_b(info, bw, bh, ref_poc)
             rec_y, rec_u, rec_v = deblock_ops.deblock_420_bs_np(
                 rec_y, rec_u, rec_v, qp, bs_ver, bs_hor)
+        sao_params = None
+        if cfg.sao:
+            sao_params, (rec_y, rec_u, rec_v) = self._sao_decide_apply(
+                (yv, uv, vv), (rec_y, rec_u, rec_v))
+        slice_nal = self._encode_b_slice(info, poc, is_anchor, ref_poc,
+                                         neg_delta, sao_params)
         sei_nal = self._hash_sei(rec_y, rec_u, rec_v)
         return [slice_nal, sei_nal], (rec_y, rec_u, rec_v)
 
     def _encode_b_slice(self, info, poc, is_anchor, ref_poc,
-                        neg_delta=2) -> bytes:
+                        neg_delta=2, sao_params=None) -> bytes:
         cfg = self.cfg
         bw, bh = cfg.width // 16, cfg.height // 16
         w = write_b_slice_header(cfg, poc, is_anchor, neg_delta)
@@ -433,6 +444,9 @@ class HierarchicalBEncoder(pc.LowDelayEncoder):
         enc = cabac.CabacEncoder(w, ctx.init_states(init_row, cfg.qp))
         for by in range(bh):
             for bx in range(bw):
+                if sao_params is not None:
+                    ic.encode_sao_ctu(enc, sao_params, by * bw + bx,
+                                      bx, by, bw, 0)
                 self._encode_b_ctu(enc, info, bx, by, bw, bh, is_anchor)
                 last = by == bh - 1 and bx == bw - 1
                 enc.encode_terminate(1 if last else 0)
@@ -592,7 +606,8 @@ class HierarchicalBDecoder(ic.IntraDecoder):
         from video_codecs_tpu.ops import transform as tr_ops
 
         cfg, pps = self.cfg, self.pps
-        st, poc, qp, off_bits = parse_b_slice_header(rbsp, pps)
+        st, poc, qp, off_bits, sao_on = parse_b_slice_header(
+            rbsp, pps, sps_sao=cfg.sao)
         is_anchor = st == 1
         anchors = sorted(self._anchors)
         if is_anchor:
@@ -613,9 +628,13 @@ class HierarchicalBDecoder(ic.IntraDecoder):
         rec_v = np.zeros_like(rec_u)
         info = [[None] * bw for _ in range(bh)]
         sbh = pps.sign_data_hiding
+        sao_params = [[None] * 3 for _ in range(bw * bh)]
 
         for by in range(bh):
             for bx in range(bw):
+                if sao_on:
+                    ic.decode_sao_ctu(dec, sao_params, by * bw + bx,
+                                      bx, by, bw, 0)
                 b = self._decode_b_ctu(dec, info, bx, by, bw, bh, is_anchor,
                                        poc, ref_poc, sbh)
                 info[by][bx] = b
@@ -658,6 +677,19 @@ class HierarchicalBDecoder(ic.IntraDecoder):
             bs_ver, bs_hor = _bs_maps_b(info, bw, bh, ref_poc)
             rec_y, rec_u, rec_v = deblock_ops.deblock_420_bs_np(
                 rec_y, rec_u, rec_v, qp, bs_ver, bs_hor)
+        if sao_on:
+            from video_codecs_tpu.ops import sao as sao_ops
+            outs = [rec_y.copy(), rec_u.copy(), rec_v.copy()]
+            for by in range(bh):
+                for bx in range(bw):
+                    p3 = sao_params[by * bw + bx]
+                    sao_ops.apply_ctu(rec_y, outs[0], bx * 16, by * 16, 16,
+                                      p3[0])
+                    sao_ops.apply_ctu(rec_u, outs[1], bx * 8, by * 8, 8,
+                                      p3[1])
+                    sao_ops.apply_ctu(rec_v, outs[2], bx * 8, by * 8, 8,
+                                      p3[2])
+            rec_y, rec_u, rec_v = outs
         return poc, (rec_y, rec_u, rec_v)
 
     def _decode_b_ctu(self, dec, info, bx, by, bw, bh, is_anchor, poc,

@@ -997,11 +997,16 @@ def _device_b_frame(enc, frame, poc, refs, is_anchor):
     st = {k: np.asarray(val) for k, val in st.items()}
 
     info = _reconcile_b(st, bw, bh, ref_poc, poc, is_anchor)
-    slice_nal = enc._encode_b_slice(info, poc, is_anchor, ref_poc,
-                                    poc - ref_poc[L0])
     rec_y = st["rec_y"].astype(np.int32)
     rec_u = st["rec_u"].astype(np.int32)
     rec_v = st["rec_v"].astype(np.int32)
+    sao_params = None
+    if cfg.sao:
+        yv, uv, vv = (np.asarray(p).astype(np.int32) for p in (y, u, v))
+        sao_params, (rec_y, rec_u, rec_v) = enc._sao_decide_apply(
+            (yv, uv, vv), (rec_y, rec_u, rec_v))
+    slice_nal = enc._encode_b_slice(info, poc, is_anchor, ref_poc,
+                                    poc - ref_poc[L0], sao_params)
     sei_nal = enc._hash_sei(rec_y, rec_u, rec_v)
     return [slice_nal, sei_nal], (rec_y, rec_u, rec_v)
 

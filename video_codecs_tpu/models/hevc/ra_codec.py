@@ -107,6 +107,9 @@ def write_ra_slice_header(cfg, poc: int, slice_type: int, qp: int,
         w.ue(d - prev - 1)
         w.flag(1 if used else 0)
         prev = d
+    if cfg.sao:
+        w.flag(1)                  # slice_sao_luma_flag
+        w.flag(1)                  # slice_sao_chroma_flag
     w.flag(0)                      # num_ref_idx_active_override (use pps=1)
     if slice_type == 0:
         w.flag(0)                  # mvd_l1_zero_flag
@@ -118,7 +121,7 @@ def write_ra_slice_header(cfg, poc: int, slice_type: int, qp: int,
     return w
 
 
-def parse_ra_slice_header(rbsp: bytes, pps):
+def parse_ra_slice_header(rbsp: bytes, pps, sps_sao: bool = False):
     r = bs.BitReader(rbsp)
     assert r.flag() == 1
     assert r.ue() == 0
@@ -135,6 +138,10 @@ def parse_ra_slice_header(rbsp: bytes, pps):
     for _ in range(n_pos):
         prev = prev + r.ue() + 1
         pos.append((prev, bool(r.flag())))
+    sao = False
+    if sps_sao:
+        sao = bool(r.flag())
+        assert bool(r.flag()) == sao, "joint luma+chroma SAO expected"
     assert r.flag() == 0           # no num_ref override
     if st == 0:
         r.flag()                   # mvd_l1_zero
@@ -144,7 +151,7 @@ def parse_ra_slice_header(rbsp: bytes, pps):
         r.flag()
     assert r.flag() == 1
     r.byte_align()
-    return st, poc, qp, neg, pos, merge_cands, r.bit_pos()
+    return st, poc, qp, neg, pos, merge_cands, r.bit_pos(), sao
 
 
 class RandomAccessEncoder(bc.HierarchicalBEncoder):
@@ -210,11 +217,12 @@ class RandomAccessEncoder(bc.HierarchicalBEncoder):
         cfg.qp = base_qp
         return bs.annexb(nals), [recons[k] for k in sorted(recons)]
 
-    def _encode_b_slice(self, info, poc, is_anchor, ref_poc, neg_delta=2):
+    def _encode_b_slice(self, info, poc, is_anchor, ref_poc, neg_delta=2,
+                        sao_params=None):
         rps = getattr(self, "_cur_rps", None)
         if rps is None:
             return super()._encode_b_slice(info, poc, is_anchor, ref_poc,
-                                           neg_delta)
+                                           neg_delta, sao_params)
         cfg = self.cfg
         bw, bh = cfg.width // 16, cfg.height // 16
         neg, pos = rps
@@ -224,6 +232,9 @@ class RandomAccessEncoder(bc.HierarchicalBEncoder):
         enc = cabac.CabacEncoder(w, ctx.init_states(init_row, cfg.qp))
         for by in range(bh):
             for bx in range(bw):
+                if sao_params is not None:
+                    ic.encode_sao_ctu(enc, sao_params, by * bw + bx,
+                                      bx, by, bw, 0)
                 self._encode_b_ctu(enc, info, bx, by, bw, bh, is_anchor)
                 last = by == bh - 1 and bx == bw - 1
                 enc.encode_terminate(1 if last else 0)
@@ -276,8 +287,8 @@ class RandomAccessDecoder(bc.HierarchicalBDecoder):
         return [out[k] for k in sorted(out)]
 
     def _decode_ra_slice(self, rbsp: bytes, is_ref: bool):
-        st, poc, qp, neg, pos, merge_cands, off_bits = \
-            parse_ra_slice_header(rbsp, self.pps)
+        st, poc, qp, neg, pos, merge_cands, off_bits, sao_on = \
+            parse_ra_slice_header(rbsp, self.pps, sps_sao=self.cfg.sao)
         is_anchor = st == 1
         used_past = [poc + d for d, u in neg if u]
         used_fut = [poc + d for d, u in pos if u]
@@ -285,7 +296,7 @@ class RandomAccessDecoder(bc.HierarchicalBDecoder):
         if not is_anchor:
             ref_poc[L1] = min(used_fut)
         frame = self._decode_b_body(rbsp, off_bits, poc, qp, is_anchor,
-                                    ref_poc)
+                                    ref_poc, sao_on=sao_on)
         # DPB: retain RPS pictures + this one (if referenced)
         keep = {poc + d for d, _ in neg} | {poc + d for d, _ in pos}
         self._dpb = {p: v for p, v in self._dpb.items() if p in keep}
@@ -293,7 +304,8 @@ class RandomAccessDecoder(bc.HierarchicalBDecoder):
             self._dpb[poc] = frame
         return poc, frame
 
-    def _decode_b_body(self, rbsp, off_bits, poc, qp, is_anchor, ref_poc):
+    def _decode_b_body(self, rbsp, off_bits, poc, qp, is_anchor, ref_poc,
+                       sao_on: bool = False):
         """CTU decode shared with the 2-level decoder (ref planes from the
         RPS-selected DPB pictures)."""
         from video_codecs_tpu.models.hevc import inter_codec as pc
@@ -316,9 +328,13 @@ class RandomAccessDecoder(bc.HierarchicalBDecoder):
         rec_v = np.zeros_like(rec_u)
         info = [[None] * bw for _ in range(bh)]
         sbh = pps.sign_data_hiding
+        sao_params = [[None] * 3 for _ in range(bw * bh)]
 
         for by in range(bh):
             for bx in range(bw):
+                if sao_on:
+                    ic.decode_sao_ctu(dec, sao_params, by * bw + bx,
+                                      bx, by, bw, 0)
                 b = self._decode_b_ctu(dec, info, bx, by, bw, bh, is_anchor,
                                        poc, ref_poc, sbh)
                 info[by][bx] = b
@@ -361,4 +377,17 @@ class RandomAccessDecoder(bc.HierarchicalBDecoder):
             bs_ver, bs_hor = bc._bs_maps_b(info, bw, bh, ref_poc)
             rec_y, rec_u, rec_v = deblock_ops.deblock_420_bs_np(
                 rec_y, rec_u, rec_v, qp, bs_ver, bs_hor)
+        if sao_on:
+            from video_codecs_tpu.ops import sao as sao_ops
+            outs = [rec_y.copy(), rec_u.copy(), rec_v.copy()]
+            for by in range(bh):
+                for bx in range(bw):
+                    p3 = sao_params[by * bw + bx]
+                    sao_ops.apply_ctu(rec_y, outs[0], bx * 16, by * 16, 16,
+                                      p3[0])
+                    sao_ops.apply_ctu(rec_u, outs[1], bx * 8, by * 8, 8,
+                                      p3[1])
+                    sao_ops.apply_ctu(rec_v, outs[2], bx * 8, by * 8, 8,
+                                      p3[2])
+            rec_y, rec_u, rec_v = outs
         return rec_y, rec_u, rec_v
