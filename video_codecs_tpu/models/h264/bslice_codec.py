@@ -626,6 +626,7 @@ class H264BDecoder(H264Decoder):
     def __init__(self) -> None:
         super().__init__()
         self.entries: list[dict] = []   # reference pictures, newest first
+        self._ext_dpb = True            # list0 managed by this class
         self._pmsb = 0
         self._plsb = 0
 

@@ -270,10 +270,21 @@ class H264Encoder(H264IntraEncoder):
                  n_refs: int = 1, quant: str = "normal",
                  me: str = "full", weighted_pred: bool = False,
                  partitions: bool = True,
-                 transform8x8: bool = False) -> None:
+                 transform8x8: bool = False,
+                 long_term: bool = False, lt_period: int = 0,
+                 reorder: str = "") -> None:
         super().__init__(width, height, qp=qp, deblock=True, entropy=entropy,
                          perceptual=perceptual, quant=quant,
                          transform8x8=transform8x8)
+        # DPB command surface (mbuffer.c parity):
+        #   long_term: mark the IDR long-term (long_term_reference_flag)
+        #   lt_period: every Nth P ref replaces the long-term via MMCO 4+6
+        #   reorder:   "lt_first" emits ref_pic_list_modification moving
+        #              the long-term picture to ref_idx 0
+        self.long_term = long_term or lt_period > 0
+        self.lt_period = lt_period
+        assert reorder in ("", "lt_first")
+        self.reorder = reorder
         assert me in ("full", "epzs", "umhex")
         self.sr = search_range
         self.gop = gop                 # 0 = only first frame is IDR
@@ -285,31 +296,54 @@ class H264Encoder(H264IntraEncoder):
         self._prev_mvg = None          # temporal predictor source (EPZS)
 
     def encode_sequence(self, frames):
+        from video_codecs_tpu.models.h264 import dpb as dpb_mod
         cabac = self.entropy == "cabac"
         profile = 100 if self.transform8x8 else (77 if cabac else 66)
+        n_sps_refs = self.n_refs + (1 if self.long_term else 0)
         nals = [nal_unit(NAL_SPS, write_sps(self.w // 16, self.h // 16,
                                             profile=profile,
-                                            num_ref_frames=self.n_refs)),
+                                            num_ref_frames=n_sps_refs)),
                 nal_unit(NAL_PPS, write_pps(
                     cabac=cabac, weighted_pred=self.weighted_pred,
                     transform8x8=self.transform8x8))]
         recons = []
-        refs = []            # DPB list0: most recently decoded first
+        dpb = dpb_mod.Dpb(n_sps_refs, 8)
         frame_num = 0
+        n_p = 0
         for idx, (y, u, v) in enumerate(frames):
-            is_idr = not refs or (self.gop and idx % self.gop == 0)
+            is_idr = not dpb.pics or (self.gop and idx % self.gop == 0)
             if is_idr:
                 rbsp, rec = self.encode_frame(y, u, v, idr_id=idx & 1)
                 nals.append(nal_unit(NAL_SLICE_IDR, rbsp))
+                dpb.idr_reset()
+                dpb.mark(dpb_mod.RefPic(
+                    rec, frame_num=0,
+                    lt_idx=0 if self.long_term else None))
                 frame_num = 1
-                refs = []
+                n_p = 0
             else:
-                rbsp, rec = self._encode_p_frame(y, u, v, refs, frame_num)
+                list0 = dpb.default_list0(frame_num)
+                cmds = None
+                if self.reorder == "lt_first" and \
+                        any(p.long_term for p in list0):
+                    lt = next(p for p in list0 if p.long_term)
+                    cmds = [(2, lt.lt_idx)]
+                    list0 = dpb.apply_reorder(list0, cmds, frame_num,
+                                              len(list0))
+                refs = [p.planes for p in list0]
+                n_p += 1
+                mmco = None
+                if self.lt_period and n_p % self.lt_period == 0:
+                    # cap MaxLongTermFrameIdx at 0 (evicts the previous
+                    # long-term) then mark the current picture long-term
+                    mmco = [(4, 1), (6, 0)]
+                rbsp, rec = self._encode_p_frame(y, u, v, refs, frame_num,
+                                                 reorder_cmds=cmds,
+                                                 mmco=mmco)
                 nals.append(nal_unit(1, rbsp, ref_idc=2))
+                dpb.mark(dpb_mod.RefPic(rec, frame_num=frame_num), mmco)
                 frame_num = (frame_num + 1) & 0xFF
             recons.append(rec)
-            refs.insert(0, rec)
-            del refs[self.n_refs:]
         return annexb(nals), recons
 
     # -- motion search -----------------------------------------------------
@@ -613,13 +647,14 @@ class H264Encoder(H264IntraEncoder):
         cbf.mark(mbx, mby)
 
     # -- P frame -----------------------------------------------------------
-    def _encode_p_frame(self, y, u, v, refs, frame_num, poc=None):
+    def _encode_p_frame(self, y, u, v, refs, frame_num, poc=None,
+                        reorder_cmds=None, mmco=None):
         qp = self.qp
         qpc = int(ht.CHROMA_QP[min(max(qp, 0), 51)])
         mbw, mbh = self.w // 16, self.h // 16
         w4 = mbw * 4
         yv, uv, vv = (p.astype(np.int32) for p in (y, u, v))
-        n_active = min(self.n_refs, len(refs))
+        n_active = len(refs)
         ref_y, ref_u, ref_v = refs[0]
         rec_y = np.zeros_like(yv)
         rec_u = np.zeros_like(uv)
@@ -654,13 +689,37 @@ class H264Encoder(H264IntraEncoder):
             w.ue(n_active - 1)   # num_ref_idx_l0_active_minus1
         else:
             w.flag(0)            # num_ref_idx_active_override_flag
-        w.flag(0)                # ref_pic_list_modification_flag_l0
+        if reorder_cmds:         # ref_pic_list_modification (7.3.3.1)
+            w.flag(1)
+            for op, arg in reorder_cmds:
+                w.ue(op)
+                w.ue(arg - 1 if op in (0, 1) else arg)
+            w.ue(3)              # end of commands
+        else:
+            w.flag(0)            # ref_pic_list_modification_flag_l0
         self._wp = None
         if self.weighted_pred:
             self._wp = [estimate_wp((yv, uv, vv), refs[ri])
                         for ri in range(n_active)]
             write_pred_weight_table(w, self._wp, 6)
-        w.flag(0)                # adaptive_ref_pic_marking_mode_flag
+        if mmco:                 # dec_ref_pic_marking (7.3.3.3)
+            w.flag(1)            # adaptive_ref_pic_marking_mode_flag
+            for cmd in mmco:
+                op = cmd[0]
+                w.ue(op)
+                if op in (1, 3):
+                    w.ue(cmd[1] - 1)   # difference_of_pic_nums_minus1
+                if op == 2:
+                    w.ue(cmd[1])
+                if op == 3:
+                    w.ue(cmd[2])
+                if op == 4:
+                    w.ue(cmd[1])       # max_long_term_frame_idx_plus1
+                if op == 6:
+                    w.ue(cmd[1])       # long_term_frame_idx
+            w.ue(0)              # op 0: end
+        else:
+            w.flag(0)            # adaptive_ref_pic_marking_mode_flag
         if self.entropy == "cabac":
             w.ue(0)              # cabac_init_idc
         w.se(qp - 26)            # slice_qp_delta
@@ -1138,10 +1197,34 @@ class H264Decoder(H264IntraDecoder):
                     ref[2], cx, cy, mvx, mvy, 8, 8)
         return rec_y, rec_u, rec_v
 
-    def _push(self, rec, frames):
-        self.dpb.insert(0, rec)
-        del self.dpb[self.max_refs:]
+    def _push(self, rec, frames, fn=None, lt=False, mmco=None,
+              is_ref=True):
         frames.append(rec)
+        if getattr(self, "_ext_dpb", False) or not hasattr(self, "_dpbm"):
+            self.dpb.insert(0, rec)
+            del self.dpb[self.max_refs:]
+            return
+        from video_codecs_tpu.models.h264 import dpb as dpb_mod
+        if fn is None:
+            fn = self._next_fn
+        if is_ref:
+            self._dpbm.mark(dpb_mod.RefPic(
+                rec, frame_num=fn, lt_idx=0 if lt else None), mmco)
+        # mirror for concealment + default skip reference
+        self.dpb = [p.planes
+                    for p in self._dpbm.default_list0(fn)] or [rec]
+
+    def _idr_lt_flag(self, rbsp) -> bool:
+        """long_term_reference_flag of an IDR slice header."""
+        r = BitReader(rbsp)
+        r.ue(), r.ue(), r.ue()
+        info = getattr(self, "sps_info", {})
+        r.read(info.get("log2_max_frame_num", 8))
+        r.ue()                     # idr_pic_id
+        if info.get("poc_type", 2) == 0:
+            r.read(info["log2_max_poc_lsb"])
+        r.flag()                   # no_output_of_prior_pics
+        return bool(r.flag())
 
     def decode(self, stream: bytes) -> list:
         from video_codecs_tpu.entropy.bitstream import split_annexb
@@ -1154,6 +1237,9 @@ class H264Decoder(H264IntraDecoder):
                 self.size = (wmb, hmb)
                 self.sps_info = info
                 self.max_refs = max(info["num_ref_frames"], 1)
+                from video_codecs_tpu.models.h264 import dpb as dpbm
+                self._dpbm = dpbm.Dpb(self.max_refs,
+                                      info["log2_max_frame_num"])
             elif nal_type == NAL_PPS:
                 self.dbf_present, self.cabac, ppsinfo = \
                     parse_pps(rbsp, full=True)
@@ -1162,8 +1248,11 @@ class H264Decoder(H264IntraDecoder):
                 self.trans8_enabled = ppsinfo.get("transform_8x8_mode",
                                                   False)
             elif nal_type in (NAL_SLICE_IDR, 1):
+                self._cur_ref_idc = nal[0] >> 5
                 if nal_type == NAL_SLICE_IDR:
                     self.dpb = []        # IDR: sliding window resets
+                    if hasattr(self, "_dpbm"):
+                        self._dpbm.idr_reset()
                 elif self.conceal and self.dpb:
                     # frame_num gap = lost picture(s): synthesize them
                     r0 = BitReader(rbsp)
@@ -1184,7 +1273,14 @@ class H264Decoder(H264IntraDecoder):
                 else:
                     rec = self._decode_any_slice(
                         rbsp, nal_type == NAL_SLICE_IDR)
-                self._push(rec, frames)
+                if nal_type == NAL_SLICE_IDR:
+                    self._push(rec, frames, fn=0,
+                               lt=self._idr_lt_flag(rbsp))
+                else:
+                    self._push(rec, frames,
+                               fn=getattr(self, "_cur_fn", None),
+                               mmco=getattr(self, "_cur_mmco", None),
+                               is_ref=getattr(self, "_cur_ref_idc", 1) != 0)
                 self._next_fn = 1 if nal_type == NAL_SLICE_IDR else \
                     (self._next_fn + 1) & 0xFF
         return frames
@@ -1203,19 +1299,60 @@ class H264Decoder(H264IntraDecoder):
         mbw, mbh = self.size
         w4 = mbw * 4
         assert r.ue() == 0          # pps_id
-        r.read(8)                   # frame_num
-        if getattr(self, "sps_info", {}).get("poc_type", 2) == 0:
+        info = getattr(self, "sps_info", {})
+        fn = r.read(info.get("log2_max_frame_num", 8))
+        self._cur_fn = fn
+        if info.get("poc_type", 2) == 0:
             self._last_poc_lsb = r.read(
                 self.sps_info["log2_max_poc_lsb"])  # pic_order_cnt_lsb
         n_active = getattr(self, "default_l0", 1)
         if r.flag():                # num_ref_idx_active_override_flag
             n_active = r.ue() + 1   # num_ref_idx_l0_active_minus1
+        ext = getattr(self, "_ext_dpb", False) or \
+            not hasattr(self, "_dpbm")
+        # ref_pic_list_modification (spec 7.3.3.1 / 8.2.4.3)
+        cmds = []
+        if r.flag():
+            while True:
+                op = r.ue()         # reordering_of_pic_nums_idc
+                if op == 3:
+                    break
+                cmds.append((op, r.ue() + 1) if op in (0, 1)
+                            else (op, r.ue()))
+        if not ext:
+            list0 = self._dpbm.default_list0(fn)
+            if cmds:
+                list0 = self._dpbm.apply_reorder(list0, cmds, fn, n_active)
+            else:
+                list0 = list0[:max(n_active, 1)]
+            self.dpb = [p.planes for p in list0]
+        else:
+            assert not cmds, "external DPB: list reordering unsupported"
         assert n_active <= len(self.dpb), "ref list underrun"
-        assert r.flag() == 0        # ref_pic_list_modification_flag_l0
         self._wp = None
         if getattr(self, "wp_enabled", False):
             self._wp = parse_pred_weight_table(r, n_active)
-        assert r.flag() == 0        # adaptive_ref_pic_marking_mode_flag
+        # dec_ref_pic_marking (spec 7.3.3.3 / 8.2.5.4)
+        self._cur_mmco = None
+        if getattr(self, "_cur_ref_idc", 1):
+            if r.flag():            # adaptive_ref_pic_marking_mode_flag
+                assert not ext, "external DPB: MMCO unsupported"
+                mmco = []
+                while True:
+                    op = r.ue()     # memory_management_control_operation
+                    if op == 0:
+                        break
+                    args = []
+                    if op in (1, 3):
+                        args.append(r.ue() + 1)
+                    if op == 2:
+                        args.append(r.ue())
+                    if op in (3, 6):
+                        args.append(r.ue())
+                    if op == 4:
+                        args.append(r.ue())
+                    mmco.append((op, *args))
+                self._cur_mmco = mmco
         cabac = getattr(self, "cabac", False)
         model = r.ue() if cabac else 0  # cabac_init_idc
         qp = 26 + r.se()
