@@ -16,7 +16,7 @@ from __future__ import annotations
 import dataclasses
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(eq=False)
 class RefPic:
     """One reference picture: planes + marking state."""
     planes: tuple                  # (y, u, v) int32 recon
@@ -74,12 +74,20 @@ class Dpb:
                 no_wrap -= self.max_fn if no_wrap >= self.max_fn else 0
                 pred = no_wrap
                 pic_num = no_wrap - (self.max_fn if no_wrap > cur_fn else 0)
-                pic = next(p for p in self.pics
-                           if not p.long_term and
-                           self.pic_num(p, cur_fn) == pic_num)
+                pic = next((p for p in self.pics
+                            if not p.long_term and
+                            self.pic_num(p, cur_fn) == pic_num), None)
+                if pic is None:
+                    raise ValueError(
+                        f"ref_pic_list_modification: no short-term picture "
+                        f"with PicNum {pic_num} in DPB (frame_num {cur_fn})")
             else:
-                pic = next(p for p in self.pics
-                           if p.long_term and p.lt_idx == arg)
+                pic = next((p for p in self.pics
+                            if p.long_term and p.lt_idx == arg), None)
+                if pic is None:
+                    raise ValueError(
+                        f"ref_pic_list_modification: no long-term picture "
+                        f"with LongTermFrameIdx {arg} in DPB")
             # shift: insert at idx, remove the later duplicate
             lst.insert(idx, pic)
             for j in range(idx + 1, len(lst)):
@@ -107,7 +115,13 @@ class Dpb:
                                  if not (p.long_term and
                                          p.lt_idx == cmd[1])]
                 elif op == 3:    # short-term -> long-term
+                    # Spec 8.2.5.4.3: a picture already holding this
+                    # LongTermFrameIdx is unmarked first (JM
+                    # mm_assign_long_term_frame_idx).
                     pn = cur.frame_num - cmd[1]
+                    self.pics = [p for p in self.pics
+                                 if not (p.long_term and
+                                         p.lt_idx == cmd[2])]
                     for p in self.pics:
                         if not p.long_term and \
                                 self.pic_num(p, cur.frame_num) == pn:
@@ -121,6 +135,12 @@ class Dpb:
                 elif op == 5:    # reset
                     self.idr_reset()
                 elif op == 6:    # current -> long-term
+                    # Spec 8.2.5.4.6: drop any picture already marked
+                    # with this LongTermFrameIdx (JM
+                    # mm_mark_current_picture_long_term).
+                    self.pics = [p for p in self.pics
+                                 if not (p.long_term and
+                                         p.lt_idx == cmd[1])]
                     cur.lt_idx = cmd[1]
                     cur_is_lt = True
             self.pics.append(cur)

@@ -568,7 +568,10 @@ class H264IntraEncoder:
         if poc is not None:  # pic_order_cnt_lsb (poc_type 0 streams)
             w.write(poc & 0xFFFF, 16)
         w.flag(0)            # dec_ref_pic_marking: no_output_of_prior_pics
-        w.flag(0)            # long_term_reference_flag
+        # long_term_reference_flag: subclasses that keep the IDR as a
+        # long-term reference (H264Encoder long_term=True) must signal
+        # it here or decoder DPBs keep it short-term (spec 8.2.5.1).
+        w.flag(1 if getattr(self, "long_term", False) else 0)
         w.se(qp - 26)        # slice_qp_delta
         if self.deblock:
             w.ue(0)          # disable_deblocking_filter_idc = 0 (on)
