@@ -1,0 +1,1 @@
+"""video_codecs_tpu — TPU-native HEVC/H.264 codec framework."""

@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from video_codecs_tpu.utils.devconst import dev_const
+
 from video_codecs_tpu.ops import cost as cost_ops
 from video_codecs_tpu.ops import intra as intra_ops
 from video_codecs_tpu.ops import quant as quant_ops
@@ -150,11 +152,24 @@ def _wavefront_schedule(bw: int, bh: int):
 
 
 def _code_blocks(orig, pred, qp, log2, intra_slice=True, sbh=False,
-                 rdoq=False):
-    """Batched TB coding: returns (levels, recon, cbf)."""
+                 rdoq=False, is_luma=True):
+    """Batched TB coding: returns (levels, recon, cbf).
+
+    rdoq: False = hard quant, True/"lite" = elementwise RDOQ-lite,
+    "full" = the scan-based device full RDOQ (rdoq_jax — HM
+    xRateDistOptQuant parity; use for the big batched passes, keep
+    "lite" inside wavefront loops where a 256-step scan per diagonal
+    would dominate).
+    """
     res = orig - pred
     coeff = tr_ops.forward_transform(res, log2)
-    if rdoq:
+    if rdoq == "full":
+        from video_codecs_tpu.ops import rdoq_jax
+        lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
+        levels = rdoq_jax.rdoq_dev(
+            coeff, qp, log2, lam=lam, is_luma=is_luma,
+            slice_type=2 if intra_slice else 0)
+    elif rdoq:
         lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
         levels = quant_ops.rdoq_lite(coeff, qp, log2, lam=lam)
     else:
@@ -167,6 +182,42 @@ def _code_blocks(orig, pred, qp, log2, intra_slice=True, sbh=False,
     rec = jnp.clip(pred + r, 0, 255)
     rec = jnp.where(cbf[:, None, None], rec, pred)
     return levels, rec, cbf
+
+
+def _code_blocks_rate(orig, pred, qp, log2, sbh=False, is_luma=True,
+                      rdoq="full"):
+    """Batched TB coding that also returns the estimated CABAC rate.
+
+    Returns (levels, recon, cbf, bits[f32 per block]).  With rdoq="full"
+    the bits come from the RDOQ's own fractional-bit bookkeeping (HM
+    CABAC-counter parity); otherwise a cheap proxy is used.
+    """
+    res = orig - pred
+    coeff = tr_ops.forward_transform(res, log2)
+    lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
+    if rdoq == "full":
+        from video_codecs_tpu.ops import rdoq_jax
+        levels, bits = rdoq_jax.rdoq_dev(
+            coeff, qp, log2, lam=lam, is_luma=is_luma, slice_type=0,
+            return_rate=True)
+    else:
+        if rdoq:
+            levels = quant_ops.rdoq_lite(coeff, qp, log2, lam=lam)
+        else:
+            levels = quant_ops.quantize(coeff, qp, log2,
+                                        intra_slice=False)
+        a = jnp.abs(levels)
+        bits = (2.0 * jnp.sum(a > 0, axis=(-2, -1)) +
+                2.0 * jnp.sum(jnp.log2(1.0 + a.astype(jnp.float32)),
+                              axis=(-2, -1)))
+    if sbh:
+        levels = quant_ops.apply_sbh(levels, log2, coeff, qp)
+    cbf = jnp.any(levels != 0, axis=(-2, -1))
+    dq = quant_ops.dequantize(levels, qp, log2)
+    r = tr_ops.inverse_transform(dq, log2)
+    rec = jnp.clip(pred + r, 0, 255)
+    rec = jnp.where(cbf[:, None, None], rec, pred)
+    return levels, rec, cbf, bits
 
 
 def _predict_single_mode(refs: jnp.ndarray, modes: jnp.ndarray, log2: int,
@@ -185,6 +236,8 @@ def encode_frame_device(y, u, v, modes, qp: int, qp_c: int, bw: int, bh: int,
              rec_y, rec_u, rec_v.
     """
     coords, valid, steps, max_len = _wavefront_schedule(bw, bh)
+    coords = dev_const(coords)
+    valid = dev_const(valid)
     h, w = y.shape
     b = bw * bh
 

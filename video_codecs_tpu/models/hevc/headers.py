@@ -41,6 +41,7 @@ class HevcConfig:
     cu_qp_delta: bool = False  # CTU-level QP (rate control dQP signalling)
     merge_cands: int = 1       # MaxNumMergeCand (1..5)
     temporal_mvp: bool = False  # sps/slice temporal MVP (TMVP candidate)
+    tt_depth_inter: int = 0    # max_transform_hierarchy_depth_inter
 
     @property
     def tiles_enabled(self) -> bool:
@@ -130,7 +131,7 @@ def write_sps(cfg: HevcConfig) -> bytes:
     w.ue(cfg.log2_ctb - cfg.log2_min_cb)
     w.ue(cfg.log2_min_tb - 2)
     w.ue(cfg.log2_max_tb - cfg.log2_min_tb)
-    w.ue(0)         # max_transform_hierarchy_depth_inter
+    w.ue(cfg.tt_depth_inter)  # max_transform_hierarchy_depth_inter
     w.ue(0)         # max_transform_hierarchy_depth_intra
     w.flag(0)       # scaling_list_enabled_flag
     w.flag(0)       # amp_enabled_flag
@@ -166,7 +167,7 @@ def parse_sps(rbsp: bytes) -> HevcConfig:
     log2_ctb = log2_min_cb + r.ue()
     log2_min_tb = r.ue() + 2
     log2_max_tb = log2_min_tb + r.ue()
-    r.ue()  # depth inter
+    depth_inter = r.ue()
     depth_intra = r.ue()
     assert depth_intra == 0, "TU quadtree depth > 0 not yet supported"
     assert not r.flag(), "scaling lists unsupported"
@@ -180,7 +181,8 @@ def parse_sps(rbsp: bytes) -> HevcConfig:
     # ignore VUI/extensions
     return HevcConfig(width=width, height=height, log2_ctb=log2_ctb,
                       log2_min_cb=log2_min_cb, log2_min_tb=log2_min_tb,
-                      log2_max_tb=log2_max_tb, sao=sao, temporal_mvp=tmvp)
+                      log2_max_tb=log2_max_tb, sao=sao, temporal_mvp=tmvp,
+                      tt_depth_inter=depth_inter)
 
 
 def write_pps(cfg: HevcConfig) -> bytes:

@@ -41,6 +41,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from video_codecs_tpu.utils.devconst import dev_const
+
 from video_codecs_tpu.models.hevc import bframe_codec as bc
 from video_codecs_tpu.models.hevc import encoder_jax
 from video_codecs_tpu.models.hevc import inter_codec as pc
@@ -55,7 +57,7 @@ from video_codecs_tpu.ops import quant as quant_ops
 from video_codecs_tpu.ops import transform as tr_ops
 
 MODE_INTER, MODE_INTRA = 0, 1
-INF = jnp.int32(1 << 30)
+INF = np.int32(1 << 30)   # numpy: safe even under lazy import (see rdoq_jax)
 
 
 # ---------------------------------------------------------------------------
@@ -132,8 +134,8 @@ def _intra_wavefront(yi, ui, vi, intra_grid, intra_modes, planes, cbfs,
     Returns the updated (planes, cbfs).
     """
     coords, valid, steps, max_len = encoder_jax._wavefront_schedule(bw, bh)
-    coords = jnp.asarray(coords)
-    valid = jnp.asarray(valid)
+    coords = dev_const(coords)
+    valid = dev_const(valid)
 
     def body(d, st):
         rec_y_p, rec_u_p, rec_v_p, cf_y, cf_u, cf_v, cb_maps = st
@@ -313,7 +315,8 @@ def encode_p_frame_dev(y, u, v, refs_y, refs_u, refs_v,
     pred_y_fin = interp.mc_luma_multi(refs_y, fin_ref, x0, y0,
                                       fin_mvx, fin_mvy, 16)
     lv_y, rec_blk, cbf_y = encoder_jax._code_blocks(
-        cur, pred_y_fin, qp, 4, intra_slice=False, sbh=sbh, rdoq=rdoq)
+        cur, pred_y_fin, qp, 4, intra_slice=False, sbh=sbh,
+        rdoq="full" if rdoq else False)
 
     cx0, cy0 = x0 // 2, y0 // 2
     ui = u.astype(jnp.int32)
@@ -325,9 +328,11 @@ def encode_p_frame_dev(y, u, v, refs_y, refs_u, refs_v,
     pred_v = interp.mc_chroma_multi(refs_v, fin_ref, cx0, cy0,
                                     fin_mvx, fin_mvy, 8)
     lv_u, rec_u_blk, cbf_u = encoder_jax._code_blocks(
-        cur_u, pred_u, qp_c, 3, intra_slice=False, sbh=sbh, rdoq=rdoq)
+        cur_u, pred_u, qp_c, 3, intra_slice=False, sbh=sbh,
+        rdoq="full" if rdoq else False, is_luma=False)
     lv_v, rec_v_blk, cbf_v = encoder_jax._code_blocks(
-        cur_v, pred_v, qp_c, 3, intra_slice=False, sbh=sbh, rdoq=rdoq)
+        cur_v, pred_v, qp_c, 3, intra_slice=False, sbh=sbh,
+        rdoq="full" if rdoq else False, is_luma=False)
 
     # scatter inter recon + coefficients into planes
     scatter = _scatter_blocks
@@ -347,8 +352,8 @@ def encode_p_frame_dev(y, u, v, refs_y, refs_u, refs_v,
 
     # ---- 4. intra blocks: wavefront recon (neighbor-dependent) ----
     coords, valid, steps, max_len = encoder_jax._wavefront_schedule(bw, bh)
-    coords = jnp.asarray(coords)
-    valid = jnp.asarray(valid)
+    coords = dev_const(coords)
+    valid = dev_const(valid)
     intra_grid = use_intra.reshape(bh, bw)
 
     def body(d, st):
@@ -472,13 +477,15 @@ def b_me_one(ref_y, cur, x0, y0, search_range: int, me_method: str):
 @functools.partial(
     jax.jit,
     static_argnames=("qp", "w", "h", "has_l1", "search_range", "sbh",
-                     "rdoq", "me_method", "deblock", "allow_intra"))
+                     "rdoq", "me_method", "deblock", "allow_intra",
+                     "merge_eval"))
 def encode_b_frame_dev(y, u, v, ref0_y, ref0_u, ref0_v,
                        ref1_y, ref1_u, ref1_v,
                        qp: int, w: int, h: int, has_l1: bool,
                        search_range: int, sbh: bool, rdoq: bool,
                        me_method: str = "pyr", deblock: bool = True,
-                       me_fields=None, allow_intra: bool = True):
+                       me_fields=None, allow_intra: bool = True,
+                       merge_eval: str = "first"):
     """One B (or anchor P) picture of the hierarchical/RA toolset, all
     pixel math on device.  Twin of bframe_codec._encode_b_frame's
     decision loop (SURVEY §3.1; HM TEncSearch bi-pred iteration :3567
@@ -556,51 +563,89 @@ def encode_b_frame_dev(y, u, v, ref0_y, ref0_u, ref0_v,
     else:
         prov_mv1x = prov_mv1y = jnp.zeros(nb, jnp.int32)
 
-    # ---- merge approximation: first in-bounds neighbor (A1 then B1),
-    # zero-BI (B) / zero-L0 (anchor) fallback — twin of derive_merge ----
+    # ---- merge approximation — twin of derive_merge ("first", flat
+    # path: the host codes a single candidate, so only the first
+    # available neighbor A1/B1 is codeable) or of the merge-5 list
+    # ("best4", qt path: evaluate A1/B1/B0/B2 + zero with their
+    # merge_idx rates and keep the cheapest; the host re-derives the
+    # spec list per PU and codes the real index) ----
     def grid(a):
         return a.reshape(bh, bw)
 
-    def pick(field, fallback):
-        left = _shift_grid(grid(field), -1, 0, 0)
-        above = _shift_grid(grid(field), 0, -1, 0)
-        bx_i = jnp.tile(jnp.arange(bw), bh).reshape(bh, bw)
-        by_i = jnp.repeat(jnp.arange(bh), bw).reshape(bh, bw)
-        out = jnp.where(bx_i > 0, left,
-                        jnp.where(by_i > 0, above, fallback))
-        return out.reshape(nb)
-
-    fb_dir = 3 if has_l1 else 1
-    mrg_dir = pick(prov_dir, fb_dir)
-    mrg_mv0x = pick(prov_mv0x, 0)
-    mrg_mv0y = pick(prov_mv0y, 0)
-    mrg_mv1x = pick(prov_mv1x, 0)
-    mrg_mv1y = pick(prov_mv1y, 0)
-    # fallback blocks carry zero MVs
-    bx_f = jnp.tile(jnp.arange(bw), bh)
-    by_f = jnp.repeat(jnp.arange(bh), bw)
-    is_fb = (bx_f == 0) & (by_f == 0)
-    mrg_mv0x = jnp.where(is_fb, 0, mrg_mv0x)
-    mrg_mv0y = jnp.where(is_fb, 0, mrg_mv0y)
-    mrg_mv1x = jnp.where(is_fb, 0, mrg_mv1x)
-    mrg_mv1y = jnp.where(is_fb, 0, mrg_mv1y)
-    mrg_dir = jnp.where(is_fb, fb_dir, mrg_dir)
-
     zr = jnp.zeros(nb, jnp.int32)
-    m0_14 = interp.mc_luma14_multi(refs_y[0][None], zr, x0, y0,
-                                   mrg_mv0x, mrg_mv0y, 16)
-    if has_l1:
-        m1_14 = interp.mc_luma14_multi(refs_y[1][None], zr, x0, y0,
-                                       mrg_mv1x, mrg_mv1y, 16)
-        pred_mrg = jnp.where(
-            (mrg_dir == 3)[:, None, None], interp.bi_average(m0_14, m1_14),
-            jnp.where((mrg_dir == 1)[:, None, None],
-                      jnp.clip((m0_14 + 32) >> 6, 0, 255),
-                      jnp.clip((m1_14 + 32) >> 6, 0, 255))).astype(jnp.int32)
+    fb_dir = 3 if has_l1 else 1
+
+    def mrg_pred(dirs, m0x, m0y, m1x, m1y):
+        p0 = interp.mc_luma14_multi(refs_y[0][None], zr, x0, y0, m0x,
+                                    m0y, 16)
+        if not has_l1:
+            return jnp.clip((p0 + 32) >> 6, 0, 255).astype(jnp.int32)
+        p1 = interp.mc_luma14_multi(refs_y[1][None], zr, x0, y0, m1x,
+                                    m1y, 16)
+        return jnp.where(
+            (dirs == 3)[:, None, None], interp.bi_average(p0, p1),
+            jnp.where((dirs == 1)[:, None, None],
+                      jnp.clip((p0 + 32) >> 6, 0, 255),
+                      jnp.clip((p1 + 32) >> 6, 0, 255))).astype(jnp.int32)
+
+    if merge_eval == "best4":
+        # candidate list approximation (A1, B1, B0, B2, zero)
+        mcands = []
+        for dx, dy in ((-1, 0), (0, -1), (1, -1), (-1, -1)):
+            ys_ = jnp.repeat(jnp.arange(bh), bw) + dy
+            xs_ = jnp.tile(jnp.arange(bw), bh) + dx
+            ok = (ys_ >= 0) & (ys_ < bh) & (xs_ >= 0) & (xs_ < bw) & \
+                 ((dy < 0) | (dx < 0))
+            mcands.append(tuple(
+                _shift_grid(grid(f), dx, dy, fill).reshape(nb)
+                for f, fill in ((prov_dir, fb_dir), (prov_mv0x, 0),
+                                (prov_mv0y, 0), (prov_mv1x, 0),
+                                (prov_mv1y, 0))) + (ok,))
+        mcands.append((jnp.full(nb, fb_dir, jnp.int32), zr, zr, zr, zr,
+                       jnp.ones(nb, bool)))
+        cost_mrg = jnp.full(nb, 1 << 30, jnp.int32)
+        mrg_dir = jnp.full(nb, fb_dir, jnp.int32)
+        mrg_mv0x = mrg_mv0y = mrg_mv1x = mrg_mv1y = zr
+        for idx, (cd, c0x, c0y, c1x, c1y, ok) in enumerate(mcands):
+            pred = mrg_pred(cd, c0x, c0y, c1x, c1y)
+            c = cost_ops.hadamard_satd_8x8(cur, pred) + jnp.round(
+                sl * (2 + idx)).astype(jnp.int32)
+            c = jnp.where(ok, c, INF)
+            better = c < cost_mrg
+            cost_mrg = jnp.where(better, c, cost_mrg)
+            mrg_dir = jnp.where(better, cd, mrg_dir)
+            mrg_mv0x = jnp.where(better, c0x, mrg_mv0x)
+            mrg_mv0y = jnp.where(better, c0y, mrg_mv0y)
+            mrg_mv1x = jnp.where(better, c1x, mrg_mv1x)
+            mrg_mv1y = jnp.where(better, c1y, mrg_mv1y)
     else:
-        pred_mrg = jnp.clip((m0_14 + 32) >> 6, 0, 255).astype(jnp.int32)
-    cost_mrg = cost_ops.hadamard_satd_8x8(cur, pred_mrg) + jnp.round(
-        sl * 2).astype(jnp.int32)
+        def pick(field, fallback):
+            left = _shift_grid(grid(field), -1, 0, 0)
+            above = _shift_grid(grid(field), 0, -1, 0)
+            bx_i = jnp.tile(jnp.arange(bw), bh).reshape(bh, bw)
+            by_i = jnp.repeat(jnp.arange(bh), bw).reshape(bh, bw)
+            out = jnp.where(bx_i > 0, left,
+                            jnp.where(by_i > 0, above, fallback))
+            return out.reshape(nb)
+
+        mrg_dir = pick(prov_dir, fb_dir)
+        mrg_mv0x = pick(prov_mv0x, 0)
+        mrg_mv0y = pick(prov_mv0y, 0)
+        mrg_mv1x = pick(prov_mv1x, 0)
+        mrg_mv1y = pick(prov_mv1y, 0)
+        # fallback blocks carry zero MVs
+        bx_f = jnp.tile(jnp.arange(bw), bh)
+        by_f = jnp.repeat(jnp.arange(bh), bw)
+        is_fb = (bx_f == 0) & (by_f == 0)
+        mrg_mv0x = jnp.where(is_fb, 0, mrg_mv0x)
+        mrg_mv0y = jnp.where(is_fb, 0, mrg_mv0y)
+        mrg_mv1x = jnp.where(is_fb, 0, mrg_mv1x)
+        mrg_mv1y = jnp.where(is_fb, 0, mrg_mv1y)
+        mrg_dir = jnp.where(is_fb, fb_dir, mrg_dir)
+        pred_mrg = mrg_pred(mrg_dir, mrg_mv0x, mrg_mv0y, mrg_mv1x,
+                            mrg_mv1y)
+        cost_mrg = cost_ops.hadamard_satd_8x8(cur, pred_mrg) + jnp.round(
+            sl * 2).astype(jnp.int32)
 
     # ---- intra candidate ----
     intra_modes = encoder_jax.decide_modes_device(yi, qp, bw, bh)
@@ -638,8 +683,9 @@ def encode_b_frame_dev(y, u, v, ref0_y, ref0_u, ref0_v,
     pred_y_fin = final_pred(refs_y[0], refs_y[1] if has_l1 else refs_y[0],
                             x0, y0, 16, (fin_mv0x, fin_mv0y),
                             (fin_mv1x, fin_mv1y), interp.mc_luma14_multi)
-    lv_y, rec_blk, cbf_y = encoder_jax._code_blocks(
-        cur, pred_y_fin, qp, 4, intra_slice=False, sbh=sbh, rdoq=rdoq)
+    lv_y, rec_blk, cbf_y, bits_y = encoder_jax._code_blocks_rate(
+        cur, pred_y_fin, qp, 4, sbh=sbh,
+        rdoq="full" if rdoq else rdoq)
 
     cx0, cy0 = x0 // 2, y0 // 2
     cur_u = encoder_jax._extract_blocks(ui, cx0, cy0, 8)
@@ -650,10 +696,13 @@ def encode_b_frame_dev(y, u, v, ref0_y, ref0_u, ref0_v,
                         (fin_mv1x, fin_mv1y), interp.mc_chroma14_multi)
     pred_v = final_pred(r0v, r1v, cx0, cy0, 8, (fin_mv0x, fin_mv0y),
                         (fin_mv1x, fin_mv1y), interp.mc_chroma14_multi)
-    lv_u, rec_u_blk, cbf_u = encoder_jax._code_blocks(
-        cur_u, pred_u, qp_c, 3, intra_slice=False, sbh=sbh, rdoq=rdoq)
-    lv_v, rec_v_blk, cbf_v = encoder_jax._code_blocks(
-        cur_v, pred_v, qp_c, 3, intra_slice=False, sbh=sbh, rdoq=rdoq)
+    lv_u, rec_u_blk, cbf_u, bits_u = encoder_jax._code_blocks_rate(
+        cur_u, pred_u, qp_c, 3, sbh=sbh,
+        rdoq="full" if rdoq else rdoq, is_luma=False)
+    lv_v, rec_v_blk, cbf_v, bits_v = encoder_jax._code_blocks_rate(
+        cur_v, pred_v, qp_c, 3, sbh=sbh,
+        rdoq="full" if rdoq else rdoq, is_luma=False)
+    coef_bits = (bits_y + bits_u + bits_v).reshape(bh, bw)
 
     is_inter = pred_mode == MODE_INTER
     rec_y_pl = _scatter_blocks(jnp.zeros((h, w), jnp.int32), rec_blk, x0,
@@ -717,6 +766,7 @@ def encode_b_frame_dev(y, u, v, ref0_y, ref0_u, ref0_v,
         mv0x=m0x, mv0y=m0y, mv1x=m1x, mv1y=m1y,
         cbf_y=cby, cbf_cb=cbf_u.reshape(bh, bw),
         cbf_cr=cbf_v.reshape(bh, bw),
+        coef_bits=coef_bits,
         coef_y=jnp.clip(coef_y, -32768, 32767).astype(jnp.int16),
         coef_u=jnp.clip(coef_u, -32768, 32767).astype(jnp.int16),
         coef_v=jnp.clip(coef_v, -32768, 32767).astype(jnp.int16),

@@ -126,16 +126,21 @@ def qt_merge_dev(y, u, v, ref0_y, ref0_u, ref0_v, ref1_y, ref1_u, ref1_v,
     coef_u = st16["coef_u"].astype(jnp.int32)
     coef_v = st16["coef_v"].astype(jnp.int32)
 
-    # ---- per-16 cost: true SSE of the coded result + rate proxy ----
+    # ---- per-16 cost: true SSE of the coded result + the RDOQ's own
+    # CABAC-rate estimate (exact-rate tree decision; ~8 bits of
+    # mode/merge/cbf syntax overhead per CU) ----
     rec_blk = encoder_jax._extract_blocks(rec_y, x0, y0, 16)
     d16 = _sse_blocks(yi, rec_blk, x0, y0, 16)
     d16 = d16 + _sse_blocks(
         ui, encoder_jax._extract_blocks(rec_u, cx0, cy0, 8), cx0, cy0, 8)
     d16 = d16 + _sse_blocks(
         vi, encoder_jax._extract_blocks(rec_v, cx0, cy0, 8), cx0, cy0, 8)
-    r16 = 8 + _coef_bits_blocks(coef_y, x0, y0, 16) + \
-        _coef_bits_blocks(coef_u, cx0, cy0, 8) + \
-        _coef_bits_blocks(coef_v, cx0, cy0, 8)
+    if "coef_bits" in st16:
+        r16 = 8.0 + st16["coef_bits"].reshape(-1)
+    else:
+        r16 = (8 + _coef_bits_blocks(coef_y, x0, y0, 16) +
+               _coef_bits_blocks(coef_u, cx0, cy0, 8) +
+               _coef_bits_blocks(coef_v, cx0, cy0, 8)).astype(jnp.float32)
     cost16 = (d16 + jnp.round(lam * r16).astype(jnp.int32)).reshape(bh, bw)
 
     # ---- candidate motion per aligned 32x32 region ----
@@ -195,9 +200,50 @@ def qt_merge_dev(y, u, v, ref0_y, ref0_u, ref0_v, ref1_y, ref1_u, ref1_v,
             best_planes = tuple(jnp.where(sel, n_, o_) for n_, o_ in
                                 zip((py32, pu32, pv32), best_planes))
 
+    # ---- residual-coded CU32 candidate: code the best whole-region
+    # prediction's residual as an RQT split to 4 TU16 (TEncSearch
+    # xEstimateInterResidualQT at depth 1), with the RDOQ's exact-rate
+    # estimate; regions may now merge with cbf != 0 ----
+    def to16(a, n):
+        g = a.shape[0]
+        return (a.reshape(g, 2, n, 2, n).transpose(0, 1, 3, 2, 4)
+                .reshape(g * 4, n, n))
+
+    cur16m = to16(cur32, 16)
+    pred16m = to16(best_planes[0], 16)
+    lv16y, rec16y, cbf16y, rbits_y = encoder_jax._code_blocks_rate(
+        cur16m, pred16m, qp, 4, sbh=sbh, rdoq="full" if rdoq else rdoq)
+    cur8u = to16(cur32u, 8)
+    pred8u = to16(best_planes[1], 8)
+    lv8u, rec8u, cbf8u, rbits_u = encoder_jax._code_blocks_rate(
+        cur8u, pred8u, qp_c, 3, sbh=sbh, rdoq="full" if rdoq else rdoq,
+        is_luma=False)
+    cur8v = to16(cur32v, 8)
+    pred8v = to16(best_planes[2], 8)
+    lv8v, rec8v, cbf8v, rbits_v = encoder_jax._code_blocks_rate(
+        cur8v, pred8v, qp_c, 3, sbh=sbh, rdoq="full" if rdoq else rdoq,
+        is_luma=False)
+
+    def per_region(a):
+        return jnp.sum(a.reshape(-1, 4), axis=1)
+
+    d_res = per_region(jnp.sum((cur16m - rec16y) ** 2, axis=(-2, -1)) +
+                       jnp.sum((cur8u - rec8u) ** 2, axis=(-2, -1)) +
+                       jnp.sum((cur8v - rec8v) ** 2, axis=(-2, -1)))
+    bits_res = per_region(rbits_y + rbits_u + rbits_v)
+    any_cbf32 = per_region((cbf16y | cbf8u | cbf8v)
+                           .astype(jnp.int32)) > 0
+    # syntax overhead: ~20 bits (merge + split + cbf flags) vs ~7 for skip
+    j_res = (d_res.astype(jnp.float32) + lam * (20.0 + bits_res)) \
+        .astype(jnp.int32)
+    j_skip = best_cost       # SSE + lam*14 from the candidate loop
+    j_res = jnp.where(any_cbf32, j_res, INF)
+
     child_sum = (child(cost16, 0, 0) + child(cost16, 0, 1) +
                  child(cost16, 1, 0) + child(cost16, 1, 1)).reshape(-1)
-    merged = best_cost <= child_sum                       # [G]
+    j_best32 = jnp.minimum(j_skip, j_res)
+    merged = j_best32 <= child_sum                        # [G]
+    res32 = merged & (j_res < j_skip)
     merged_g = merged.reshape(g32h, g32w)
 
     # ---- substitute merged regions into the final state ----
@@ -220,24 +266,52 @@ def qt_merge_dev(y, u, v, ref0_y, ref0_u, ref0_v, ref1_y, ref1_u, ref1_v,
     fin_mv = {}
     for i, k in enumerate(("mv0x", "mv0y", "mv1x", "mv1y")):
         fin_mv[k] = jnp.where(m2, up2(best[i]), mv[k])
-    cbf_y = jnp.where(m2, False, st16["cbf_y"])
-    cbf_cb = jnp.where(m2, False, st16["cbf_cb"])
-    cbf_cr = jnp.where(m2, False, st16["cbf_cr"])
+
+    def up2vals(v4):
+        """[G*4] child-order values -> [bh, bw] map over covered blocks."""
+        g = v4.reshape(g32h, g32w, 2, 2)
+        f = jnp.zeros((bh, bw), v4.dtype)
+        for dy in (0, 1):
+            for dx in (0, 1):
+                f = f.at[dy:2 * g32h:2, dx:2 * g32w:2].set(g[:, :, dy, dx])
+        return f
+
+    res2 = jnp.zeros((bh, bw), bool)
+    res2g = res32.reshape(g32h, g32w)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            res2 = res2.at[dy:2 * g32h:2, dx:2 * g32w:2].set(res2g)
+    cbf_y = jnp.where(m2, res2 & up2vals(cbf16y), st16["cbf_y"])
+    cbf_cb = jnp.where(m2, res2 & up2vals(cbf8u), st16["cbf_cb"])
+    cbf_cr = jnp.where(m2, res2 & up2vals(cbf8v), st16["cbf_cr"])
+
+    def from16(a, n):
+        g = a.shape[0] // 4
+        return (a.reshape(g, 2, 2, n, n).transpose(0, 1, 3, 2, 4)
+                .reshape(g, 2 * n, 2 * n))
 
     sel32 = merged
-    rec_y = inter_jax._scatter_blocks(rec_y, best_planes[0], x32, y32, 32,
-                                      sel32)
-    rec_u = inter_jax._scatter_blocks(rec_u, best_planes[1], x32 // 2,
-                                      y32 // 2, 16, sel32)
-    rec_v = inter_jax._scatter_blocks(rec_v, best_planes[2], x32 // 2,
-                                      y32 // 2, 16, sel32)
+    use_res = res32[:, None, None]
+    rec_y = inter_jax._scatter_blocks(
+        rec_y, jnp.where(use_res, from16(rec16y, 16), best_planes[0]),
+        x32, y32, 32, sel32)
+    rec_u = inter_jax._scatter_blocks(
+        rec_u, jnp.where(use_res, from16(rec8u, 8), best_planes[1]),
+        x32 // 2, y32 // 2, 16, sel32)
+    rec_v = inter_jax._scatter_blocks(
+        rec_v, jnp.where(use_res, from16(rec8v, 8), best_planes[2]),
+        x32 // 2, y32 // 2, 16, sel32)
     zero32y = jnp.zeros((g32h * g32w, 32, 32), jnp.int32)
     zero32c = jnp.zeros((g32h * g32w, 16, 16), jnp.int32)
-    coef_y = inter_jax._scatter_blocks(coef_y, zero32y, x32, y32, 32, sel32)
-    coef_u = inter_jax._scatter_blocks(coef_u, zero32c, x32 // 2, y32 // 2,
-                                       16, sel32)
-    coef_v = inter_jax._scatter_blocks(coef_v, zero32c, x32 // 2, y32 // 2,
-                                       16, sel32)
+    coef_y = inter_jax._scatter_blocks(
+        coef_y, jnp.where(use_res, from16(lv16y, 16), zero32y),
+        x32, y32, 32, sel32)
+    coef_u = inter_jax._scatter_blocks(
+        coef_u, jnp.where(use_res, from16(lv8u, 8), zero32c),
+        x32 // 2, y32 // 2, 16, sel32)
+    coef_v = inter_jax._scatter_blocks(
+        coef_v, jnp.where(use_res, from16(lv8v, 8), zero32c),
+        x32 // 2, y32 // 2, 16, sel32)
 
     # ---- intra blocks re-run on the FINAL recon (their neighbors may
     # have been replaced by merged-region prediction) ----
@@ -283,6 +357,7 @@ def qt_merge_dev(y, u, v, ref0_y, ref0_u, ref0_v, ref1_y, ref1_u, ref1_v,
 
     return dict(
         merged32=merged_g,
+        res32=res32.reshape(g32h, g32w),
         pred_mode=fin_pred_mode.astype(jnp.int8),
         intra_mode=intra_modes.astype(jnp.int8),
         inter_dir=fin_dir.astype(jnp.int8),
@@ -313,6 +388,7 @@ class QtDeviceRandomAccessEncoder(ra.RandomAccessEncoder):
             cfg.log2_max_tb == 5, "qt inter build is CTB32 (quadtree SPS)"
         assert not cfg.temporal_mvp, "TMVP on the qt path: later"
         assert cfg.width % 16 == 0 and cfg.height % 16 == 0
+        cfg.tt_depth_inter = 1     # CU32 residuals code an RQT split
         super().__init__(cfg, gop, search_range, me_method)
         self._qt_intra = quadtree_codec.QuadtreeFastEncoder(cfg)
 
@@ -338,7 +414,7 @@ class QtDeviceRandomAccessEncoder(ra.RandomAccessEncoder):
             qp=cfg.qp, w=cfg.width, h=cfg.height, has_l1=has_l1,
             search_range=self.search_range, sbh=cfg.sign_data_hiding,
             rdoq=True, me_method=self.me_method, deblock=False,
-            allow_intra=False)
+            allow_intra=False, merge_eval="best4")
         qt = qt_merge_dev(
             jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), *args, st16,
             qp=cfg.qp, w=cfg.width, h=cfg.height, has_l1=has_l1,
@@ -432,7 +508,6 @@ class QtDeviceRandomAccessEncoder(ra.RandomAccessEncoder):
         cbfs = [bool(qt[k][by:by + nblk, bx:bx + nblk].any())
                 for k in ("cbf_y", "cbf_cb", "cbf_cr")]
         no_res = not any(cbfs)
-        assert size == 16 or no_res, "32 CUs are skip/no-residual only"
 
         skip = midx >= 0 and no_res
         enc.encode_bin(ctx.off("skip_flag", st.skip_ctx(x, y)),
@@ -472,16 +547,50 @@ class QtDeviceRandomAccessEncoder(ra.RandomAccessEncoder):
             if no_res:
                 st.set_inter(x, y, size, m, skip=False)
                 return
-        # residual (16 CUs only): TU == CU
-        cbf_y, cbf_cb, cbf_cr = cbfs
-        enc.encode_bin(ctx.off("cbf_chroma"), 1 if cbf_cb else 0)
-        enc.encode_bin(ctx.off("cbf_chroma"), 1 if cbf_cr else 0)
-        if cbf_cb or cbf_cr:
-            enc.encode_bin(ctx.off("cbf_luma", 1), 1 if cbf_y else 0)
+        # transform tree (spec 7.3.8.8, mirrored by GeneralDecoder
+        # _decode_tt_inter): CU32 splits to 4 TU16; CU16 is TU == CU
+        if size == 32:
+            self._write_tt32(enc, st, x, y)
         else:
-            assert cbf_y
-        self._write_tu16(enc, st, x, y, cbf_y, cbf_cb, cbf_cr)
+            if self.cfg.tt_depth_inter > 0:
+                # trafoDepth 0 < MaxDepth: explicit non-split at 16
+                enc.encode_bin(ctx.off("trans_subdiv", 1), 0)
+            cbf_y, cbf_cb, cbf_cr = cbfs
+            enc.encode_bin(ctx.off("cbf_chroma"), 1 if cbf_cb else 0)
+            enc.encode_bin(ctx.off("cbf_chroma"), 1 if cbf_cr else 0)
+            if cbf_cb or cbf_cr:
+                enc.encode_bin(ctx.off("cbf_luma", 1), 1 if cbf_y else 0)
+            else:
+                assert cbf_y
+            self._write_tu16(enc, st, x, y, cbf_y, cbf_cb, cbf_cr)
         st.set_inter(x, y, size, m, skip=False)
+
+    def _write_tt32(self, enc, st, x, y):
+        """CU32 transform tree: split_transform_flag=1 + 4 TU16 children
+        (chroma 8x8 per child, parent-conditioned cbf flags)."""
+        qt = st.qt
+        bx, by = x // 16, y // 16
+        enc.encode_bin(ctx.off("trans_subdiv", 0), 1)
+        cb_p = bool(qt["cbf_cb"][by:by + 2, bx:bx + 2].any())
+        cr_p = bool(qt["cbf_cr"][by:by + 2, bx:bx + 2].any())
+        enc.encode_bin(ctx.off("cbf_chroma", 0), 1 if cb_p else 0)
+        enc.encode_bin(ctx.off("cbf_chroma", 0), 1 if cr_p else 0)
+        for q in range(4):
+            sx, sy = x + (q & 1) * 16, y + (q >> 1) * 16
+            sbx, sby = sx // 16, sy // 16
+            cb = bool(qt["cbf_cb"][sby, sbx])
+            cr = bool(qt["cbf_cr"][sby, sbx])
+            if cb_p:
+                enc.encode_bin(ctx.off("cbf_chroma", 1), 1 if cb else 0)
+            else:
+                assert not cb
+            if cr_p:
+                enc.encode_bin(ctx.off("cbf_chroma", 1), 1 if cr else 0)
+            else:
+                assert not cr
+            cy_ = bool(qt["cbf_y"][sby, sbx])
+            enc.encode_bin(ctx.off("cbf_luma", 0), 1 if cy_ else 0)
+            self._write_tu16(enc, st, sx, sy, cy_, cb, cr)
 
     def _code_intra_cu(self, enc, st, x, y):
         cfg = self.cfg

@@ -13,6 +13,8 @@ import functools
 import jax.numpy as jnp
 import numpy as np
 
+from video_codecs_tpu.utils.devconst import dev_const
+
 
 def sad(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Sum of absolute differences over trailing 2 dims."""
@@ -41,7 +43,7 @@ def hadamard_satd_8x8(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     assert h % 8 == 0 and w % 8 == 0
     d = d.reshape(d.shape[:-2] + (h // 8, 8, w // 8, 8))
     d = jnp.swapaxes(d, -3, -2)  # [..., th, tw, 8, 8]
-    h8 = jnp.asarray(_hadamard(8), jnp.int32)
+    h8 = dev_const(_hadamard(8), jnp.int32)
     t = jnp.einsum("ij,...jk,kl->...il", h8, d, h8,
                    preferred_element_type=jnp.int32)
     s = jnp.sum(jnp.abs(t), axis=(-2, -1))
@@ -56,7 +58,7 @@ def hadamard_satd_4x4(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     assert h % 4 == 0 and w % 4 == 0
     d = d.reshape(d.shape[:-2] + (h // 4, 4, w // 4, 4))
     d = jnp.swapaxes(d, -3, -2)
-    h4 = jnp.asarray(_hadamard(4), jnp.int32)
+    h4 = dev_const(_hadamard(4), jnp.int32)
     t = jnp.einsum("ij,...jk,kl->...il", h4, d, h4,
                    preferred_element_type=jnp.int32)
     s = (jnp.sum(jnp.abs(t), axis=(-2, -1)) + 1) >> 1

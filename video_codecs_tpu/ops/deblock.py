@@ -19,6 +19,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+from video_codecs_tpu.utils.devconst import dev_const
+
 from video_codecs_tpu.utils import rom
 
 # TComLoopFilter.cpp:59-67 (spec Tables 8-12).
@@ -67,10 +69,10 @@ def _filter_ver_edges_luma(plane: jnp.ndarray, edges: np.ndarray, qp,
             return plane
     else:
         qpa = jnp.clip(jnp.asarray(qp, jnp.int32), 0, 51)     # [E, S]
-        tc2 = jnp.asarray(TC_TABLE)[jnp.clip(qpa + INTRA_TC_OFFSET,
+        tc2 = dev_const(TC_TABLE)[jnp.clip(qpa + INTRA_TC_OFFSET,
                                              0, 53)] * scale
-        tc1 = jnp.asarray(TC_TABLE)[jnp.clip(qpa, 0, 53)] * scale
-        beta = jnp.asarray(BETA_TABLE)[qpa] * scale
+        tc1 = dev_const(TC_TABLE)[jnp.clip(qpa, 0, 53)] * scale
+        beta = dev_const(BETA_TABLE)[qpa] * scale
     h = plane.shape[0]
     maxval = (1 << bit_depth) - 1
     idx = edges[:, None] + np.arange(-4, 4)[None, :]          # [E, 8]
@@ -164,9 +166,9 @@ def _filter_ver_edges_chroma(plane: jnp.ndarray, edges: np.ndarray, qp,
             return plane
     else:
         scale = 1 << (bit_depth - 8)
-        qpc = jnp.asarray(rom.CHROMA_QP_TABLE_420)[
+        qpc = dev_const(rom.CHROMA_QP_TABLE_420)[
             jnp.clip(jnp.asarray(qp, jnp.int32), 0, 57)]
-        tc_arr = jnp.asarray(TC_TABLE)[jnp.clip(qpc + INTRA_TC_OFFSET,
+        tc_arr = dev_const(TC_TABLE)[jnp.clip(qpc + INTRA_TC_OFFSET,
                                                 0, 53)] * scale
         tc = jnp.swapaxes(tc_arr, 0, 1)  # [H_c, E]
     maxval = (1 << bit_depth) - 1

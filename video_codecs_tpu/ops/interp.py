@@ -13,6 +13,9 @@ HM's margin padding).  All arithmetic int32, 14-bit intermediate domain:
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -33,6 +36,13 @@ CHROMA_FILTERS = np.array([
     [-4, 28, 46, -6],
     [-2, 16, 54, -4],
     [-2, 10, 58, -2]], np.int32)
+
+
+def _taps_dev(luma: bool):
+    """Filter-tap constants, freshly materialized from numpy per trace
+    (cached CONCRETE jnp constants break jax-0.9 cache-hit dispatch —
+    see utils/devconst.py)."""
+    return jnp.asarray(LUMA_FILTERS if luma else CHROMA_FILTERS)
 
 
 def _gather_window(ref: jnp.ndarray, x0, y0, w: int, h: int) -> jnp.ndarray:
@@ -58,7 +68,7 @@ def mc_luma(ref: jnp.ndarray, x0, y0, mvx, mvy, n: int) -> jnp.ndarray:
     fx = mvx & 3
     fy = mvy & 3
     win = _gather_window(ref.astype(jnp.int32), ix - 3, iy - 3, n + 7, n + 7)
-    taps = jnp.asarray(LUMA_FILTERS)
+    taps = _taps_dev(True)
     fh = taps[fx]
     fv = taps[fy]
     cols = jnp.stack([win[:, :, i:i + n] for i in range(8)], axis=-1)
@@ -78,7 +88,7 @@ def mc_chroma(ref: jnp.ndarray, x0, y0, mvx, mvy, n: int) -> jnp.ndarray:
     fx = mvx & 7
     fy = mvy & 7
     win = _gather_window(ref.astype(jnp.int32), ix - 1, iy - 1, n + 3, n + 3)
-    taps = jnp.asarray(CHROMA_FILTERS)
+    taps = _taps_dev(False)
     fh = taps[fx]
     fv = taps[fy]
     cols = jnp.stack([win[:, :, i:i + n] for i in range(4)], axis=-1)
@@ -105,7 +115,7 @@ def _gather_window_multi(refs: jnp.ndarray, ridx, x0, y0, w: int,
 def _mc_luma14_core(win: jnp.ndarray, fx, fy, n: int) -> jnp.ndarray:
     """Two-stage 8-tap filtering of gathered [B, n+7, n+7] windows into the
     14-bit intermediate domain (no final shift)."""
-    taps = jnp.asarray(LUMA_FILTERS)
+    taps = _taps_dev(True)
     fh = taps[fx]
     fv = taps[fy]
     cols = jnp.stack([win[:, :, i:i + n] for i in range(8)], axis=-1)
@@ -133,7 +143,7 @@ def mc_luma_multi(refs: jnp.ndarray, ridx, x0, y0, mvx, mvy,
 
 
 def _mc_chroma14_core(win: jnp.ndarray, fx, fy, n: int) -> jnp.ndarray:
-    taps = jnp.asarray(CHROMA_FILTERS)
+    taps = _taps_dev(False)
     fh = taps[fx]
     fv = taps[fy]
     cols = jnp.stack([win[:, :, i:i + n] for i in range(4)], axis=-1)

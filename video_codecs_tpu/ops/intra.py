@@ -33,6 +33,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from video_codecs_tpu.utils.devconst import dev_const
+
 from video_codecs_tpu.utils import rom
 
 PLANAR, DC = 0, 1
@@ -169,9 +171,9 @@ def predict_intra(ref: jnp.ndarray, modes: jnp.ndarray, log2_size: int, *,
     ref_f = smooth_reference(ref)
     ref2 = jnp.concatenate([ref, ref_f], axis=-1).astype(jnp.float32)
     # All 35 modes at once: [B, 2R] x [35, N*N, 2R] -> [B, 35, N*N].
-    acc = jnp.einsum("br,mpr->bmp", ref2, jnp.asarray(w),
+    acc = jnp.einsum("br,mpr->bmp", ref2, dev_const(w),
                      preferred_element_type=jnp.float32)
-    pred_all = (acc.astype(jnp.int32) + jnp.asarray(bias)[None, :, None]) >> s_common
+    pred_all = (acc.astype(jnp.int32) + dev_const(bias)[None, :, None]) >> s_common
 
     # Gather requested modes: [B, M, N*N].
     pred = jnp.take_along_axis(pred_all, modes[..., None], axis=1)

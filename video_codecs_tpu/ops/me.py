@@ -14,6 +14,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+from video_codecs_tpu.utils.devconst import dev_const
+
 from video_codecs_tpu.ops import cost as cost_ops
 from video_codecs_tpu.ops import interp
 
@@ -39,8 +41,8 @@ def integer_search(ref: jnp.ndarray, cur: jnp.ndarray, x0, y0, n: int,
     # small center bias like HM's mv-cost: prefer shorter MVs on ties
     mv_cost = (np.abs(dy - r) + np.abs(dx - r)).astype(np.int32)
     best = jnp.argmin(sad + mv_cost[None, :], axis=1)
-    return ((jnp.asarray(dx)[best] - r).astype(jnp.int32),
-            (jnp.asarray(dy)[best] - r).astype(jnp.int32))
+    return ((dev_const(dx)[best] - r).astype(jnp.int32),
+            (dev_const(dy)[best] - r).astype(jnp.int32))
 
 
 def _sad_at_points(win: jnp.ndarray, cur: jnp.ndarray, pts: np.ndarray,
@@ -105,9 +107,9 @@ def tz_search(ref: jnp.ndarray, cur: jnp.ndarray, x0, y0, n: int,
     sad1 = _sad_at_points(win, cur32, pts1, r, n)
     mv_cost1 = (np.abs(pts1[:, 0]) + np.abs(pts1[:, 1])).astype(np.int32)
     best1 = jnp.argmin(sad1 + mv_cost1[None, :], axis=1)          # [B]
-    bx = jnp.asarray(pts1[:, 0])[best1]
-    by = jnp.asarray(pts1[:, 1])[best1]
-    bd = jnp.asarray(dist1)[best1]
+    bx = dev_const(pts1[:, 0])[best1]
+    by = dev_const(pts1[:, 1])[best1]
+    bd = dev_const(dist1)[best1]
     bcost = jnp.take_along_axis(sad1 + mv_cost1[None, :],
                                 best1[:, None], axis=1)[:, 0]
 
@@ -125,15 +127,15 @@ def tz_search(ref: jnp.ndarray, cur: jnp.ndarray, x0, y0, n: int,
     # improvement is free and strictly better than HM's gate.
     del bd
     use_raster = cost2 < bcost
-    bx = jnp.where(use_raster, jnp.asarray(pts2[:, 0])[best2], bx)
-    by = jnp.where(use_raster, jnp.asarray(pts2[:, 1])[best2], by)
+    bx = jnp.where(use_raster, dev_const(pts2[:, 0])[best2], bx)
+    by = jnp.where(use_raster, dev_const(pts2[:, 1])[best2], by)
     bcost = jnp.where(use_raster, cost2, bcost)
 
     # --- stage 3: star refinement around the running best ---
     pts3, _ = _tz_points(8)
     for _ in range(3):
-        cand_x = bx[:, None] + jnp.asarray(pts3[:, 0])[None, :]
-        cand_y = by[:, None] + jnp.asarray(pts3[:, 1])[None, :]
+        cand_x = bx[:, None] + dev_const(pts3[:, 0])[None, :]
+        cand_y = by[:, None] + dev_const(pts3[:, 1])[None, :]
         cand_x = jnp.clip(cand_x, -r, r)
         cand_y = jnp.clip(cand_y, -r, r)
         # per-block gather: offsets differ per block now
@@ -184,8 +186,8 @@ def _sad_best_around(ref: jnp.ndarray, cur: jnp.ndarray, x0, y0,
     for s in range(0, len(pts), 32):
         p = pts[s:s + 32]
         sad = _sad_at_points(win, cur32, p, rad, n)    # [B, P]
-        mvx = cx[:, None] + jnp.asarray(p[:, 0])[None, :]
-        mvy = cy[:, None] + jnp.asarray(p[:, 1])[None, :]
+        mvx = cx[:, None] + dev_const(p[:, 0])[None, :]
+        mvy = cy[:, None] + dev_const(p[:, 1])[None, :]
         cost = sad + jnp.abs(mvx) + jnp.abs(mvy) + bias
         k = jnp.argmin(cost, axis=1)
         c = jnp.take_along_axis(cost, k[:, None], axis=1)[:, 0]
@@ -230,8 +232,8 @@ def pyramid_search(ref: jnp.ndarray, cur: jnp.ndarray, x0, y0, n: int,
     cost_q = sad_q * 16 + 4 * (np.abs(pts_q[:, 0]) +
                                np.abs(pts_q[:, 1]))[None, :]
     kq = jnp.argmin(cost_q, axis=1)
-    cx = jnp.asarray(pts_q[:, 0])[kq] * 4
-    cy = jnp.asarray(pts_q[:, 1])[kq] * 4
+    cx = dev_const(pts_q[:, 0])[kq] * 4
+    cy = dev_const(pts_q[:, 1])[kq] * 4
 
     big = jnp.full(cur.shape[0], 1 << 30, jnp.int32)
     zero = jnp.zeros(cur.shape[0], jnp.int32)
@@ -250,8 +252,9 @@ _OFFS8 = np.array([(-1, -1), (0, -1), (1, -1), (-1, 0), (1, 0),
 
 def _refine(ref, cur, x0, y0, mvx, mvy, n, step):
     """One diamond refinement round at quarter-pel `step` using SATD."""
-    cand_x = mvx[:, None] + _OFFS8[None, :, 0] * step   # [B, 8]
-    cand_y = mvy[:, None] + _OFFS8[None, :, 1] * step
+    offs8 = dev_const(_OFFS8)
+    cand_x = mvx[:, None] + offs8[None, :, 0] * step   # [B, 8]
+    cand_y = mvy[:, None] + offs8[None, :, 1] * step
     b = cur.shape[0]
     best = cost_ops.hadamard_satd_8x8(
         cur, interp.mc_luma(ref, x0, y0, mvx, mvy, n))  # [B]

@@ -18,6 +18,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+from video_codecs_tpu.utils.devconst import dev_const
+
 from video_codecs_tpu.utils import rom
 
 
@@ -270,7 +272,7 @@ def apply_sbh(levels: jnp.ndarray, log2_size: int, coeff: jnp.ndarray,
     from video_codecs_tpu.utils import rom
 
     n = 1 << log2_size
-    scan = rom.scan_order(log2_size, rom.SCAN_DIAG)
+    scan = dev_const(rom.scan_order(log2_size, rom.SCAN_DIAG))
     shp = levels.shape[:-2]
     flat = levels.reshape(shp + (n * n,))
     cflat = coeff.reshape(shp + (n * n,))
@@ -300,12 +302,12 @@ def apply_sbh_scan(levels: jnp.ndarray, log2_size: int,
     shp = levels.shape[:-2]
     flat = levels.reshape(shp + (n * n,))
     cflat = coeff.reshape(shp + (n * n,))
-    perm = jnp.asarray(scans)[scan_type]                # [B, n*n]
+    perm = dev_const(scans)[scan_type]                # [B, n*n]
     cgs = jnp.take_along_axis(flat, perm, axis=-1).reshape(shp + (-1, 16))
     ocgs = jnp.take_along_axis(cflat, perm, axis=-1).reshape(shp + (-1, 16))
     cgs = _sbh_fix_cgs(cgs, ocgs, qp, log2_size, bit_depth)
     out_scan = cgs.reshape(shp + (n * n,))
-    inv = jnp.asarray(invs)[scan_type]
+    inv = dev_const(invs)[scan_type]
     out = jnp.take_along_axis(out_scan, inv, axis=-1)
     return out.reshape(levels.shape)
 

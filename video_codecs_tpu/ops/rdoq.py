@@ -100,7 +100,8 @@ def _rate_level(level: int, one_bits, abs_bits, rice: int,
 def rdoq_np(coeff: np.ndarray, qp: int, log2_size: int, *, lam: float,
             scan_type: int = rom.SCAN_DIAG, is_luma: bool = True,
             states: np.ndarray | None = None, slice_type: int = 2,
-            bit_depth: int = 8, allow_all_zero: bool = True) -> np.ndarray:
+            bit_depth: int = 8, allow_all_zero: bool = True,
+            adapt_ctx: bool = True) -> np.ndarray:
     """Full RDOQ of one TU's transform coefficients [N, N] -> levels [N, N].
 
     states: CABAC context snapshot for rate estimation (defaults to the
@@ -119,6 +120,10 @@ def rdoq_np(coeff: np.ndarray, qp: int, log2_size: int, *, lam: float,
         return int(ent[s]), int(ent[s ^ 1])
 
     def adapt(ctx_idx, bin_val):
+        # adapt_ctx=False freezes the snapshot (HM's estBits behavior;
+        # the device twin rdoq_jax matches this mode bit-for-bit)
+        if not adapt_ctx:
+            return
         s = int(st[ctx_idx])
         if bin_val == (s & 1):
             st[ctx_idx] = NEXT_STATE_MPS[s]

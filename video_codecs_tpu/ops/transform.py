@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from video_codecs_tpu.utils import rom
+from video_codecs_tpu.utils.devconst import dev_const
 
 TRANSFORM_MATRIX_SHIFT = 6
 
@@ -52,7 +53,7 @@ def forward_transform(res: jnp.ndarray, log2_size: int, bit_depth: int = 8,
     """
     n = 1 << log2_size
     assert res.shape[-1] == n and res.shape[-2] == n
-    t, _ = _matrices(log2_size, dst)
+    t = dev_const(_matrices(log2_size, dst)[0])
     shift_1st = log2_size + bit_depth + TRANSFORM_MATRIX_SHIFT - rom.MAX_TR_DYNAMIC_RANGE
     shift_2nd = log2_size + TRANSFORM_MATRIX_SHIFT
     # Stage 1 transforms rows (x): tmp[..., kx, y]
@@ -66,7 +67,7 @@ def inverse_transform(coeff: jnp.ndarray, log2_size: int, bit_depth: int = 8,
     """Inverse core transform, bit-exact vs HM partialButterflyInverse*."""
     n = 1 << log2_size
     assert coeff.shape[-1] == n and coeff.shape[-2] == n
-    _, t_inv = _matrices(log2_size, dst)
+    t_inv = dev_const(_matrices(log2_size, dst)[1])
     shift_1st = TRANSFORM_MATRIX_SHIFT + 1
     shift_2nd = TRANSFORM_MATRIX_SHIFT + rom.MAX_TR_DYNAMIC_RANGE - 1 - bit_depth
     clamp = (1 << rom.MAX_TR_DYNAMIC_RANGE)  # 16-bit intermediate range
