@@ -1,13 +1,15 @@
 """Driver benchmark — prints ONE JSON line {"metric", "value", "unit",
 "vs_baseline"}.
 
-Round 3 headline: the NORTH-STAR config — 1080p random-access
-hierarchical-B (GOP-8, GOPEntry tables) on the device inter engine
-(inter_jax.DeviceRandomAccessEncoder): per-list ME + uni/bi decision +
-residual coding + deblocking on the TPU, host merge/AMVP reconciliation
-+ CABAC.  Baseline: HM-16.5 TAppEncoderStatic single-thread
+Round 4 headline: the NORTH-STAR config — 1080p random-access
+hierarchical-B (GOP-8) on the device CTB32 inter quadtree
+(inter_qt.QtDeviceRandomAccessEncoder): ME/merge-5/bi decision,
+full RDOQ with CABAC-table rates, skip/residual CU32 tree, TU8 RQT and
+the HM lambda ladder on the TPU; host merge/AMVP reconciliation + CABAC.
+Baseline: HM-16.5 TAppEncoderStatic single-thread
 encoder_randomaccess_main.cfg on this machine = 0.0207 fps (BASELINE.md
-row 3, 2026-08-19).
+row 3, 2026-08-19).  `extra` carries kbps AND Y-PSNR per config so
+quality regressions surface round-to-round.
 
 Secondary configs (BASELINE.md rows 1-2) are measured too and reported
 in the "extra" field so round-to-round regressions surface:
@@ -46,20 +48,70 @@ def synth_clip(w, h, n, seed=42):
     return frames
 
 
+def psnr_y(frames, recs):
+    import math
+    a = np.concatenate([f[0].astype(np.float64).ravel() for f in frames])
+    b = np.concatenate([np.asarray(r[0], np.float64).ravel()
+                        for r in recs])
+    return 10 * math.log10(255 ** 2 / np.mean((a - b) ** 2))
+
+
 def bench_ra_1080():
-    """North star: 1080p RA GOP-8 on the device inter engine."""
-    from video_codecs_tpu.models.hevc import headers, inter_jax
+    """North star: 1080p RA GOP-8 on the device CTB32 inter quadtree
+    (skip/residual CU32 tree + TU8 RQT + full RDOQ + HM lambda ladder —
+    the round-4 quality path)."""
+    from video_codecs_tpu.models.hevc import headers, inter_qt
 
     frames = synth_clip(1920, 1072, 9)
-    cfg = headers.HevcConfig(width=1920, height=1072, qp=32,
-                             reorder_pics=3, sign_data_hiding=True)
-    enc = inter_jax.DeviceRandomAccessEncoder(cfg, search_range=64)
+    cfg = headers.HevcConfig(width=1920, height=1072, qp=32, log2_ctb=5,
+                             log2_min_cb=3, log2_max_tb=5,
+                             reorder_pics=3, sign_data_hiding=True,
+                             rdoq="lite", merge_cands=5)
+    enc = inter_qt.QtDeviceRandomAccessEncoder(cfg, search_range=64)
     enc.encode_sequence_ra(frames)            # compile + warm caches
     t0 = time.time()
-    stream, _ = enc.encode_sequence_ra(frames)
+    stream, recons = enc.encode_sequence_ra(frames)
     fps = len(frames) / (time.time() - t0)
     kbps = len(stream) * 8 * 30 / len(frames) / 1000
-    return fps, kbps
+    return fps, kbps, psnr_y(frames, recons)
+
+
+def bench_ra_foreman():
+    """RA GOP-8 on real content (foreman fixture cycled to 9 frames):
+    kbps + PSNR so BD-style regressions on non-synthetic input surface."""
+    from video_codecs_tpu.models.hevc import headers, inter_qt
+    from video_codecs_tpu.utils import yuv
+
+    path = "/root/reference/jm18.5/bin/foreman_part_qcif.yuv"
+    ys, us, vs = yuv.read_frames(path, 176, 144)
+    cyc = [0, 1, 2, 1]
+    frames = [(ys[cyc[i % 4]], us[cyc[i % 4]], vs[cyc[i % 4]])
+              for i in range(9)]
+    cfg = headers.HevcConfig(width=176, height=144, qp=32, log2_ctb=5,
+                             log2_min_cb=3, log2_max_tb=5,
+                             reorder_pics=3, sign_data_hiding=True,
+                             rdoq="lite", merge_cands=5)
+    enc = inter_qt.QtDeviceRandomAccessEncoder(cfg, search_range=16)
+    stream, recons = enc.encode_sequence_ra(frames)
+    kbps = len(stream) * 8 * 30 / len(frames) / 1000
+    return kbps, psnr_y(frames, recons)
+
+
+def bench_jm_baseline():
+    """JM H.264 baseline (CAVLC, full search) on the foreman fixture
+    (BASELINE config 4; host engine — JM single-thread = 22.6 fps)."""
+    from video_codecs_tpu.models.h264.inter_codec import H264Encoder
+    from video_codecs_tpu.utils import yuv
+
+    path = "/root/reference/jm18.5/bin/foreman_part_qcif.yuv"
+    ys, us, vs = yuv.read_frames(path, 176, 144)
+    frames = [(ys[i], us[i], vs[i]) for i in range(3)]
+    enc = H264Encoder(176, 144, qp=28, search_range=16, entropy="cavlc")
+    t0 = time.time()
+    stream, recons = enc.encode_sequence(frames)
+    fps = len(frames) / (time.time() - t0)
+    kbps = len(stream) * 8 * 30 / len(frames) / 1000
+    return fps, kbps, psnr_y(frames, recons)
 
 
 def bench_intra_qt():
@@ -97,13 +149,18 @@ def bench_ldp_480():
     return fps, kbps
 
 
+JM_BASELINE_FPS = 22.6
+
+
 def main() -> None:
-    configs = os.environ.get("VCT_BENCH_CONFIGS", "ra,intra,ldp").split(",")
+    configs = os.environ.get("VCT_BENCH_CONFIGS",
+                             "ra,intra,ldp,foreman,jm").split(",")
     extra = {}
     ra_fps = None
     if "ra" in configs:
-        ra_fps, ra_kbps = bench_ra_1080()
+        ra_fps, ra_kbps, ra_psnr = bench_ra_1080()
         extra["ra_1080_kbps"] = round(ra_kbps)
+        extra["ra_1080_ypsnr"] = round(ra_psnr, 2)
     if "intra" in configs:
         try:
             f = bench_intra_qt()
@@ -119,10 +176,27 @@ def main() -> None:
             extra["ldp_480_kbps"] = round(kbps)
         except Exception as e:
             extra["ldp_error"] = f"{type(e).__name__}: {e}"
+    if "foreman" in configs:
+        try:
+            kbps, p = bench_ra_foreman()
+            extra["ra_foreman_kbps"] = round(kbps)
+            extra["ra_foreman_ypsnr"] = round(p, 2)
+        except Exception as e:
+            extra["foreman_error"] = f"{type(e).__name__}: {e}"
+    if "jm" in configs:
+        try:
+            f, kbps, p = bench_jm_baseline()
+            extra["jm_qcif_fps"] = round(f, 2)
+            extra["jm_qcif_vs_jm"] = round(f / JM_BASELINE_FPS, 3)
+            extra["jm_qcif_kbps"] = round(kbps)
+            extra["jm_qcif_ypsnr"] = round(p, 2)
+        except Exception as e:
+            extra["jm_error"] = f"{type(e).__name__}: {e}"
 
     if ra_fps is None:
-        ra_fps, ra_kbps = bench_ra_1080()
+        ra_fps, ra_kbps, ra_psnr = bench_ra_1080()
         extra["ra_1080_kbps"] = round(ra_kbps)
+        extra["ra_1080_ypsnr"] = round(ra_psnr, 2)
     print(json.dumps({
         "metric": "hevc_ra_1080p_gop8_device_encode_qp32",
         "value": round(ra_fps, 4),

@@ -152,7 +152,7 @@ def _wavefront_schedule(bw: int, bh: int):
 
 
 def _code_blocks(orig, pred, qp, log2, intra_slice=True, sbh=False,
-                 rdoq=False, is_luma=True):
+                 rdoq=False, is_luma=True, lam=None):
     """Batched TB coding: returns (levels, recon, cbf).
 
     rdoq: False = hard quant, True/"lite" = elementwise RDOQ-lite,
@@ -163,14 +163,14 @@ def _code_blocks(orig, pred, qp, log2, intra_slice=True, sbh=False,
     """
     res = orig - pred
     coeff = tr_ops.forward_transform(res, log2)
+    if lam is None:
+        lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
     if rdoq == "full":
         from video_codecs_tpu.ops import rdoq_jax
-        lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
         levels = rdoq_jax.rdoq_dev(
             coeff, qp, log2, lam=lam, is_luma=is_luma,
             slice_type=2 if intra_slice else 0)
     elif rdoq:
-        lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
         levels = quant_ops.rdoq_lite(coeff, qp, log2, lam=lam)
     else:
         levels = quant_ops.quantize(coeff, qp, log2)
@@ -185,7 +185,7 @@ def _code_blocks(orig, pred, qp, log2, intra_slice=True, sbh=False,
 
 
 def _code_blocks_rate(orig, pred, qp, log2, sbh=False, is_luma=True,
-                      rdoq="full"):
+                      rdoq="full", lam=None):
     """Batched TB coding that also returns the estimated CABAC rate.
 
     Returns (levels, recon, cbf, bits[f32 per block]).  With rdoq="full"
@@ -194,7 +194,8 @@ def _code_blocks_rate(orig, pred, qp, log2, sbh=False, is_luma=True,
     """
     res = orig - pred
     coeff = tr_ops.forward_transform(res, log2)
-    lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
+    if lam is None:
+        lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
     if rdoq == "full":
         from video_codecs_tpu.ops import rdoq_jax
         levels, bits = rdoq_jax.rdoq_dev(

@@ -111,7 +111,8 @@ def _grid(n: int, pw: int, ph: int):
     return xs, ys, bw, bh
 
 
-def _mode_sweep(y: jnp.ndarray, qp: int, n: int) -> jnp.ndarray:
+def _mode_sweep(y: jnp.ndarray, qp: int, n: int,
+                lam_scale: float = 1.0) -> jnp.ndarray:
     """[bh, bw] best intra mode per n-block (original-neighbor SATD sweep
     with a left-MPM-aware row scan, like encoder_jax.decide_modes_device)."""
     ph, pw = y.shape
@@ -124,7 +125,7 @@ def _mode_sweep(y: jnp.ndarray, qp: int, n: int) -> jnp.ndarray:
     satd = cost_ops.hadamard_satd_8x8(blocks[:, None], preds)
     satd = satd.reshape(bh, bw, 35)
 
-    sl = math.sqrt(0.57 * 2.0 ** ((qp - 12) / 3.0))
+    sl = math.sqrt(lam_scale * 0.57 * 2.0 ** ((qp - 12) / 3.0))
     c_mpm0 = int(round(sl * 2.0))
     c_mpm1 = int(round(sl * 3.0))
     c_rem = int(round(sl * 6.0))
@@ -180,7 +181,8 @@ def _sum2x2(a: jnp.ndarray) -> jnp.ndarray:
     return a.reshape(h // 2, 2, w // 2, 2).sum(axis=(1, 3))
 
 
-def decide_qt_device(y: jnp.ndarray, qp: int, w: int, h: int, rdoq: bool):
+def decide_qt_device(y: jnp.ndarray, qp: int, w: int, h: int, rdoq: bool,
+                     lam_scale: float = 1.0):
     """Quadtree decision on the padded original luma plane.
 
     Returns depth8 [ph/8, pw/8] int32 (0: in a 32-CU, 1: 16, 2: 8) plus
@@ -188,11 +190,11 @@ def decide_qt_device(y: jnp.ndarray, qp: int, w: int, h: int, rdoq: bool):
     forced split (spec implicit split).
     """
     ph, pw = y.shape
-    lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
+    lam = lam_scale * 0.57 * 2.0 ** ((qp - 12) / 3.0)
 
-    m8 = _mode_sweep(y, qp, 8)
-    m16 = _mode_sweep(y, qp, 16)
-    m32 = _mode_sweep(y, qp, 32)
+    m8 = _mode_sweep(y, qp, 8, lam_scale)
+    m16 = _mode_sweep(y, qp, 16, lam_scale)
+    m32 = _mode_sweep(y, qp, 32, lam_scale)
     j8 = _trial_cost(y, qp, 8, m8, lam, rdoq)
     j16 = _trial_cost(y, qp, 16, m16, lam, rdoq)
     j32 = _trial_cost(y, qp, 32, m32, lam, rdoq)
@@ -243,12 +245,12 @@ def _scan_type_dev(modes: jnp.ndarray) -> jnp.ndarray:
 
 
 def _code_tb_batch(oblk, pred, qp: int, log2: int, sbh: bool, rdoq: bool,
-                   scan_t: jnp.ndarray | None):
+                   scan_t: jnp.ndarray | None, lam_scale: float = 1.0):
     """Batched TB coding; returns (levels, recon)."""
     res = oblk - pred
     coeff = tr_ops.forward_transform(res, log2)
     if rdoq:
-        lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
+        lam = lam_scale * 0.57 * 2.0 ** ((qp - 12) / 3.0)
         levels = quant_ops.rdoq_lite(coeff, qp, log2, lam=lam,
                                      lam_scale=RDOQ_LAM_SCALE)
     else:
@@ -265,7 +267,8 @@ def _code_tb_batch(oblk, pred, qp: int, log2: int, sbh: bool, rdoq: bool,
 
 
 def encode_frame_qt_device(y, u, v, depth8, m8, m16, m32, qp: int, qp_c: int,
-                           w: int, h: int, sbh: bool, rdoq: bool):
+                           w: int, h: int, sbh: bool, rdoq: bool,
+                           lam_scale: float = 1.0):
     """Wavefront recon of the decided quadtree; returns recon planes and
     coefficient planes (padded dims; caller crops)."""
     ph, pw = y.shape
@@ -289,7 +292,8 @@ def encode_frame_qt_device(y, u, v, depth8, m8, m16, m32, qp: int, qp_c: int,
         pred = intra_ops.predict_intra(refs, modes[:, None], log2)[:, 0]
         oblk = encoder_jax._extract_blocks(y, xs, ys, n)
         scan_t = _scan_type_dev(modes) if log2 == 3 else None
-        lv, rec = _code_tb_batch(oblk, pred, qp, log2, sbh, rdoq, scan_t)
+        lv, rec = _code_tb_batch(oblk, pred, qp, log2, sbh, rdoq, scan_t,
+                                 lam_scale)
         st["rec_y"] = _scatter(st["rec_y"], rec, xs, ys, n, sel)
         st["coef_y"] = _scatter(st["coef_y"], lv, xs, ys, n, sel)
         # chroma (DM mode, TB at half size, min 4)
@@ -305,7 +309,7 @@ def encode_frame_qt_device(y, u, v, depth8, m8, m16, m32, qp: int, qp_c: int,
                                             is_luma=False)[:, 0]
             oc = encoder_jax._extract_blocks(orig_c, cxs, cys, cs)
             lvc, recc = _code_tb_batch(oc, predc, qp_c, clog2, sbh, rdoq,
-                                       cscan_t)
+                                       cscan_t, lam_scale)
             st[rk] = _scatter(st[rk], recc, cxs, cys, cs, sel)
             st[ck] = _scatter(st[ck], lvc, cxs, cys, cs, sel)
         return st
@@ -371,10 +375,10 @@ def bs_maps_from_depth(depth8: jnp.ndarray, w: int, h: int):
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("qp", "w", "h", "deblock",
-                                             "sbh", "rdoq"))
+                                             "sbh", "rdoq", "lam_scale"))
 def encode_frame_qt_jit(y, u, v, qp: int, w: int, h: int,
                         deblock: bool = True, sbh: bool = True,
-                        rdoq: bool = True):
+                        rdoq: bool = True, lam_scale: float = 1.0):
     """Decision + wavefront recon + deblock, one compiled graph."""
     from video_codecs_tpu.models.hevc.intra_codec import chroma_qp
     from video_codecs_tpu.ops import deblock as deblock_ops
@@ -387,9 +391,9 @@ def encode_frame_qt_jit(y, u, v, qp: int, w: int, h: int,
                  ((0, (ph - h) // 2), (0, (pw - w) // 2)), "edge")
 
     qp_c = chroma_qp(qp)
-    depth8, m8, m16, m32 = decide_qt_device(yi, qp, w, h, rdoq)
+    depth8, m8, m16, m32 = decide_qt_device(yi, qp, w, h, rdoq, lam_scale)
     st = encode_frame_qt_device(yi, ui, vi, depth8, m8, m16, m32, qp, qp_c,
-                                w, h, sbh, rdoq)
+                                w, h, sbh, rdoq, lam_scale)
 
     rec_y = st["rec_y"][:h, :w]
     rec_u = st["rec_u"][:h // 2, :w // 2]

@@ -478,14 +478,15 @@ def b_me_one(ref_y, cur, x0, y0, search_range: int, me_method: str):
     jax.jit,
     static_argnames=("qp", "w", "h", "has_l1", "search_range", "sbh",
                      "rdoq", "me_method", "deblock", "allow_intra",
-                     "merge_eval"))
+                     "merge_eval", "lam", "rqt"))
 def encode_b_frame_dev(y, u, v, ref0_y, ref0_u, ref0_v,
                        ref1_y, ref1_u, ref1_v,
                        qp: int, w: int, h: int, has_l1: bool,
                        search_range: int, sbh: bool, rdoq: bool,
                        me_method: str = "pyr", deblock: bool = True,
                        me_fields=None, allow_intra: bool = True,
-                       merge_eval: str = "first"):
+                       merge_eval: str = "first",
+                       lam: float | None = None, rqt: bool = False):
     """One B (or anchor P) picture of the hierarchical/RA toolset, all
     pixel math on device.  Twin of bframe_codec._encode_b_frame's
     decision loop (SURVEY §3.1; HM TEncSearch bi-pred iteration :3567
@@ -504,7 +505,9 @@ def encode_b_frame_dev(y, u, v, ref0_y, ref0_u, ref0_v,
     ui = u.astype(jnp.int32)
     vi = v.astype(jnp.int32)
     cur = encoder_jax._extract_blocks(yi, x0, y0, 16)
-    sl = math.sqrt(0.57 * 2.0 ** ((qp - 12) / 3.0))
+    if lam is None:
+        lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
+    sl = math.sqrt(lam)
     n_lists = 2 if has_l1 else 1
     refs_y = [ref0_y.astype(jnp.int32), ref1_y.astype(jnp.int32)]
 
@@ -685,7 +688,7 @@ def encode_b_frame_dev(y, u, v, ref0_y, ref0_u, ref0_v,
                             (fin_mv1x, fin_mv1y), interp.mc_luma14_multi)
     lv_y, rec_blk, cbf_y, bits_y = encoder_jax._code_blocks_rate(
         cur, pred_y_fin, qp, 4, sbh=sbh,
-        rdoq="full" if rdoq else rdoq)
+        rdoq="full" if rdoq else rdoq, lam=lam)
 
     cx0, cy0 = x0 // 2, y0 // 2
     cur_u = encoder_jax._extract_blocks(ui, cx0, cy0, 8)
@@ -698,11 +701,86 @@ def encode_b_frame_dev(y, u, v, ref0_y, ref0_u, ref0_v,
                         (fin_mv1x, fin_mv1y), interp.mc_chroma14_multi)
     lv_u, rec_u_blk, cbf_u, bits_u = encoder_jax._code_blocks_rate(
         cur_u, pred_u, qp_c, 3, sbh=sbh,
-        rdoq="full" if rdoq else rdoq, is_luma=False)
+        rdoq="full" if rdoq else rdoq, is_luma=False, lam=lam)
     lv_v, rec_v_blk, cbf_v, bits_v = encoder_jax._code_blocks_rate(
         cur_v, pred_v, qp_c, 3, sbh=sbh,
-        rdoq="full" if rdoq else rdoq, is_luma=False)
+        rdoq="full" if rdoq else rdoq, is_luma=False, lam=lam)
     coef_bits = (bits_y + bits_u + bits_v).reshape(bh, bw)
+    tusplit = jnp.zeros(nb, bool)
+    cbf_y8 = jnp.zeros((2 * bh, 2 * bw), bool)
+    cbf_cb4 = jnp.zeros((2 * bh, 2 * bw), bool)
+    cbf_cr4 = jnp.zeros((2 * bh, 2 * bw), bool)
+
+    if rqt:
+        # ---- encoder-side RQT depth 1: try TU16 -> 4x TU8 (luma) with
+        # 4x4 chroma, keep the RD-cheaper transform tree per block
+        # (TEncSearch xEstimateInterResidualQT) ----
+        def to4(a, n):
+            g = a.shape[0]
+            return (a.reshape(g, 2, n, 2, n).transpose(0, 1, 3, 2, 4)
+                    .reshape(g * 4, n, n))
+
+        def from4(a, n):
+            g = a.shape[0] // 4
+            return (a.reshape(g, 2, 2, n, n).transpose(0, 1, 3, 2, 4)
+                    .reshape(g, 2 * n, 2 * n))
+
+        rd = "full" if rdoq else rdoq
+        lv8, rec8, cbf8, b8 = encoder_jax._code_blocks_rate(
+            to4(cur, 8), to4(pred_y_fin, 8), qp, 3, sbh=sbh, rdoq=rd,
+            lam=lam)
+        lv4u, rec4u, cbf4u, b4u = encoder_jax._code_blocks_rate(
+            to4(cur_u, 4), to4(pred_u, 4), qp_c, 2, sbh=sbh, rdoq=rd,
+            is_luma=False, lam=lam)
+        lv4v, rec4v, cbf4v, b4v = encoder_jax._code_blocks_rate(
+            to4(cur_v, 4), to4(pred_v, 4), qp_c, 2, sbh=sbh, rdoq=rd,
+            is_luma=False, lam=lam)
+
+        def persum(a):
+            return jnp.sum(a.reshape(-1, 4), axis=1)
+
+        def sse(a, b):
+            return jnp.sum((a - b).astype(jnp.float32) ** 2,
+                           axis=(-2, -1))
+
+        d16 = sse(cur, rec_blk) + sse(cur_u, rec_u_blk) +             sse(cur_v, rec_v_blk)
+        d8 = persum(sse(to4(cur, 8), rec8) + sse(to4(cur_u, 4), rec4u) +
+                    sse(to4(cur_v, 4), rec4v))
+        lamf = jnp.float32(lam)
+        # split overhead: ~6 extra cbf/split bins vs the unsplit tree
+        j16 = d16 + lamf * (bits_y + bits_u + bits_v + 1.0)
+        j8 = d8 + lamf * (persum(b8) + persum(b4u) + persum(b4v) + 7.0)
+        tusplit = (j8 < j16) & (pred_mode == MODE_INTER)
+
+        sel = tusplit[:, None, None]
+        lv_y = jnp.where(sel, from4(lv8, 8), lv_y)
+        rec_blk = jnp.where(sel, from4(rec8, 8), rec_blk)
+        lv_u = jnp.where(sel, from4(lv4u, 4), lv_u)
+        rec_u_blk = jnp.where(sel, from4(rec4u, 4), rec_u_blk)
+        lv_v = jnp.where(sel, from4(lv4v, 4), lv_v)
+        rec_v_blk = jnp.where(sel, from4(rec4v, 4), rec_v_blk)
+        cbf_y = jnp.where(tusplit, jnp.any(cbf8.reshape(-1, 4), axis=1),
+                          cbf_y)
+        cbf_u = jnp.where(tusplit, jnp.any(cbf4u.reshape(-1, 4), axis=1),
+                          cbf_u)
+        cbf_v = jnp.where(tusplit, jnp.any(cbf4v.reshape(-1, 4), axis=1),
+                          cbf_v)
+        coef_bits = jnp.where(
+            tusplit, persum(b8) + persum(b4u) + persum(b4v),
+            bits_y + bits_u + bits_v).reshape(bh, bw)
+
+        # sub-TU cbf maps on the 8x8 grid (z order within each block)
+        def submap(c4):
+            g = c4.reshape(bh, bw, 2, 2)
+            f = jnp.zeros((2 * bh, 2 * bw), bool)
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    f = f.at[dy::2, dx::2].set(g[:, :, dy, dx])
+            return f
+
+        cbf_y8 = submap(cbf8)
+        cbf_cb4 = submap(cbf4u)
+        cbf_cr4 = submap(cbf4v)
 
     is_inter = pred_mode == MODE_INTER
     rec_y_pl = _scatter_blocks(jnp.zeros((h, w), jnp.int32), rec_blk, x0,
@@ -767,6 +845,8 @@ def encode_b_frame_dev(y, u, v, ref0_y, ref0_u, ref0_v,
         cbf_y=cby, cbf_cb=cbf_u.reshape(bh, bw),
         cbf_cr=cbf_v.reshape(bh, bw),
         coef_bits=coef_bits,
+        tusplit=tusplit.reshape(bh, bw),
+        cbf_y8=cbf_y8, cbf_cb4=cbf_cb4, cbf_cr4=cbf_cr4,
         coef_y=jnp.clip(coef_y, -32768, 32767).astype(jnp.int16),
         coef_u=jnp.clip(coef_u, -32768, 32767).astype(jnp.int16),
         coef_v=jnp.clip(coef_v, -32768, 32767).astype(jnp.int16),
@@ -1021,6 +1101,29 @@ def _reconcile_b(st, bw, bh, ref_poc, poc, is_anchor):
     return info
 
 
+def hm_lambda(qp: int, qp_factor: float, depth: int) -> float:
+    """HM's RD lambda ladder (TEncSlice::setUpLambda TEncSlice.cpp:320-350):
+    lambda = QPFactor * 2^((qp-12)/3), scaled by Clip3(2, 4, (qp-12)/6)
+    for pictures above the base temporal layer."""
+    lam = qp_factor * 2.0 ** ((qp - 12) / 3.0)
+    if depth > 0:
+        lam *= min(4.0, max(2.0, (qp - 12) / 6.0))
+    return lam
+
+
+def _gop_lambda(enc, poc):
+    """Slice lambda for the current picture from the encoder's GOPEntry
+    table (RA path); None -> legacy 0.57 constant elsewhere."""
+    gop = getattr(enc, "gop", None)
+    if not gop:
+        return None
+    gs = getattr(enc, "gop_size", 0)
+    e = next((e for e in gop if gs and (poc - e.poc) % gs == 0), None)
+    if e is None:
+        return None
+    return hm_lambda(enc.cfg.qp, e.qp_factor, e.temporal_id)
+
+
 def _device_b_frame(enc, frame, poc, refs, is_anchor):
     """Shared device B/anchor picture path: run encode_b_frame_dev, then
     host reconciliation + CABAC with the encoder's own serializer."""
@@ -1043,7 +1146,7 @@ def _device_b_frame(enc, frame, poc, refs, is_anchor):
         qp=cfg.qp, w=cfg.width, h=cfg.height, has_l1=has_l1,
         search_range=enc.search_range, sbh=cfg.sign_data_hiding,
         rdoq=True, me_method=enc.me_method,
-        deblock=not cfg.deblocking_disabled)
+        deblock=not cfg.deblocking_disabled, lam=_gop_lambda(enc, poc))
     st = {k: np.asarray(val) for k, val in st.items()}
 
     info = _reconcile_b(st, bw, bh, ref_poc, poc, is_anchor)

@@ -95,10 +95,12 @@ def _pred_cand(refs_y_pair, zr, xs, ys, n, dirs, mv0x, mv0y, mv1x, mv1y,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("qp", "w", "h", "has_l1", "sbh", "rdoq", "deblock"))
+    static_argnames=("qp", "w", "h", "has_l1", "sbh", "rdoq", "deblock",
+                     "lam"))
 def qt_merge_dev(y, u, v, ref0_y, ref0_u, ref0_v, ref1_y, ref1_u, ref1_v,
                  st16, qp: int, w: int, h: int, has_l1: bool, sbh: bool,
-                 rdoq: bool, deblock: bool = True):
+                 rdoq: bool, deblock: bool = True,
+                 lam: float | None = None):
     """Tree pass over the per-16 decision `st16` (encode_b_frame_dev
     output with deblock=False): decide skip-CU32 regions, substitute
     their prediction, re-run the intra wavefront on the final recon,
@@ -113,7 +115,8 @@ def qt_merge_dev(y, u, v, ref0_y, ref0_u, ref0_v, ref1_y, ref1_u, ref1_v,
     refs_y = [ref0_y.astype(jnp.int32), ref1_y.astype(jnp.int32)]
     refs_u = [ref0_u.astype(jnp.int32), ref1_u.astype(jnp.int32)]
     refs_v = [ref0_v.astype(jnp.int32), ref1_v.astype(jnp.int32)]
-    lam = 0.85 * 2.0 ** ((qp - 12) / 3.0)
+    if lam is None:
+        lam = 0.85 * 2.0 ** ((qp - 12) / 3.0)
 
     x0 = jnp.tile(jnp.arange(bw, dtype=jnp.int32) * 16, bh)
     y0 = jnp.repeat(jnp.arange(bh, dtype=jnp.int32) * 16, bw)
@@ -212,17 +215,18 @@ def qt_merge_dev(y, u, v, ref0_y, ref0_u, ref0_v, ref1_y, ref1_u, ref1_v,
     cur16m = to16(cur32, 16)
     pred16m = to16(best_planes[0], 16)
     lv16y, rec16y, cbf16y, rbits_y = encoder_jax._code_blocks_rate(
-        cur16m, pred16m, qp, 4, sbh=sbh, rdoq="full" if rdoq else rdoq)
+        cur16m, pred16m, qp, 4, sbh=sbh, rdoq="full" if rdoq else rdoq,
+        lam=lam)
     cur8u = to16(cur32u, 8)
     pred8u = to16(best_planes[1], 8)
     lv8u, rec8u, cbf8u, rbits_u = encoder_jax._code_blocks_rate(
         cur8u, pred8u, qp_c, 3, sbh=sbh, rdoq="full" if rdoq else rdoq,
-        is_luma=False)
+        is_luma=False, lam=lam)
     cur8v = to16(cur32v, 8)
     pred8v = to16(best_planes[2], 8)
     lv8v, rec8v, cbf8v, rbits_v = encoder_jax._code_blocks_rate(
         cur8v, pred8v, qp_c, 3, sbh=sbh, rdoq="full" if rdoq else rdoq,
-        is_luma=False)
+        is_luma=False, lam=lam)
 
     def per_region(a):
         return jnp.sum(a.reshape(-1, 4), axis=1)
@@ -327,37 +331,66 @@ def qt_merge_dev(y, u, v, ref0_y, ref0_u, ref0_v, ref1_y, ref1_u, ref1_v,
     rec_y, rec_u, rec_v, coef_y, coef_u, coef_v = planes
     cbf_y, cbf_cb, cbf_cr = (c.reshape(bh, bw) for c in cbfs)
 
-    # ---- BS maps on the final fields (twin of encode_b_frame_dev) ----
+    # ---- BS maps on the final fields ----
     pm = fin_pred_mode
     dirg = fin_dir
     m0x, m0y = fin_mv["mv0x"], fin_mv["mv0y"]
     m1x, m1y = fin_mv["mv1x"], fin_mv["mv1y"]
-
-    def bs_pair(sl_a, sl_b):
-        a_i = (pm == MODE_INTRA)[sl_a]
-        b_i = (pm == MODE_INTRA)[sl_b]
-        intra2 = a_i | b_i
-        diff_dir = dirg[sl_a] != dirg[sl_b]
-        d0 = (jnp.abs(m0x[sl_a] - m0x[sl_b]) >= 4) | \
-             (jnp.abs(m0y[sl_a] - m0y[sl_b]) >= 4)
-        d1 = (jnp.abs(m1x[sl_a] - m1x[sl_b]) >= 4) | \
-             (jnp.abs(m1y[sl_a] - m1y[sl_b]) >= 4)
-        use0 = (dirg[sl_a] & 1) > 0
-        mv_diff = jnp.where(dirg[sl_a] == 3, d0 | d1,
-                            jnp.where(use0, d0, d1))
-        one = cbf_y[sl_a] | cbf_y[sl_b] | diff_dir | mv_diff
-        return jnp.where(intra2, 2,
-                         jnp.where(one, 1, 0)).astype(jnp.int32)
-
-    bs_ver = bs_pair(np.s_[:, :-1], np.s_[:, 1:]).T
-    bs_hor = bs_pair(np.s_[:-1, :], np.s_[1:, :])
+    tusplit = jnp.where(m2, False, st16.get(
+        "tusplit", jnp.zeros((bh, bw), bool)))
+    cbf_y8m = st16.get("cbf_y8", jnp.zeros((2 * bh, 2 * bw), bool))
     if deblock:
+        # BS derivation at 8-sample granularity (spec 8.7.2.4 /
+        # TComLoopFilter xGetBoundaryStrengthSingle): TU8-split CUs
+        # create internal transform edges, and CU-boundary edges use
+        # the cbf of the ADJACENT TU, not of the whole CU.  Repeat the
+        # motion fields onto the 8 grid (interior edge pairs then have
+        # identical motion, leaving only the cbf condition) and use the
+        # per-TU effective cbf map.
+        def up8(f):
+            return jnp.repeat(jnp.repeat(f, 2, 0), 2, 1)
+
+        pm8, dir8 = up8(pm), up8(dirg)
+        m0x8, m0y8 = up8(m0x), up8(m0y)
+        m1x8, m1y8 = up8(m1x), up8(m1y)
+        eff8 = jnp.where(up8(tusplit), cbf_y8m, up8(cbf_y))
+
+        def bs_pair8(sl_a, sl_b):
+            a_i = (pm8 == MODE_INTRA)[sl_a]
+            b_i = (pm8 == MODE_INTRA)[sl_b]
+            intra2 = a_i | b_i
+            diff_dir = dir8[sl_a] != dir8[sl_b]
+            d0 = (jnp.abs(m0x8[sl_a] - m0x8[sl_b]) >= 4) | \
+                 (jnp.abs(m0y8[sl_a] - m0y8[sl_b]) >= 4)
+            d1 = (jnp.abs(m1x8[sl_a] - m1x8[sl_b]) >= 4) | \
+                 (jnp.abs(m1y8[sl_a] - m1y8[sl_b]) >= 4)
+            use0 = (dir8[sl_a] & 1) > 0
+            mv_diff = jnp.where(dir8[sl_a] == 3, d0 | d1,
+                                jnp.where(use0, d0, d1))
+            one = eff8[sl_a] | eff8[sl_b] | diff_dir | mv_diff
+            return jnp.where(intra2, 2,
+                             jnp.where(one, 1, 0)).astype(jnp.int32)
+
+        ver8 = bs_pair8(np.s_[:, :-1], np.s_[:, 1:]).T
+        hor8 = bs_pair8(np.s_[:-1, :], np.s_[1:, :])
+        # only TU/PU boundaries are filtered (spec 8.7.2.2): odd 8-grid
+        # edges exist only inside TU8-split CUs
+        odd_ok_v = jnp.repeat(tusplit.T, 2, axis=1)       # [bw, bh8]
+        ver8 = ver8.at[0::2].set(
+            jnp.where(odd_ok_v, ver8[0::2], 0))
+        odd_ok_h = jnp.repeat(tusplit, 2, axis=1)         # [bh, bw8]
+        hor8 = hor8.at[0::2].set(
+            jnp.where(odd_ok_h, hor8[0::2], 0))
         rec_y, rec_u, rec_v = deblock_ops.deblock_420_bs(
-            rec_y, rec_u, rec_v, qp, bs_ver, bs_hor, block=16)
+            rec_y, rec_u, rec_v, qp, ver8, hor8, block=8)
 
     return dict(
         merged32=merged_g,
         res32=res32.reshape(g32h, g32w),
+        tusplit=tusplit,
+        cbf_y8=st16.get("cbf_y8", jnp.zeros((2 * bh, 2 * bw), bool)),
+        cbf_cb4=st16.get("cbf_cb4", jnp.zeros((2 * bh, 2 * bw), bool)),
+        cbf_cr4=st16.get("cbf_cr4", jnp.zeros((2 * bh, 2 * bw), bool)),
         pred_mode=fin_pred_mode.astype(jnp.int8),
         intra_mode=intra_modes.astype(jnp.int8),
         inter_dir=fin_dir.astype(jnp.int8),
@@ -391,6 +424,10 @@ class QtDeviceRandomAccessEncoder(ra.RandomAccessEncoder):
         cfg.tt_depth_inter = 1     # CU32 residuals code an RQT split
         super().__init__(cfg, gop, search_range, me_method)
         self._qt_intra = quadtree_codec.QuadtreeFastEncoder(cfg)
+        # HM I-slice lambda scale: 0.57*(1 - 0.05*NumberBFrames)
+        # (TEncSlice.cpp:323) -> stronger pyramid base
+        nbf = self.gop_size - 1
+        self._qt_intra.lam_scale = 1.0 - min(0.5, 0.05 * nbf)
 
     def encode_frame(self, y, u, v, *args, **kwargs):
         """IDR via the device intra CU-quadtree (CTB32 geometry)."""
@@ -409,17 +446,18 @@ class QtDeviceRandomAccessEncoder(ra.RandomAccessEncoder):
 
         args = [jnp.asarray(np.asarray(p, np.int32))
                 for p in (*r0, *r1)]
+        lam = inter_jax._gop_lambda(self, poc)
         st16 = inter_jax.encode_b_frame_dev(
             jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), *args,
             qp=cfg.qp, w=cfg.width, h=cfg.height, has_l1=has_l1,
             search_range=self.search_range, sbh=cfg.sign_data_hiding,
             rdoq=True, me_method=self.me_method, deblock=False,
-            allow_intra=False, merge_eval="best4")
+            allow_intra=False, merge_eval="best4", lam=lam, rqt=True)
         qt = qt_merge_dev(
             jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), *args, st16,
             qp=cfg.qp, w=cfg.width, h=cfg.height, has_l1=has_l1,
             sbh=cfg.sign_data_hiding, rdoq=True,
-            deblock=not cfg.deblocking_disabled)
+            deblock=not cfg.deblocking_disabled, lam=lam)
         qt = {k: np.asarray(val) for k, val in qt.items()}
 
         slice_nal = self._serialize_qt_slice(qt, poc, is_anchor, ref_poc)
@@ -551,6 +589,9 @@ class QtDeviceRandomAccessEncoder(ra.RandomAccessEncoder):
         # _decode_tt_inter): CU32 splits to 4 TU16; CU16 is TU == CU
         if size == 32:
             self._write_tt32(enc, st, x, y)
+        elif bool(qt.get("tusplit") is not None and
+                  qt["tusplit"][by, bx]):
+            self._write_tt16_split(enc, st, x, y)
         else:
             if self.cfg.tt_depth_inter > 0:
                 # trafoDepth 0 < MaxDepth: explicit non-split at 16
@@ -564,6 +605,49 @@ class QtDeviceRandomAccessEncoder(ra.RandomAccessEncoder):
                 assert cbf_y
             self._write_tu16(enc, st, x, y, cbf_y, cbf_cb, cbf_cr)
         st.set_inter(x, y, size, m, skip=False)
+
+    def _write_tt16_split(self, enc, st, x, y):
+        """CU16 transform tree split to 4 TU8 luma + 4x4 chroma per
+        child (encoder RQT depth 1; GeneralDecoder _decode_tt_inter)."""
+        qt = st.qt
+        sbh = self.cfg.sign_data_hiding
+        bx, by = x // 16, y // 16
+        enc.encode_bin(ctx.off("trans_subdiv", 1), 1)
+        cb_p = bool(qt["cbf_cb"][by, bx])
+        cr_p = bool(qt["cbf_cr"][by, bx])
+        enc.encode_bin(ctx.off("cbf_chroma", 0), 1 if cb_p else 0)
+        enc.encode_bin(ctx.off("cbf_chroma", 0), 1 if cr_p else 0)
+        for q in range(4):
+            sx, sy = x + (q & 1) * 8, y + (q >> 1) * 8
+            gy, gx = sy // 8, sx // 8
+            cb = bool(qt["cbf_cb4"][gy, gx])
+            cr = bool(qt["cbf_cr4"][gy, gx])
+            if cb_p:
+                enc.encode_bin(ctx.off("cbf_chroma", 1), 1 if cb else 0)
+            else:
+                assert not cb
+            if cr_p:
+                enc.encode_bin(ctx.off("cbf_chroma", 1), 1 if cr else 0)
+            else:
+                assert not cr
+            cy_ = bool(qt["cbf_y8"][gy, gx])
+            enc.encode_bin(ctx.off("cbf_luma", 0), 1 if cy_ else 0)
+            if cy_:
+                residual.encode_residual(
+                    enc, qt["coef_y"][sy:sy + 8, sx:sx + 8]
+                    .astype(np.int32), 3, rom.SCAN_DIAG, True,
+                    sign_hiding=sbh)
+            ccx, ccy = sx // 2, sy // 2
+            if cb:
+                residual.encode_residual(
+                    enc, qt["coef_u"][ccy:ccy + 4, ccx:ccx + 4]
+                    .astype(np.int32), 2, rom.SCAN_DIAG, False,
+                    sign_hiding=sbh)
+            if cr:
+                residual.encode_residual(
+                    enc, qt["coef_v"][ccy:ccy + 4, ccx:ccx + 4]
+                    .astype(np.int32), 2, rom.SCAN_DIAG, False,
+                    sign_hiding=sbh)
 
     def _write_tt32(self, enc, st, x, y):
         """CU32 transform tree: split_transform_flag=1 + 4 TU16 children

@@ -753,7 +753,8 @@ class QuadtreeFastEncoder:
         return encoder_jax_qt.encode_frame_qt_jit(
             y, u, v, cfg.qp, cfg.width, cfg.height,
             deblock=not cfg.deblocking_disabled,
-            sbh=cfg.sign_data_hiding, rdoq=bool(cfg.rdoq))
+            sbh=cfg.sign_data_hiding, rdoq=bool(cfg.rdoq),
+            lam_scale=float(getattr(self, "lam_scale", 1.0)))
 
     def serialize_frame(self, st):
         import jax
