@@ -143,10 +143,10 @@ def bench_ldp_480():
     enc = inter_jax.DeviceLowDelayEncoder(cfg, search_range=64)
     enc.encode_sequence_ldp(frames)
     t0 = time.time()
-    stream, _ = enc.encode_sequence_ldp(frames)
+    stream, recons = enc.encode_sequence_ldp(frames)
     fps = len(frames) / (time.time() - t0)
     kbps = len(stream) * 8 * 30 / len(frames) / 1000
-    return fps, kbps
+    return fps, kbps, psnr_y(frames, recons)
 
 
 JM_BASELINE_FPS = 22.6
@@ -170,10 +170,11 @@ def main() -> None:
             extra["intra_qt_error"] = f"{type(e).__name__}: {e}"
     if "ldp" in configs:
         try:
-            f, kbps = bench_ldp_480()
+            f, kbps, p = bench_ldp_480()
             extra["ldp_480_fps"] = round(f, 3)
             extra["ldp_480_vs_hm"] = round(f / HM_LDP_FPS, 2)
             extra["ldp_480_kbps"] = round(kbps)
+            extra["ldp_480_ypsnr"] = round(p, 2)
         except Exception as e:
             extra["ldp_error"] = f"{type(e).__name__}: {e}"
     if "foreman" in configs:
