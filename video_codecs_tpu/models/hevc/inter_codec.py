@@ -346,6 +346,10 @@ class LowDelayEncoder(ic.IntraEncoder):
             poc = poc0 + k
             if rate_control is not None:
                 self.cfg.qp = rate_control.pick_qp()
+            else:
+                sched = getattr(self, "qp_schedule", None)
+                if sched is not None:
+                    self.cfg.qp = sched(poc)
             self.frame_qps.append(self.cfg.qp)
             if poc == 0:
                 from video_codecs_tpu.models.hevc import motion

@@ -192,14 +192,14 @@ def _intra_wavefront(yi, ui, vi, intra_grid, intra_modes, planes, cbfs,
 @functools.partial(
     jax.jit,
     static_argnames=("qp", "w", "h", "n_refs", "search_range", "sbh",
-                     "rdoq", "tmvp", "me_method", "deblock"))
+                     "rdoq", "tmvp", "me_method", "deblock", "lam"))
 def encode_p_frame_dev(y, u, v, refs_y, refs_u, refs_v,
                        col_inter, col_mvx, col_mvy, col_refpoc,
                        ref_pocs, poc, col_poc,
                        qp: int, w: int, h: int, n_refs: int,
                        search_range: int, sbh: bool, rdoq: bool,
                        tmvp: bool, me_method: str = "pyr",
-                       deblock: bool = True):
+                       deblock: bool = True, lam: float | None = None):
     """One P picture, all pixel math on device.
 
     refs_y: [R, H, W] int32 stacked L0 references (newest first);
@@ -215,8 +215,9 @@ def encode_p_frame_dev(y, u, v, refs_y, refs_u, refs_v,
     y0 = jnp.repeat(jnp.arange(bh, dtype=jnp.int32) * 16, bw)
     yi = y.astype(jnp.int32)
     cur = encoder_jax._extract_blocks(yi, x0, y0, 16)
-    sl = math.sqrt(0.57 * 2.0 ** ((qp - 12) / 3.0))
-    lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
+    if lam is None:
+        lam = 0.57 * 2.0 ** ((qp - 12) / 3.0)
+    sl = math.sqrt(lam)
 
     # ---- 1. motion search per reference ----
     mvx_r, mvy_r, satd_r = [], [], []
@@ -316,7 +317,7 @@ def encode_p_frame_dev(y, u, v, refs_y, refs_u, refs_v,
                                       fin_mvx, fin_mvy, 16)
     lv_y, rec_blk, cbf_y = encoder_jax._code_blocks(
         cur, pred_y_fin, qp, 4, intra_slice=False, sbh=sbh,
-        rdoq="full" if rdoq else False)
+        rdoq="full" if rdoq else False, lam=lam)
 
     cx0, cy0 = x0 // 2, y0 // 2
     ui = u.astype(jnp.int32)
@@ -329,10 +330,10 @@ def encode_p_frame_dev(y, u, v, refs_y, refs_u, refs_v,
                                     fin_mvx, fin_mvy, 8)
     lv_u, rec_u_blk, cbf_u = encoder_jax._code_blocks(
         cur_u, pred_u, qp_c, 3, intra_slice=False, sbh=sbh,
-        rdoq="full" if rdoq else False, is_luma=False)
+        rdoq="full" if rdoq else False, is_luma=False, lam=lam)
     lv_v, rec_v_blk, cbf_v = encoder_jax._code_blocks(
         cur_v, pred_v, qp_c, 3, intra_slice=False, sbh=sbh,
-        rdoq="full" if rdoq else False, is_luma=False)
+        rdoq="full" if rdoq else False, is_luma=False, lam=lam)
 
     # scatter inter recon + coefficients into planes
     scatter = _scatter_blocks
@@ -869,11 +870,42 @@ class DeviceLowDelayEncoder(pc.LowDelayEncoder):
     from the host encoder's but decode in the same decoders.
     """
 
+    #: HM encoder_lowdelay_P_main.cfg GOP-4 ladder: (QPoffset, QPfactor)
+    LD_GOP = ((5, 0.4624), (4, 0.4624), (5, 0.4624), (1, 0.578))
+
     def __init__(self, cfg, search_range: int = 64,
-                 me_method: str = "pyr") -> None:
+                 me_method: str = "pyr", ld_ladder: bool = True) -> None:
         super().__init__(cfg, search_range, me_method)
         assert not cfg.weighted_pred, "device path: WP later"
         assert not cfg.cu_qp_delta, "device path: CTU-RC later"
+        self.ld_ladder = ld_ladder
+
+    def encode_sequence_ldp(self, frames, rate_control=None):
+        """Apply HM's LD-P QP/lambda ladder (QPoffset cycle 5,4,5,1 with
+        per-entry QPFactor, TEncSlice setUpLambda) unless a rate
+        controller drives QP."""
+        if rate_control is not None or not self.ld_ladder:
+            return super().encode_sequence_ldp(frames, rate_control)
+        base = self.cfg.qp
+        gop = self.LD_GOP
+
+        def sched(poc):
+            if poc == 0:
+                return base
+            return base + gop[(poc - 1) % len(gop)][0]
+
+        self.qp_schedule = sched
+        try:
+            return super().encode_sequence_ldp(frames, rate_control)
+        finally:
+            self.qp_schedule = None
+            self.cfg.qp = base
+
+    def _ld_lambda(self, poc):
+        if getattr(self, "qp_schedule", None) is None:
+            return None
+        off, fac = self.LD_GOP[(poc - 1) % len(self.LD_GOP)]
+        return hm_lambda(self.cfg.qp, fac, 1 if off > 1 else 0)
 
     def encode_p_frame(self, y, u, v, dpb, poc):
         cfg = self.cfg
@@ -907,7 +939,7 @@ class DeviceLowDelayEncoder(pc.LowDelayEncoder):
             qp=cfg.qp, w=cfg.width, h=cfg.height, n_refs=n_refs,
             search_range=self.search_range, sbh=cfg.sign_data_hiding,
             rdoq=True, tmvp=cfg.temporal_mvp, me_method=self.me_method,
-            deblock=not cfg.deblocking_disabled)
+            deblock=not cfg.deblocking_disabled, lam=self._ld_lambda(poc))
         st = {k: np.asarray(val) for k, val in st.items()}
 
         info = self._reconcile(st, bw, bh, ref_pocs, poc,
