@@ -72,6 +72,8 @@ class Sps:
     conf_win: tuple = (0, 0, 0, 0)
     rps_list: list = dataclasses.field(default_factory=list)
     lt_present: bool = False
+    scaling_list_enabled: bool = False
+    scaling_lists: list | None = None
 
 
 @dataclasses.dataclass
@@ -142,6 +144,85 @@ def parse_st_rps(r: bs.BitReader, idx: int, prev: list,
     return out
 
 
+# Default quantization matrices (spec Tables 7-5/7-6; HM TComRom
+# g_quantIntraDefault8x8 / g_quantInterDefault8x8) — spec constants.
+_SL_INTRA8 = np.array([
+    16, 16, 16, 16, 17, 18, 21, 24,
+    16, 16, 16, 16, 17, 19, 22, 25,
+    16, 16, 17, 18, 20, 22, 25, 29,
+    16, 16, 18, 21, 24, 27, 31, 36,
+    17, 17, 20, 24, 30, 35, 41, 47,
+    18, 19, 22, 27, 35, 44, 54, 65,
+    21, 22, 25, 31, 41, 54, 70, 88,
+    24, 25, 29, 36, 47, 65, 88, 115], np.int32).reshape(8, 8)
+_SL_INTER8 = np.array([
+    16, 16, 16, 16, 17, 18, 20, 24,
+    16, 16, 16, 17, 18, 20, 24, 25,
+    16, 16, 17, 18, 20, 24, 25, 28,
+    16, 17, 18, 20, 24, 25, 28, 33,
+    17, 18, 20, 24, 25, 28, 33, 41,
+    18, 20, 24, 25, 28, 33, 41, 54,
+    20, 24, 25, 28, 33, 41, 54, 71,
+    24, 25, 28, 33, 41, 54, 71, 91], np.int32).reshape(8, 8)
+
+
+def _sl_default(size_id: int, matrix_id: int):
+    """(base matrix raster, dc) default entry (spec 7.4.5)."""
+    if size_id == 0:
+        return np.full((4, 4), 16, np.int32), 16
+    return (_SL_INTRA8 if matrix_id < 3 else _SL_INTER8).copy(), 16
+
+
+def _diag_scan_ungrouped(n: int) -> np.ndarray:
+    """Up-right diagonal scan -> raster index, UNGROUPED (spec 6.5.3;
+    scaling_list_data uses this, unlike the CG-grouped residual scan)."""
+    out = []
+    for d in range(2 * n - 1):
+        for y in range(min(d, n - 1), -1, -1):
+            x = d - y
+            if x < n:
+                out.append(y * n + x)
+    return np.array(out, np.int32)
+
+
+def parse_scaling_list_data(r: bs.BitReader) -> list:
+    """scaling_list_data() (spec 7.3.4; TDecCAVLC parseScalingList).
+
+    Returns sl[size_id][matrix_id] = (base NxN raster matrix, dc)."""
+    sl = [[None] * 6 for _ in range(4)]
+    for size_id in range(4):
+        step = 3 if size_id == 3 else 1
+        for matrix_id in range(0, 6, step):
+            if not r.flag():            # scaling_list_pred_mode_flag
+                delta = r.ue()
+                if delta == 0:
+                    sl[size_id][matrix_id] = _sl_default(size_id,
+                                                         matrix_id)
+                else:
+                    sl[size_id][matrix_id] = sl[size_id][
+                        matrix_id - delta * step]
+            else:
+                n = 4 if size_id == 0 else 8
+                coef_num = min(64, 1 << (4 + (size_id << 1)))
+                dc = 16
+                next_coef = 8
+                if size_id > 1:
+                    dc = 8 + r.se()
+                    next_coef = dc     # DC seeds the DPCM (spec 7.3.4)
+                scan = _diag_scan_ungrouped(n)
+                vals = np.zeros(n * n, np.int32)
+                for i in range(coef_num):
+                    next_coef = (next_coef + r.se() + 256) % 256
+                    vals[scan[i]] = next_coef
+                m = vals.reshape(n, n)
+                sl[size_id][matrix_id] = (
+                    m, dc if size_id > 1 else int(m[0, 0]))
+        if size_id == 3:                # unsignalled chroma 32 slots
+            sl[3][1] = sl[3][2] = sl[3][0]
+            sl[3][4] = sl[3][5] = sl[3][3]
+    return sl
+
+
 @dataclasses.dataclass
 class Pps:
     init_qp: int = 26
@@ -171,6 +252,7 @@ class Pps:
     log2_parallel_merge_level: int = 2
     output_flag_present: bool = False
     num_extra_bits: int = 0
+    scaling_lists: list | None = None
 
 
 def _skip_profile_tier_level(r: bs.BitReader, max_sub_layers: int) -> None:
@@ -221,7 +303,13 @@ def parse_sps(rbsp: bytes) -> Sps:
     s.log2_max_tb = s.log2_min_tb + r.ue()
     s.max_tr_depth_inter = r.ue()
     s.max_tr_depth_intra = r.ue()
-    assert not r.flag(), "scaling lists not supported"
+    s.scaling_list_enabled = bool(r.flag())
+    if s.scaling_list_enabled:
+        if r.flag():                # sps_scaling_list_data_present
+            s.scaling_lists = parse_scaling_list_data(r)
+        else:
+            s.scaling_lists = [[_sl_default(sz, m) for m in range(6)]
+                               for sz in range(4)]
     s.amp = bool(r.flag())
     s.sao = bool(r.flag())
     s.pcm = bool(r.flag())
@@ -279,7 +367,8 @@ def parse_pps(rbsp: bytes) -> Pps:
         if not p.deblocking_disabled:
             p.beta_offset_div2 = r.se()
             p.tc_offset_div2 = r.se()
-    assert not r.flag(), "pps scaling lists not supported"
+    if r.flag():                    # pps_scaling_list_data_present
+        p.scaling_lists = parse_scaling_list_data(r)
     p.lists_modification = bool(r.flag())
     p.log2_parallel_merge_level = 2 + r.ue()
     r.flag()                    # slice_segment_header_extension_present
@@ -1025,7 +1114,8 @@ class GeneralDecoder:
                                           sign_hiding=pps.sign_data_hiding)
             pred = st.rec_y[y:y + n, x:x + n]
             st.rec_y[y:y + n, x:x + n] = _recon_tb(pred, lv, st.qp, log2,
-                                                   dst=False, ts=ts)
+                                                   dst=False, ts=ts,
+                                                   m=self._sl_m(log2, 3))
         if log2 > 2:
             self._decode_tu_chroma_inter(dec, st, x, y, log2 - 1,
                                          cbf_cb, cbf_cr)
@@ -1038,8 +1128,9 @@ class GeneralDecoder:
         pps = self.pps
         cs = 1 << clog2
         cx, cy = x // 2, y // 2
-        for cbf, plane, qp_off in ((cbf_cb, st.rec_u, pps.cb_qp_offset),
-                                   (cbf_cr, st.rec_v, pps.cr_qp_offset)):
+        for comp, (cbf, plane, qp_off) in enumerate((
+                (cbf_cb, st.rec_u, pps.cb_qp_offset),
+                (cbf_cr, st.rec_v, pps.cr_qp_offset))):
             if not cbf:
                 continue
             ts = False
@@ -1050,9 +1141,9 @@ class GeneralDecoder:
                                           sign_hiding=pps.sign_data_hiding)
             qp_c = ic.chroma_qp(st.qp + qp_off)
             pred = plane[cy:cy + cs, cx:cx + cs]
-            plane[cy:cy + cs, cx:cx + cs] = _recon_tb(pred, lv, qp_c,
-                                                      clog2, dst=False,
-                                                      ts=ts)
+            plane[cy:cy + cs, cx:cx + cs] = _recon_tb(
+                pred, lv, qp_c, clog2, dst=False, ts=ts,
+                m=self._sl_m(clog2, 4 + comp))
 
     # ---- intra CUs ----
 
@@ -1099,6 +1190,32 @@ class GeneralDecoder:
         cu = _CuCtx(x, y, log2, nxn, modes, chroma_mode)
         min_tu_log2 = self._min_tu_log2(log2, nxn)
         self._decode_tt(dec, st, cu, x, y, log2, 0, min_tu_log2, True, True)
+
+    def _sl_m(self, log2: int, list_type: int):
+        """Upsampled per-coefficient scaling matrix for (TB size, list
+        type 0..5 = intra Y/Cb/Cr, inter Y/Cb/Cr), or None when scaling
+        lists are off (HM getDequantCoeff / processScalingListDec)."""
+        sps = self.sps
+        if not sps.scaling_list_enabled:
+            return None
+        key = (log2, list_type)
+        cache = getattr(self, "_sl_cache", None)
+        if cache is None:
+            cache = self._sl_cache = {}
+        if key not in cache:
+            sl = self.pps.scaling_lists or sps.scaling_lists
+            size_id = log2 - 2
+            mid = list_type
+            if size_id == 3:
+                mid = 0 if list_type < 3 else 3
+            base, dc = sl[size_id][mid]
+            ratio = (1 << log2) // base.shape[0]
+            m = base
+            if ratio > 1:
+                m = np.repeat(np.repeat(base, ratio, 0), ratio, 1).copy()
+                m[0, 0] = dc
+            cache[key] = m
+        return cache[key]
 
     def _min_tu_log2(self, log2_cb, nxn):
         sps = self.sps
@@ -1168,7 +1285,8 @@ class GeneralDecoder:
         pred = predict_intra_general(ref, mode, log2, True,
                                      sps.strong_intra_smoothing)
         st.rec_y[y:y + n, x:x + n] = _recon_tb(
-            pred, lv, st.qp, log2, dst=(log2 == 2), ts=ts)
+            pred, lv, st.qp, log2, dst=(log2 == 2), ts=ts,
+            m=self._sl_m(log2, 0))
 
         # chroma: at this node when log2 > 2; when log2 == 2, with the
         # fourth 4x4 luma TU of the enclosing 8x8 area (spec 7.3.8.10)
@@ -1185,8 +1303,9 @@ class GeneralDecoder:
         cx, cy = x // 2, y // 2
         cmode = cu.chroma_mode
         stype = rom.intra_scan_type(clog2, cmode, False)
-        for cbf, plane, qp_off in ((cbf_cb, st.rec_u, pps.cb_qp_offset),
-                                   (cbf_cr, st.rec_v, pps.cr_qp_offset)):
+        for comp, (cbf, plane, qp_off) in enumerate((
+                (cbf_cb, st.rec_u, pps.cb_qp_offset),
+                (cbf_cr, st.rec_v, pps.cr_qp_offset))):
             lv = None
             ts = False
             if cbf:
@@ -1201,13 +1320,33 @@ class GeneralDecoder:
                                                is_luma=False)
             qp_c = ic.chroma_qp(st.qp + qp_off)
             plane[cy:cy + cs, cx:cx + cs] = _recon_tb(
-                predc, lv, qp_c, clog2, dst=False, ts=ts)
+                predc, lv, qp_c, clog2, dst=False, ts=ts,
+                m=self._sl_m(clog2, 1 + comp))
 
 
-def _recon_tb(pred, lv, qp, log2, dst, ts=False):
+def _recon_tb(pred, lv, qp, log2, dst, ts=False, m=None):
+    """Dequant + inverse transform + add.  m: per-coefficient scaling
+    matrix (spec 8.6.3 with scaling lists; HM TComTrQuant::xDeQuant
+    enableScalingLists branch, rightShift += LOG2_SCALING_LIST_NEUTRAL
+    and dequantCoeff = invQuantScales * m).  Scaling lists never apply
+    to transform-skip blocks (HM getUseScalingList)."""
     if lv is None:
         return pred.astype(np.int32)
-    dq = quant_ops.dequantize_np(lv, qp, log2)
+    if m is not None:
+        per, rem = qp // 6, qp % 6
+        right = rom.IQUANT_SHIFT - (quant_ops.transform_shift(log2) +
+                                    per) + 4
+        scale = int(rom.INV_QUANT_SCALES[rem])
+        lim = 1 << rom.MAX_TR_DYNAMIC_RANGE
+        q = np.clip(lv.astype(np.int64), -32768, 32767)
+        dqc = q * (scale * m.astype(np.int64))
+        if right > 0:
+            c = (dqc + (1 << (right - 1))) >> right
+        else:
+            c = dqc << (-right)
+        dq = np.clip(c, -lim, lim - 1).astype(np.int32)
+    else:
+        dq = quant_ops.dequantize_np(lv, qp, log2)
     if ts:
         shift = quant_ops.transform_shift(log2)
         r = (dq + (1 << (shift - 1))) >> shift
