@@ -181,7 +181,26 @@ class CabacDecoder:
         self.br = br
         self.states = states
         self.range = 510
+        self._seg_start = br.bit_pos()   # CABAC segment origin (aligned)
         self.offset = br.read(9)
+
+    def begin_pcm(self) -> None:
+        """Position the reader at the PCM sample bytes after a
+        pcm_flag terminate bin (HM TDecBinCABAC byte-wise model: the
+        engine pre-reads 2 bytes at start() and one byte per 8 renorm
+        bits, so the underlying byte pointer is at
+        2 + floor(renorm_bits/8) bytes past the segment origin; the
+        partially-consumed lookahead is discarded)."""
+        k = self.br.bit_pos() - self._seg_start - 9
+        self.br._pos = self._seg_start + 8 * (2 + k // 8)
+
+    def reinit(self) -> None:
+        """Re-initialize the arithmetic engine after PCM samples
+        (HM TDecBinCABAC::start at the current aligned position)."""
+        assert (self.br.bit_pos() & 7) == 0
+        self.range = 510
+        self._seg_start = self.br.bit_pos()
+        self.offset = self.br.read(9)
 
     def _read_bit(self) -> int:
         # Conforming streams never read past the end; tolerate overrun with 0s

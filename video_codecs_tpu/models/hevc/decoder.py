@@ -68,6 +68,11 @@ class Sps:
     pcm: bool = False
     temporal_mvp: bool = False
     strong_intra_smoothing: bool = False
+    pcm_bd_luma: int = 8
+    pcm_bd_chroma: int = 8
+    log2_min_ipcm: int = 3
+    log2_max_ipcm: int = 3
+    pcm_loop_filter_disabled: bool = False
     log2_max_poc_lsb: int = 8
     conf_win: tuple = (0, 0, 0, 0)
     rps_list: list = dataclasses.field(default_factory=list)
@@ -313,7 +318,14 @@ def parse_sps(rbsp: bytes) -> Sps:
     s.amp = bool(r.flag())
     s.sao = bool(r.flag())
     s.pcm = bool(r.flag())
-    assert not s.pcm, "PCM not supported"
+    if s.pcm:
+        s.pcm_bd_luma = 1 + r.read(4)
+        s.pcm_bd_chroma = 1 + r.read(4)
+        s.log2_min_ipcm = 3 + r.ue()
+        s.log2_max_ipcm = s.log2_min_ipcm + r.ue()
+        s.pcm_loop_filter_disabled = bool(r.flag())
+        assert not s.pcm_loop_filter_disabled, \
+            "pcm_loop_filter_disabled: later"
     s.rps_list = []
     num_rps = r.ue()
     for i in range(num_rps):
@@ -1153,6 +1165,11 @@ class GeneralDecoder:
         nxn = False
         if log2 == sps.log2_min_cb:
             nxn = dec.decode_bin(ctx.off("part_size")) == 0
+        if (sps.pcm and not nxn and
+                sps.log2_min_ipcm <= log2 <= sps.log2_max_ipcm and
+                dec.decode_terminate()):
+            self._decode_pcm_cu(dec, st, x, y, log2, depth)
+            return
         # luma intra modes: all prev flags first, then all idx/rem
         pus = 4 if nxn else 1
         half = size // 2
@@ -1216,6 +1233,32 @@ class GeneralDecoder:
                 m[0, 0] = dc
             cache[key] = m
         return cache[key]
+
+    def _decode_pcm_cu(self, dec, st, x, y, log2, depth):
+        """pcm_sample (spec 7.3.8.7): raw samples at the PCM bit depth,
+        shifted up to the picture bit depth; the arithmetic engine
+        restarts after them (TDecSbac parseIPCMInfo + TDecBinCABAC
+        byte-wise positioning)."""
+        sps = self.sps
+        n = 1 << log2
+        dec.begin_pcm()
+        br = dec.br
+        sh_l = 8 - sps.pcm_bd_luma
+        st.rec_y[y:y + n, x:x + n] = np.array(
+            [[br.read(sps.pcm_bd_luma) << sh_l for _ in range(n)]
+             for _ in range(n)], np.int32)
+        cx, cy, cn = x // 2, y // 2, n // 2
+        sh_c = 8 - sps.pcm_bd_chroma
+        for plane in (st.rec_u, st.rec_v):
+            plane[cy:cy + cn, cx:cx + cn] = np.array(
+                [[br.read(sps.pcm_bd_chroma) << sh_c for _ in range(cn)]
+                 for _ in range(cn)], np.int32)
+        dec.reinit()
+        st.set_cu(x, y, n, depth)
+        st.pm.set_intra(x, y, n)
+        st.set_pu_mode(x, y, n, DC)        # neighbor contexts read DC
+        st.mark_pu(x, y, n, n)
+        st.mark_tu4(x, y, n, n, False)
 
     def _min_tu_log2(self, log2_cb, nxn):
         sps = self.sps
