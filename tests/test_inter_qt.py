@@ -101,3 +101,56 @@ def test_qt_merging_engages_and_saves_bits():
     enc16 = inter_jax.DeviceRandomAccessEncoder(cfg16, search_range=16)
     s16, _ = enc16.encode_sequence_ra(frames)
     assert len(s_qt) < len(s16), (len(s_qt), len(s16))
+
+
+def test_qt_ra_sao_roundtrip():
+    """SAO on the qt B path (device stats + host offset search +
+    sao() syntax per CTB32), incl. partial edge CTBs."""
+    w, h = 112, 80
+    cfg = _cfg(w, h)
+    cfg.sao = True
+    enc = inter_qt.QtDeviceRandomAccessEncoder(cfg, search_range=8)
+    frames = clip(w, h, 9, seed=11)
+    stream, recons = enc.encode_sequence_ra(frames)
+    dec = decoder.GeneralDecoder()
+    out = dec.decode(stream)
+    assert dec.hash_status == [True] * len(frames)
+    for k, (r, o) in enumerate(zip(recons, out)):
+        for c in range(3):
+            np.testing.assert_array_equal(np.asarray(r[c]),
+                                          np.asarray(o[c]),
+                                          err_msg=f"frame {k} plane {c}")
+
+
+def test_qt_ra_cu8_and_multiref_roundtrip():
+    """CU8 split tree + 2 active refs per list with device ref_idx
+    search: conformant streams, CU8 engages on divergent motion."""
+    w, h = 96, 64
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 256, (h + 32, w + 32)).astype(np.uint8)
+    frames = []
+    for f in range(9):
+        y = np.ascontiguousarray(base[16:16 + h, 16:16 + w]).copy()
+        if f:
+            # per-8x8 divergent shifts -> sub-16 motion pays
+            r2 = np.random.default_rng(100 + f)
+            for by in range(h // 8):
+                for bx in range(w // 8):
+                    dy, dx = r2.integers(-3, 4, 2)
+                    y[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = \
+                        base[16 + by * 8 + dy:16 + (by + 1) * 8 + dy,
+                             16 + bx * 8 + dx:16 + (bx + 1) * 8 + dx]
+        u = (y[::2, ::2] // 2 + 64).astype(np.uint8)
+        v = (y[1::2, ::2] // 2 + 32).astype(np.uint8)
+        frames.append((y, u, v))
+    enc = inter_qt.QtDeviceRandomAccessEncoder(
+        _cfg(w, h), search_range=8, cu8=True, num_refs_active=2)
+    stream, recons = enc.encode_sequence_ra(frames)
+    dec = decoder.GeneralDecoder()
+    out = dec.decode(stream)
+    assert dec.hash_status == [True] * len(frames)
+    for k, (r, o) in enumerate(zip(recons, out)):
+        for c in range(3):
+            np.testing.assert_array_equal(np.asarray(r[c]),
+                                          np.asarray(o[c]),
+                                          err_msg=f"frame {k} plane {c}")

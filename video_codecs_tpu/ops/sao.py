@@ -124,6 +124,155 @@ def decide_ctu(orig: np.ndarray, rec: np.ndarray, x0: int, y0: int,
     return best
 
 
+def sao_stats_dev(orig, rec, ctb: int):
+    """Device batched per-CTU SAO statistics for one plane.
+
+    TPU twin of TEncSampleAdaptiveOffset::getStatistics (:285): the four
+    EO class category maps and the BO band map are whole-plane vector
+    ops; per-CTU per-category counts/diff-sums are box reductions.
+    Plane dims must be CTB multiples (callers pad or use exact grids).
+
+    Returns (eo_count [4,5,cy,cx] i32, eo_sum [4,5,cy,cx] f32,
+             bo_count [32,cy,cx] i32, bo_sum [32,cy,cx] f32).
+    """
+    import jax.numpy as jnp
+
+    h, w = rec.shape
+    cy, cx = h // ctb, w // ctb
+    reci = rec.astype(jnp.int32)
+    diff = (orig.astype(jnp.float32) - reci.astype(jnp.float32))
+
+    def box(a):
+        return a.reshape(cy, ctb, cx, ctb).sum(axis=(1, 3))
+
+    eo_counts, eo_sums = [], []
+    for eo in range(4):
+        (ady, adx), (bdy, bdx) = EO_NEIGHBORS[eo]
+        pad = jnp.pad(reci, 1, mode="edge")
+        c = pad[1:-1, 1:-1]
+        a = pad[1 + ady:h + 1 + ady, 1 + adx:w + 1 + adx]
+        b = pad[1 + bdy:h + 1 + bdy, 1 + bdx:w + 1 + bdx]
+        s = jnp.sign(c - a) + jnp.sign(c - b)
+        ys = jnp.arange(h)[:, None]
+        xs = jnp.arange(w)[None, :]
+        valid = ((ys + min(0, ady, bdy) >= 0) &
+                 (ys + max(0, ady, bdy) < h) &
+                 (xs + min(0, adx, bdx) >= 0) &
+                 (xs + max(0, adx, bdx) < w))
+        cat = jnp.where(valid,
+                        jnp.take(jnp.asarray([1, 2, 0, 3, 4],
+                                             jnp.int32), s + 2), 0)
+        cnts = [box((cat == k).astype(jnp.int32)) for k in range(5)]
+        sums = [box(jnp.where(cat == k, diff, 0.0)) for k in range(5)]
+        eo_counts.append(jnp.stack(cnts))
+        eo_sums.append(jnp.stack(sums))
+    band = reci >> 3
+    bo_count = jnp.stack([box((band == b).astype(jnp.int32))
+                          for b in range(32)])
+    bo_sum = jnp.stack([box(jnp.where(band == b, diff, 0.0))
+                        for b in range(32)])
+    return (jnp.stack(eo_counts), jnp.stack(eo_sums), bo_count, bo_sum)
+
+
+def decide_from_stats(eo_count, eo_sum, bo_count, bo_sum,
+                      lam: float) -> SaoParam:
+    """decide_ctu twin consuming precomputed per-CTU stats (host side;
+    the heavy classification ran on device via sao_stats_dev)."""
+    best = SaoParam()
+    best_cost = 0.0
+    for eo in range(4):
+        offs = [0, 0, 0, 0]
+        cost = lam * 3
+        for cat in (1, 2, 3, 4):
+            o, c = _best_offset(float(eo_sum[eo, cat]),
+                                int(eo_count[eo, cat]), cat <= 2, lam)
+            offs[cat - 1] = o
+            cost += c
+        if cost < best_cost:
+            best = SaoParam(SAO_EO, eo, 0,
+                            (abs(offs[0]), abs(offs[1]),
+                             abs(offs[2]), abs(offs[3])))
+            best_cost = cost
+    band_offs = np.zeros(32, np.int64)
+    band_costs = np.zeros(32)
+    for bnd in range(32):
+        op, cp = _best_offset(float(bo_sum[bnd]), int(bo_count[bnd]),
+                              True, lam)
+        on, cn = _best_offset(float(bo_sum[bnd]), int(bo_count[bnd]),
+                              False, lam)
+        band_offs[bnd], band_costs[bnd] = (op, cp) if cp <= cn else (on, cn)
+    for pos in range(29):
+        cost = band_costs[pos:pos + 4].sum() + lam * 7
+        if cost < best_cost:
+            best = SaoParam(SAO_BO, 0, pos,
+                            tuple(int(o) for o in band_offs[pos:pos + 4]))
+            best_cost = cost
+    return best
+
+
+def decide_eo_from_stats(eo_count, eo_sum, eo_class: int,
+                         lam: float) -> SaoParam:
+    """EO decision with a FORCED class (cr follows cb's type/class)."""
+    offs = []
+    for cat in (1, 2, 3, 4):
+        o, _ = _best_offset(float(eo_sum[eo_class, cat]),
+                            int(eo_count[eo_class, cat]), cat <= 2, lam)
+        offs.append(abs(o))
+    return SaoParam(SAO_EO, eo_class, 0, tuple(offs))
+
+
+def decide_bo_from_stats(bo_count, bo_sum, lam: float) -> SaoParam:
+    """BO decision with forced type (cr follows cb's BO type; own
+    band position)."""
+    band_offs = np.zeros(32, np.int64)
+    band_costs = np.zeros(32)
+    for bnd in range(32):
+        op, cp = _best_offset(float(bo_sum[bnd]), int(bo_count[bnd]),
+                              True, lam)
+        on, cn = _best_offset(float(bo_sum[bnd]), int(bo_count[bnd]),
+                              False, lam)
+        band_offs[bnd], band_costs[bnd] = (op, cp) if cp <= cn else (on, cn)
+    best_pos, best_cost = 0, 1e30
+    for pos in range(29):
+        cost = band_costs[pos:pos + 4].sum()
+        if cost < best_cost:
+            best_pos, best_cost = pos, cost
+    return SaoParam(SAO_BO, 0, best_pos,
+                    tuple(int(o) for o in band_offs[best_pos:best_pos + 4]))
+
+
+def apply_frame(pre: np.ndarray, params: list, ctb: int,
+                comp_idx: int) -> np.ndarray:
+    """Whole-plane SAO apply: category maps computed once per class,
+    then per-CTU offset gathers (fast twin of per-CTU apply_ctu)."""
+    h, w = pre.shape
+    cx = (w + ctb - 1) // ctb      # params grid is ceil-w CTBs wide
+    out = pre.copy()
+    cat_maps = {}
+    band = pre.astype(np.int32) >> 3
+    for i, p3 in enumerate(params):
+        p = p3[comp_idx]
+        if p is None or p.type_idx == SAO_OFF:
+            continue
+        by, bx = divmod(i, cx)
+        y0, x0 = by * ctb, bx * ctb
+        region = pre[y0:y0 + ctb, x0:x0 + ctb].astype(np.int32)
+        if p.type_idx == SAO_BO:
+            lut = np.zeros(32, np.int32)
+            for k in range(4):
+                lut[(p.band_position + k) & 31] = p.offsets[k]
+            res = region + lut[band[y0:y0 + ctb, x0:x0 + ctb]]
+        else:
+            if p.eo_class not in cat_maps:
+                cat_maps[p.eo_class] = eo_category_map(pre, p.eo_class)
+            cat = cat_maps[p.eo_class][y0:y0 + ctb, x0:x0 + ctb]
+            lut = np.array([0, p.offsets[0], p.offsets[1],
+                            -p.offsets[2], -p.offsets[3]], np.int32)
+            res = region + lut[cat]
+        out[y0:y0 + ctb, x0:x0 + ctb] = np.clip(res, 0, 255)
+    return out
+
+
 def apply_ctu(pre: np.ndarray, out: np.ndarray, x0: int, y0: int,
               size: int, p: SaoParam) -> None:
     """Apply one CTU's SAO params; reads `pre` (deblocked), writes `out`."""
