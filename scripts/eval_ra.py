@@ -91,7 +91,8 @@ def run_ours(frames, w, h, qp, search_range):
     cfg = headers.HevcConfig(width=w, height=h, qp=qp, log2_ctb=5,
                              log2_min_cb=3, log2_max_tb=5,
                              reorder_pics=3, sign_data_hiding=True,
-                             rdoq="lite", merge_cands=5, sao=sao)
+                             rdoq="lite", merge_cands=5, sao=sao,
+                             hash_sei=False)
     enc = inter_qt.QtDeviceRandomAccessEncoder(
         cfg, search_range=search_range, cu8=cu8, num_refs_active=nr)
     t0 = time.time()

@@ -172,6 +172,8 @@ def annexb(nals: list[bytes]) -> bytes:
     which every conforming decoder accepts)."""
     out = bytearray()
     for nal in nals:
+        if nal is None:           # disabled optional NALs (e.g. hash SEI)
+            continue
         out += b"\x00\x00\x00\x01" + nal
     return bytes(out)
 

@@ -24,6 +24,10 @@ class HevcConfig:
     height: int = 240
     qp: int = 32
     bit_depth: int = 8
+    #: emit a decoded-picture-hash SEI after every picture (conformance
+    #: checking; OFF for rate measurements - HM only writes it when
+    #: SEIDecodedPictureHash is requested)
+    hash_sei: bool = True
     log2_ctb: int = 4          # 16x16 CTBs (CU == CTB in the current build)
     log2_min_cb: int = 4
     log2_min_tb: int = 2
@@ -284,10 +288,13 @@ def parse_pps(rbsp: bytes) -> PpsInfo:
 
 
 def write_slice_header(cfg: HevcConfig, nal_type: int,
-                       entry_points: list[int] | None = None) -> BitWriter:
+                       entry_points: list[int] | None = None,
+                       sao_flags: bool | None = None) -> BitWriter:
     """I-slice segment header; returns the writer so slice data appends.
 
-    entry_points: byte sizes of all but the last tile substream."""
+    entry_points: byte sizes of all but the last tile substream.
+    sao_flags: slice_sao_luma/chroma value (default: SPS flag) — lets a
+    slice opt out of SAO while the SPS enables it."""
     w = BitWriter()
     w.flag(1)       # first_slice_segment_in_pic_flag
     if 16 <= nal_type <= 23:  # IRAP
@@ -295,8 +302,9 @@ def write_slice_header(cfg: HevcConfig, nal_type: int,
     w.ue(0)         # slice_pic_parameter_set_id
     w.ue(2)         # slice_type = I
     if cfg.sao:
-        w.flag(1)   # slice_sao_luma_flag
-        w.flag(1)   # slice_sao_chroma_flag
+        on = cfg.sao if sao_flags is None else sao_flags
+        w.flag(1 if on else 0)   # slice_sao_luma_flag
+        w.flag(1 if on else 0)   # slice_sao_chroma_flag
     w.se(cfg.qp - 26)  # slice_qp_delta (init_qp_minus26 = 0)
     if not cfg.deblocking_disabled:
         # present when pps_loop_filter_across_slices_enabled_flag &&

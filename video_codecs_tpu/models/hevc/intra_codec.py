@@ -519,7 +519,9 @@ class IntraEncoder:
         return bs.nal_unit(bs.NAL_IDR_W_RADL,
                            hdr.data() + b"".join(substreams))
 
-    def _hash_sei(self, rec_y, rec_u, rec_v) -> bytes:
+    def _hash_sei(self, rec_y, rec_u, rec_v) -> bytes | None:
+        if not getattr(self.cfg, "hash_sei", True):
+            return None           # annexb() drops None entries
         w = bs.BitWriter()
         w.write(132, 8)           # payloadType = decoded_picture_hash
         w.write(1 + 48, 8)        # payloadSize
