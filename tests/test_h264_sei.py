@@ -85,3 +85,25 @@ def test_sei_stream_stays_jm_decodable(tmp_path):
     ry, _, _ = yuv.read_frames(str(tmp_path / "r.yuv"), 80, 48)
     for i in range(2):
         np.testing.assert_array_equal(ry[i], recons[i][0].astype(np.uint8))
+
+
+def test_avcc_roundtrip():
+    """avcC extradata build + parse (bsanalyzer h264_avcc.cpp parity)."""
+    from video_codecs_tpu.models.h264 import intra_codec as ic
+    from video_codecs_tpu.tools import h264_syntax as hs
+
+    sps = ic.write_sps(6, 5)      # 96x80 in MBs
+    pps = ic.write_pps()
+    # write_sps/write_pps return full NALs? normalize: they may return
+    # rbsp; wrap via nal_unit if needed
+    if sps[0] != 0x67:
+        sps = ic.nal_unit(ic.NAL_SPS, sps, ref_idc=3)
+    if pps[0] != 0x68:
+        pps = ic.nal_unit(ic.NAL_PPS, pps, ref_idc=3)
+    rec = hs.write_avcc(sps, pps)
+    parsed = hs.parse_avcc(rec)
+    assert parsed["configurationVersion"] == 1
+    assert parsed["lengthSizeMinusOne"] == 3
+    assert parsed["sps"][0]["width"] == 96
+    assert parsed["annexb"].startswith(b"\x00\x00\x00\x01")
+    assert sps in parsed["annexb"] and pps in parsed["annexb"]

@@ -245,6 +245,9 @@ class DeviceH264Encoder(H264Encoder):
     def _encode_p_frame(self, y, u, v, refs, frame_num, poc=None,
                         reorder_cmds=None, mmco=None):
         if len(refs) != 1 or reorder_cmds or mmco or self.att:
+            from video_codecs_tpu.models.hevc.inter_jax import \
+                _warn_host_fallback
+            _warn_host_fallback(self, "P slice (multi-ref/MMCO/attention)")
             return super()._encode_p_frame(y, u, v, refs, frame_num,
                                            poc, reorder_cmds, mmco)
         qp = self.qp

@@ -47,6 +47,7 @@ from video_codecs_tpu.models.hevc import inter_jax
 from video_codecs_tpu.models.hevc import motion_hm
 from video_codecs_tpu.models.hevc import quadtree_codec
 from video_codecs_tpu.models.hevc import ra_codec as ra
+from video_codecs_tpu.models.hevc import intra_codec as ic
 from video_codecs_tpu.models.hevc.intra_codec import chroma_qp
 from video_codecs_tpu.ops import deblock as deblock_ops
 from video_codecs_tpu.ops import interp
@@ -79,13 +80,14 @@ def _coef_bits_blocks(coef_plane, xs, ys, n):
     return 2 * nnz + 2 * mag
 
 
-def _pred_cand(refs_y_pair, zr, xs, ys, n, dirs, mv0x, mv0y, mv1x, mv1y,
-               has_l1, mc14):
-    """Uni/bi prediction for per-block candidate motion (8-bit clipped)."""
-    q0 = mc14(refs_y_pair[0][None], zr, xs, ys, mv0x, mv0y, n)
+def _pred_cand(refs_y_pair, r0, r1, xs, ys, n, dirs, mv0x, mv0y,
+               mv1x, mv1y, has_l1, mc14):
+    """Uni/bi prediction for per-block candidate motion (8-bit clipped);
+    refs are [R, H, W] stacks with per-block ref indices r0/r1."""
+    q0 = mc14(refs_y_pair[0], r0, xs, ys, mv0x, mv0y, n)
     if not has_l1:
         return jnp.clip((q0 + 32) >> 6, 0, 255).astype(jnp.int32)
-    q1 = mc14(refs_y_pair[1][None], zr, xs, ys, mv1x, mv1y, n)
+    q1 = mc14(refs_y_pair[1], r1, xs, ys, mv1x, mv1y, n)
     return jnp.where(
         (dirs == 3)[:, None, None], interp.bi_average(q0, q1),
         jnp.where((dirs == 1)[:, None, None],
@@ -112,9 +114,14 @@ def qt_merge_dev(y, u, v, ref0_y, ref0_u, ref0_v, ref1_y, ref1_u, ref1_v,
     yi = y.astype(jnp.int32)
     ui = u.astype(jnp.int32)
     vi = v.astype(jnp.int32)
-    refs_y = [ref0_y.astype(jnp.int32), ref1_y.astype(jnp.int32)]
-    refs_u = [ref0_u.astype(jnp.int32), ref1_u.astype(jnp.int32)]
-    refs_v = [ref0_v.astype(jnp.int32), ref1_v.astype(jnp.int32)]
+
+    def stack3(p):
+        p = p.astype(jnp.int32)
+        return p[None] if p.ndim == 2 else p
+
+    refs_y = [stack3(ref0_y), stack3(ref1_y)]
+    refs_u = [stack3(ref0_u), stack3(ref1_u)]
+    refs_v = [stack3(ref0_v), stack3(ref1_v)]
     if lam is None:
         lam = 0.85 * 2.0 ** ((qp - 12) / 3.0)
 
@@ -152,6 +159,11 @@ def qt_merge_dev(y, u, v, ref0_y, ref0_u, ref0_v, ref1_y, ref1_u, ref1_v,
     is_inter = pred_mode == MODE_INTER
     dir_m = jnp.where(is_inter, st16["inter_dir"].astype(jnp.int32), 0)
     mv = {k: st16[k] for k in ("mv0x", "mv0y", "mv1x", "mv1y")}
+    zg16 = jnp.zeros((bh, bw), jnp.int32)
+    rf = {"r0": st16.get("ref0_idx", zg16.astype(jnp.int8))
+          .astype(jnp.int32),
+          "r1": st16.get("ref1_idx", zg16.astype(jnp.int8))
+          .astype(jnp.int32)}
 
     def child(f, dy, dx):
         return f[dy::2, dx::2][:g32h, :g32w]
@@ -164,9 +176,12 @@ def qt_merge_dev(y, u, v, ref0_y, ref0_u, ref0_v, ref1_y, ref1_u, ref1_v,
             cands.append(tuple(
                 jnp.where(ok, child(mv[k], dy, dx), 0).reshape(-1)
                 for k in ("mv0x", "mv0y", "mv1x", "mv1y")) +
-                (jnp.where(ok, d, fb_dir).reshape(-1),))
+                (jnp.where(ok, d, fb_dir).reshape(-1),) + tuple(
+                jnp.where(ok, child(rf[k], dy, dx), 0).reshape(-1)
+                for k in ("r0", "r1")))
     zg = jnp.zeros(g32h * g32w, jnp.int32)
-    cands.append((zg, zg, zg, zg, jnp.full(g32h * g32w, fb_dir, jnp.int32)))
+    cands.append((zg, zg, zg, zg,
+                  jnp.full(g32h * g32w, fb_dir, jnp.int32), zg, zg))
 
     x32 = jnp.tile(jnp.arange(g32w, dtype=jnp.int32) * 32, g32h)
     y32 = jnp.repeat(jnp.arange(g32h, dtype=jnp.int32) * 32, g32w)
@@ -177,16 +192,17 @@ def qt_merge_dev(y, u, v, ref0_y, ref0_u, ref0_v, ref1_y, ref1_u, ref1_v,
 
     INF = jnp.int32(1 << 30)
     best_cost = jnp.full(g32h * g32w, INF, jnp.int32)
-    best = [zg, zg, zg, zg, jnp.full(g32h * g32w, fb_dir, jnp.int32)]
+    best = [zg, zg, zg, zg, jnp.full(g32h * g32w, fb_dir, jnp.int32),
+            zg, zg]
     best_planes = None
     for c in cands:
-        m0x, m0y, m1x, m1y, dirs = c
-        py32 = _pred_cand(refs_y, zr, x32, y32, 32, dirs, m0x, m0y,
+        m0x, m0y, m1x, m1y, dirs, cr0, cr1 = c
+        py32 = _pred_cand(refs_y, cr0, cr1, x32, y32, 32, dirs, m0x, m0y,
                           m1x, m1y, has_l1, interp.mc_luma14_multi)
-        pu32 = _pred_cand(refs_u, zr, x32 // 2, y32 // 2, 16, dirs,
+        pu32 = _pred_cand(refs_u, cr0, cr1, x32 // 2, y32 // 2, 16, dirs,
                           m0x, m0y, m1x, m1y, has_l1,
                           interp.mc_chroma14_multi)
-        pv32 = _pred_cand(refs_v, zr, x32 // 2, y32 // 2, 16, dirs,
+        pv32 = _pred_cand(refs_v, cr0, cr1, x32 // 2, y32 // 2, 16, dirs,
                           m0x, m0y, m1x, m1y, has_l1,
                           interp.mc_chroma14_multi)
         d = jnp.sum((cur32 - py32) ** 2, axis=(-2, -1)) + \
@@ -270,6 +286,8 @@ def qt_merge_dev(y, u, v, ref0_y, ref0_u, ref0_v, ref1_y, ref1_u, ref1_v,
     fin_mv = {}
     for i, k in enumerate(("mv0x", "mv0y", "mv1x", "mv1y")):
         fin_mv[k] = jnp.where(m2, up2(best[i]), mv[k])
+    fin_r0 = jnp.where(m2, up2(best[5]), rf["r0"])
+    fin_r1 = jnp.where(m2, up2(best[6]), rf["r1"])
 
     def up2vals(v4):
         """[G*4] child-order values -> [bh, bw] map over covered blocks."""
@@ -338,22 +356,39 @@ def qt_merge_dev(y, u, v, ref0_y, ref0_u, ref0_v, ref1_y, ref1_u, ref1_v,
     m1x, m1y = fin_mv["mv1x"], fin_mv["mv1y"]
     tusplit = jnp.where(m2, False, st16.get(
         "tusplit", jnp.zeros((bh, bw), bool)))
+    split8m = jnp.where(m2, False, st16.get(
+        "split8", jnp.zeros((bh, bw), bool)))
     cbf_y8m = st16.get("cbf_y8", jnp.zeros((2 * bh, 2 * bw), bool))
+
+    def up8(f):
+        return jnp.repeat(jnp.repeat(f, 2, 0), 2, 1)
+
+    # final per-8 motion: CU8-split blocks carry their own PU motion,
+    # everything else repeats the CU16/CU32 field onto the 8 grid
+    use8 = up8(split8m)
+    z8 = jnp.zeros((2 * bh, 2 * bw), jnp.int32)
+    dir8f = jnp.where(use8, st16.get("dir8", z8.astype(jnp.int8))
+                      .astype(jnp.int32), up8(dirg))
+    m0x8f = jnp.where(use8, st16.get("mv0x8", z8), up8(m0x))
+    m0y8f = jnp.where(use8, st16.get("mv0y8", z8), up8(m0y))
+    m1x8f = jnp.where(use8, st16.get("mv1x8", z8), up8(m1x))
+    m1y8f = jnp.where(use8, st16.get("mv1y8", z8), up8(m1y))
+    r0_8f = jnp.where(use8, st16.get("r0_8", z8.astype(jnp.int8))
+                      .astype(jnp.int32), up8(fin_r0))
+    r1_8f = jnp.where(use8, st16.get("r1_8", z8.astype(jnp.int8))
+                      .astype(jnp.int32), up8(fin_r1))
     if deblock:
         # BS derivation at 8-sample granularity (spec 8.7.2.4 /
-        # TComLoopFilter xGetBoundaryStrengthSingle): TU8-split CUs
-        # create internal transform edges, and CU-boundary edges use
-        # the cbf of the ADJACENT TU, not of the whole CU.  Repeat the
-        # motion fields onto the 8 grid (interior edge pairs then have
-        # identical motion, leaving only the cbf condition) and use the
-        # per-TU effective cbf map.
-        def up8(f):
-            return jnp.repeat(jnp.repeat(f, 2, 0), 2, 1)
-
-        pm8, dir8 = up8(pm), up8(dirg)
-        m0x8, m0y8 = up8(m0x), up8(m0y)
-        m1x8, m1y8 = up8(m1x), up8(m1y)
-        eff8 = jnp.where(up8(tusplit), cbf_y8m, up8(cbf_y))
+        # TComLoopFilter xGetBoundaryStrengthSingle): TU8-split and
+        # CU8-split CUs create internal edges, and CU-boundary edges use
+        # the cbf of the ADJACENT TU, not of the whole CU.  Use the
+        # per-8 motion field (interior edge pairs of unsplit CUs then
+        # have identical motion, leaving only the cbf condition) and
+        # the per-TU effective cbf map.
+        pm8, dir8 = up8(pm), dir8f
+        m0x8, m0y8 = m0x8f, m0y8f
+        m1x8, m1y8 = m1x8f, m1y8f
+        eff8 = jnp.where(up8(tusplit | split8m), cbf_y8m, up8(cbf_y))
 
         def bs_pair8(sl_a, sl_b):
             a_i = (pm8 == MODE_INTRA)[sl_a]
@@ -361,9 +396,11 @@ def qt_merge_dev(y, u, v, ref0_y, ref0_u, ref0_v, ref1_y, ref1_u, ref1_v,
             intra2 = a_i | b_i
             diff_dir = dir8[sl_a] != dir8[sl_b]
             d0 = (jnp.abs(m0x8[sl_a] - m0x8[sl_b]) >= 4) | \
-                 (jnp.abs(m0y8[sl_a] - m0y8[sl_b]) >= 4)
+                 (jnp.abs(m0y8[sl_a] - m0y8[sl_b]) >= 4) | \
+                 (r0_8f[sl_a] != r0_8f[sl_b])
             d1 = (jnp.abs(m1x8[sl_a] - m1x8[sl_b]) >= 4) | \
-                 (jnp.abs(m1y8[sl_a] - m1y8[sl_b]) >= 4)
+                 (jnp.abs(m1y8[sl_a] - m1y8[sl_b]) >= 4) | \
+                 (r1_8f[sl_a] != r1_8f[sl_b])
             use0 = (dir8[sl_a] & 1) > 0
             mv_diff = jnp.where(dir8[sl_a] == 3, d0 | d1,
                                 jnp.where(use0, d0, d1))
@@ -374,11 +411,12 @@ def qt_merge_dev(y, u, v, ref0_y, ref0_u, ref0_v, ref1_y, ref1_u, ref1_v,
         ver8 = bs_pair8(np.s_[:, :-1], np.s_[:, 1:]).T
         hor8 = bs_pair8(np.s_[:-1, :], np.s_[1:, :])
         # only TU/PU boundaries are filtered (spec 8.7.2.2): odd 8-grid
-        # edges exist only inside TU8-split CUs
-        odd_ok_v = jnp.repeat(tusplit.T, 2, axis=1)       # [bw, bh8]
+        # edges exist only inside TU8-split or CU8-split CUs
+        inner = tusplit | split8m
+        odd_ok_v = jnp.repeat(inner.T, 2, axis=1)         # [bw, bh8]
         ver8 = ver8.at[0::2].set(
             jnp.where(odd_ok_v, ver8[0::2], 0))
-        odd_ok_h = jnp.repeat(tusplit, 2, axis=1)         # [bh, bw8]
+        odd_ok_h = jnp.repeat(inner, 2, axis=1)           # [bh, bw8]
         hor8 = hor8.at[0::2].set(
             jnp.where(odd_ok_h, hor8[0::2], 0))
         rec_y, rec_u, rec_v = deblock_ops.deblock_420_bs(
@@ -388,6 +426,12 @@ def qt_merge_dev(y, u, v, ref0_y, ref0_u, ref0_v, ref1_y, ref1_u, ref1_v,
         merged32=merged_g,
         res32=res32.reshape(g32h, g32w),
         tusplit=tusplit,
+        split8=split8m,
+        dir8=dir8f.astype(jnp.int8),
+        mv0x8=m0x8f, mv0y8=m0y8f, mv1x8=m1x8f, mv1y8=m1y8f,
+        r0_8=r0_8f.astype(jnp.int8), r1_8=r1_8f.astype(jnp.int8),
+        ref0_idx=fin_r0.astype(jnp.int8),
+        ref1_idx=fin_r1.astype(jnp.int8),
         cbf_y8=st16.get("cbf_y8", jnp.zeros((2 * bh, 2 * bw), bool)),
         cbf_cb4=st16.get("cbf_cb4", jnp.zeros((2 * bh, 2 * bw), bool)),
         cbf_cr4=st16.get("cbf_cr4", jnp.zeros((2 * bh, 2 * bw), bool)),
@@ -406,6 +450,21 @@ def qt_merge_dev(y, u, v, ref0_y, ref0_u, ref0_v, ref1_y, ref1_u, ref1_v,
     )
 
 
+@functools.partial(jax.jit, static_argnames=("ctb",))
+def _sao_stats_jit(orig, rec, ctb: int):
+    """Device SAO statistics of one (padded, CTB-multiple) plane."""
+    from video_codecs_tpu.ops import sao as sao_ops
+    return sao_ops.sao_stats_dev(orig, rec, ctb)
+
+
+def _pad_to(a, m):
+    h, w = a.shape
+    ph, pw = -h % m, -w % m
+    if ph or pw:
+        a = np.pad(a, ((0, ph), (0, pw)), mode="edge")
+    return a
+
+
 # ---------------------------------------------------------------------------
 # Host phase: spec-exact reconciliation + CABAC over the CU quadtree
 # ---------------------------------------------------------------------------
@@ -416,12 +475,20 @@ class QtDeviceRandomAccessEncoder(ra.RandomAccessEncoder):
     tree for B/P pictures, merge-5 syntax via motion_hm."""
 
     def __init__(self, cfg, gop: tuple = ra.GOP8_RA,
-                 search_range: int = 64, me_method: str = "pyr") -> None:
+                 search_range: int = 64, me_method: str = "pyr",
+                 cu8: bool = True, num_refs_active: int = 1) -> None:
         assert cfg.log2_ctb == 5 and cfg.log2_min_cb == 3 and \
             cfg.log2_max_tb == 5, "qt inter build is CTB32 (quadtree SPS)"
         assert not cfg.temporal_mvp, "TMVP on the qt path: later"
         assert cfg.width % 16 == 0 and cfg.height % 16 == 0
         cfg.tt_depth_inter = 1     # CU32 residuals code an RQT split
+        self.cu8 = cu8
+        #: active refs per list (HM GOPEntry num_ref_pics_active uses 2;
+        #: our device ref-choice approximations currently measure ~6 BD
+        #: points WORSE with 2 than 1 on foreman, so 1 is the default
+        #: until ref selection runs on true RD — the 2-ref machinery is
+        #: conformant and tested)
+        self.num_refs_active = num_refs_active
         super().__init__(cfg, gop, search_range, me_method)
         self._qt_intra = quadtree_codec.QuadtreeFastEncoder(cfg)
         # HM I-slice lambda scale: 0.57*(1 - 0.05*NumberBFrames)
@@ -439,52 +506,131 @@ class QtDeviceRandomAccessEncoder(ra.RandomAccessEncoder):
         self._cur_is_ref = e is None or e.temporal_id < 3
         cfg = self.cfg
         y, u, v = frame
-        has_l1 = L1 in refs
-        r0 = refs[L0][1]
-        r1 = refs[L1][1] if has_l1 else r0
-        ref_poc = {lx: rp for lx, (rp, _) in refs.items()}
+        l0, l1 = getattr(self, "_cur_ref_lists", None) or (
+            [(refs[L0][0], refs[L0][1])],
+            [(refs[L1][0], refs[L1][1])] if L1 in refs else [])
+        has_l1 = bool(l1)
+        ref_pocs = [[p for p, _ in l0], [p for p, _ in l1]]
 
-        args = [jnp.asarray(np.asarray(p, np.int32))
-                for p in (*r0, *r1)]
+        def stack(lst, c):
+            return jnp.asarray(np.stack(
+                [np.asarray(planes[c], np.int32) for _, planes in lst]))
+
+        args = [stack(l0, 0), stack(l0, 1), stack(l0, 2)]
+        args += [stack(l1 or l0, 0), stack(l1 or l0, 1),
+                 stack(l1 or l0, 2)]
         lam = inter_jax._gop_lambda(self, poc)
-        st16 = inter_jax.encode_b_frame_dev(
-            jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), *args,
-            qp=cfg.qp, w=cfg.width, h=cfg.height, has_l1=has_l1,
-            search_range=self.search_range, sbh=cfg.sign_data_hiding,
-            rdoq=True, me_method=self.me_method, deblock=False,
-            allow_intra=False, merge_eval="best4", lam=lam, rqt=True)
-        qt = qt_merge_dev(
-            jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), *args, st16,
-            qp=cfg.qp, w=cfg.width, h=cfg.height, has_l1=has_l1,
-            sbh=cfg.sign_data_hiding, rdoq=True,
-            deblock=not cfg.deblocking_disabled, lam=lam)
+        qt = self._device_phase(y, u, v, args, has_l1, lam)
+        sao_params = None
+        if cfg.sao:
+            sao_params = self._sao_decide_qt(
+                (np.asarray(y), np.asarray(u), np.asarray(v)), qt, lam)
         qt = {k: np.asarray(val) for k, val in qt.items()}
+        if sao_params is not None:
+            from video_codecs_tpu.ops import sao as sao_ops
+            qt["rec_y"] = sao_ops.apply_frame(
+                qt["rec_y"], sao_params, 32, 0).astype(np.uint8)
+            qt["rec_u"] = sao_ops.apply_frame(
+                qt["rec_u"], sao_params, 16, 1).astype(np.uint8)
+            qt["rec_v"] = sao_ops.apply_frame(
+                qt["rec_v"], sao_params, 16, 2).astype(np.uint8)
 
-        slice_nal = self._serialize_qt_slice(qt, poc, is_anchor, ref_poc)
+        slice_nal = self._serialize_qt_slice(qt, poc, is_anchor,
+                                             ref_pocs, sao_params)
         rec = tuple(qt[k].astype(np.int32)
                     for k in ("rec_y", "rec_u", "rec_v"))
         sei_nal = self._hash_sei(*rec)
         return [slice_nal, sei_nal], rec
 
+    def _device_phase(self, y, u, v, args, has_l1, lam):
+        """Full device pipeline of one B picture: per-16 decision +
+        CU8 tree + 32 merge tree + deblock.  The multichip dryrun
+        overrides this with a tile-sharded twin (pad -> compute ->
+        crop); the host serializer consumes either's qt dict."""
+        cfg = self.cfg
+        st16 = inter_jax.encode_b_frame_dev(
+            jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), *args,
+            qp=cfg.qp, w=cfg.width, h=cfg.height, has_l1=has_l1,
+            search_range=self.search_range, sbh=cfg.sign_data_hiding,
+            rdoq=True, me_method=self.me_method, deblock=False,
+            allow_intra=False, merge_eval="best4", lam=lam, rqt=True,
+            cu8=self.cu8)
+        return qt_merge_dev(
+            jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), *args, st16,
+            qp=cfg.qp, w=cfg.width, h=cfg.height, has_l1=has_l1,
+            sbh=cfg.sign_data_hiding, rdoq=True,
+            deblock=not cfg.deblocking_disabled, lam=lam)
+
+    def _sao_decide_qt(self, origs, qt, lam):
+        """Per-CTB32 SAO decision for the qt B path: classification +
+        stats batched on device (_sao_stats_jit), tiny per-CTU offset
+        search on host (TEncSampleAdaptiveOffset::decideBlkParams
+        analog; chroma shares type/EO-class per the sao() syntax)."""
+        from video_codecs_tpu.ops import sao as sao_ops
+
+        cfg = self.cfg
+        if not lam:
+            lam = 0.85 * 2.0 ** ((cfg.qp - 12) / 3.0)
+        n_ctb = cfg.ctbs_x * cfg.ctbs_y
+        stats = []
+        for comp, ctb in ((0, 32), (1, 16), (2, 16)):
+            o = _pad_to(np.asarray(origs[comp], np.int32), ctb)
+            r = _pad_to(np.asarray(qt["rec_y" if comp == 0 else
+                                      ("rec_u" if comp == 1 else
+                                       "rec_v")], np.int32), ctb)
+            stats.append([np.asarray(a) for a in
+                          _sao_stats_jit(jnp.asarray(o), jnp.asarray(r),
+                                         ctb)])
+        params = [[None] * 3 for _ in range(n_ctb)]
+        for by in range(cfg.ctbs_y):
+            for bx in range(cfg.ctbs_x):
+                i = by * cfg.ctbs_x + bx
+                ec, es, bc, bsum = stats[0]
+                params[i][0] = sao_ops.decide_from_stats(
+                    ec[:, :, by, bx], es[:, :, by, bx], bc[:, by, bx],
+                    bsum[:, by, bx], lam)
+                ec, es, bc, bsum = stats[1]
+                cb = sao_ops.decide_from_stats(
+                    ec[:, :, by, bx], es[:, :, by, bx], bc[:, by, bx],
+                    bsum[:, by, bx], lam)
+                ec, es, bc, bsum = stats[2]
+                if cb.type_idx == sao_ops.SAO_EO:
+                    cr = sao_ops.decide_eo_from_stats(
+                        ec[:, :, by, bx], es[:, :, by, bx],
+                        cb.eo_class, lam)
+                elif cb.type_idx == sao_ops.SAO_BO:
+                    cr = sao_ops.decide_bo_from_stats(
+                        bc[:, by, bx], bsum[:, by, bx], lam)
+                else:
+                    cr = sao_ops.SaoParam()
+                params[i][1], params[i][2] = cb, cr
+        return params
+
     # ---- serializer ----
 
-    def _serialize_qt_slice(self, qt, poc, is_anchor, ref_poc) -> bytes:
+    def _serialize_qt_slice(self, qt, poc, is_anchor, ref_pocs,
+                            sao_params=None) -> bytes:
         cfg = self.cfg
         rps = getattr(self, "_cur_rps", None)
         if rps is None:
-            neg = [(ref_poc[L0] - poc, True)]
-            pos = [(ref_poc[L1] - poc, True)] if L1 in ref_poc else []
+            neg = [(p - poc, True) for p in ref_pocs[0] if p < poc]
+            pos = [(p - poc, True) for p in ref_pocs[1] if p > poc]
             rps = (neg, pos)
+        n0 = len(ref_pocs[0])
+        n1 = max(1, len(ref_pocs[1]))
         w = ra.write_ra_slice_header(cfg, poc, 1 if is_anchor else 0,
-                                     cfg.qp, *rps)
+                                     cfg.qp, *rps, n0=n0, n1=n1)
         enc = cabac.CabacEncoder(
             w, ctx.init_states(ctx.P if is_anchor else ctx.B, cfg.qp))
 
-        st = _QtSliceState(cfg, qt, poc, is_anchor, ref_poc)
+        st = _QtSliceState(cfg, qt, poc, is_anchor, ref_pocs)
         n_ctbs = cfg.ctbs_x * cfg.ctbs_y
         i = 0
         for cy in range(0, cfg.height, 32):
             for cx in range(0, cfg.width, 32):
+                if sao_params is not None:
+                    ic.encode_sao_ctu(enc, sao_params, i, cx // 32,
+                                      cy // 32, cfg.ctbs_x, 0)
                 self._code_qt_node(enc, st, cx, cy, 5)
                 i += 1
                 enc.encode_terminate(1 if i == n_ctbs else 0)
@@ -509,10 +655,18 @@ class QtDeviceRandomAccessEncoder(ra.RandomAccessEncoder):
             pass
         if log2 == 4:
             if inside:
-                # min CB is 8: an explicit non-split flag at 16
+                # min CB is 8: an explicit split flag at 16 (CU8 tree)
+                sp8 = bool(st.qt.get("split8") is not None and
+                           st.qt["split8"][y // 16, x // 16])
                 enc.encode_bin(
-                    ctx.off("split_cu_flag", st.split_ctx(x, y, 1)), 0)
-                self._code_cu(enc, st, x, y, 16)
+                    ctx.off("split_cu_flag", st.split_ctx(x, y, 1)),
+                    1 if sp8 else 0)
+                if sp8:
+                    for q in range(4):
+                        self._code_cu8(enc, st, x + (q & 1) * 8,
+                                       y + (q >> 1) * 8)
+                else:
+                    self._code_cu(enc, st, x, y, 16)
             return
         half = size // 2
         for q in range(4):
@@ -532,13 +686,15 @@ class QtDeviceRandomAccessEncoder(ra.RandomAccessEncoder):
             self._code_intra_cu(enc, st, x, y)
             return
         d = int(qt["inter_dir"][by, bx])
+        r0i = int(qt["ref0_idx"][by, bx]) if "ref0_idx" in qt else 0
+        r1i = int(qt["ref1_idx"][by, bx]) if "ref1_idx" in qt else 0
         m = motion_hm.Motion(
             [bool(d & 1), bool(d & 2)],
             [(int(qt["mv0x"][by, bx]), int(qt["mv0y"][by, bx])),
              (int(qt["mv1x"][by, bx]), int(qt["mv1y"][by, bx]))],
-            [0 if d & 1 else -1, 0 if d & 2 else -1],
-            [st.ref_poc.get(L0, 0) if d & 1 else 0,
-             st.ref_poc.get(L1, 0) if d & 2 else 0])
+            [r0i if d & 1 else -1, r1i if d & 2 else -1],
+            [st.ref_pocs[L0][r0i] if d & 1 else 0,
+             st.ref_pocs[L1][r1i] if d & 2 else 0])
         cands = motion_hm.merge_candidates_pu(
             st.pm, st.mctx, x, y, size, size, "2Nx2N", 0, cfg.log2_ctb)
         midx = next((i for i, c in enumerate(cands)
@@ -573,8 +729,11 @@ class QtDeviceRandomAccessEncoder(ra.RandomAccessEncoder):
             for lx in (L0, L1):
                 if not m.pf[lx]:
                     continue
+                self._code_ref_idx(enc, m.ref_idx[lx],
+                                   len(st.ref_pocs[lx]))
                 amvp = motion_hm.amvp_candidates_pu(
-                    st.pm, st.mctx, x, y, size, size, lx, 0, cfg.log2_ctb)
+                    st.pm, st.mctx, x, y, size, size, lx, m.ref_idx[lx],
+                    cfg.log2_ctb)
                 mvds = [(m.mv[lx][0] - p[0], m.mv[lx][1] - p[1])
                         for p in amvp]
                 bits = [pc.mvd_bits_estimate(dd) for dd in mvds]
@@ -605,6 +764,96 @@ class QtDeviceRandomAccessEncoder(ra.RandomAccessEncoder):
                 assert cbf_y
             self._write_tu16(enc, st, x, y, cbf_y, cbf_cb, cbf_cr)
         st.set_inter(x, y, size, m, skip=False)
+
+    def _code_cu8(self, enc, st, x, y):
+        """One 8x8 CU of a split 16 (min CB): 2Nx2N PU with its own
+        motion, TU8 luma + 4x4 chroma (spec 7.3.8.5; GeneralDecoder
+        _decode_cu/_decode_inter_cu/_decode_tt_inter at log2 3)."""
+        cfg = self.cfg
+        qt = st.qt
+        gy, gx = y // 8, x // 8
+        st.set_depth(x, y, 8, 2)
+        d = int(qt["dir8"][gy, gx])
+        r0i = int(qt["r0_8"][gy, gx]) if "r0_8" in qt else 0
+        r1i = int(qt["r1_8"][gy, gx]) if "r1_8" in qt else 0
+        m = motion_hm.Motion(
+            [bool(d & 1), bool(d & 2)],
+            [(int(qt["mv0x8"][gy, gx]), int(qt["mv0y8"][gy, gx])),
+             (int(qt["mv1x8"][gy, gx]), int(qt["mv1y8"][gy, gx]))],
+            [r0i if d & 1 else -1, r1i if d & 2 else -1],
+            [st.ref_pocs[L0][r0i] if d & 1 else 0,
+             st.ref_pocs[L1][r1i] if d & 2 else 0])
+        cands = motion_hm.merge_candidates_pu(
+            st.pm, st.mctx, x, y, 8, 8, "2Nx2N", 0, cfg.log2_ctb)
+        midx = next((i for i, c in enumerate(cands)
+                     if c.same_motion(m)), -1)
+        cbf_y = bool(qt["cbf_y8"][gy, gx])
+        cbf_cb = bool(qt["cbf_cb4"][gy, gx])
+        cbf_cr = bool(qt["cbf_cr4"][gy, gx])
+        no_res = not (cbf_y or cbf_cb or cbf_cr)
+
+        skip = midx >= 0 and no_res
+        enc.encode_bin(ctx.off("skip_flag", st.skip_ctx(x, y)),
+                       1 if skip else 0)
+        if skip:
+            self._code_merge_idx(enc, midx)
+            st.set_inter(x, y, 8, m, skip=True)
+            return
+        enc.encode_bin(ctx.off("pred_mode"), 0)
+        enc.encode_bin(ctx.off("part_size"), 1)     # PART_2Nx2N
+        enc.encode_bin(ctx.off("merge_flag"), 1 if midx >= 0 else 0)
+        if midx >= 0:
+            self._code_merge_idx(enc, midx)
+            assert not no_res, "no-residual merge must be skip"
+        else:
+            if not st.is_anchor:
+                if d == 3:
+                    enc.encode_bin(ctx.off("inter_dir", 2), 1)
+                else:
+                    enc.encode_bin(ctx.off("inter_dir", 2), 0)
+                    enc.encode_bin(ctx.off("inter_dir", 4),
+                                   0 if d == 1 else 1)
+            for lx in (L0, L1):
+                if not m.pf[lx]:
+                    continue
+                self._code_ref_idx(enc, m.ref_idx[lx],
+                                   len(st.ref_pocs[lx]))
+                amvp = motion_hm.amvp_candidates_pu(
+                    st.pm, st.mctx, x, y, 8, 8, lx, m.ref_idx[lx],
+                    cfg.log2_ctb)
+                mvds = [(m.mv[lx][0] - p[0], m.mv[lx][1] - p[1])
+                        for p in amvp]
+                bits = [pc.mvd_bits_estimate(dd) for dd in mvds]
+                mi = 0 if bits[0] <= bits[1] else 1
+                self._encode_mvd(enc, mvds[mi])
+                enc.encode_bin(ctx.off("mvp_idx"), mi)
+            enc.encode_bin(ctx.off("qt_root_cbf"), 0 if no_res else 1)
+            if no_res:
+                st.set_inter(x, y, 8, m, skip=False)
+                return
+        # transform tree: TU8 (explicit non-split), chroma 4x4
+        enc.encode_bin(ctx.off("trans_subdiv", 2), 0)
+        enc.encode_bin(ctx.off("cbf_chroma", 0), 1 if cbf_cb else 0)
+        enc.encode_bin(ctx.off("cbf_chroma", 0), 1 if cbf_cr else 0)
+        if cbf_cb or cbf_cr:
+            enc.encode_bin(ctx.off("cbf_luma", 1), 1 if cbf_y else 0)
+        else:
+            assert cbf_y
+        sbh = cfg.sign_data_hiding
+        if cbf_y:
+            residual.encode_residual(
+                enc, qt["coef_y"][y:y + 8, x:x + 8].astype(np.int32),
+                3, rom.SCAN_DIAG, True, sign_hiding=sbh)
+        cx, cy = x // 2, y // 2
+        if cbf_cb:
+            residual.encode_residual(
+                enc, qt["coef_u"][cy:cy + 4, cx:cx + 4].astype(np.int32),
+                2, rom.SCAN_DIAG, False, sign_hiding=sbh)
+        if cbf_cr:
+            residual.encode_residual(
+                enc, qt["coef_v"][cy:cy + 4, cx:cx + 4].astype(np.int32),
+                2, rom.SCAN_DIAG, False, sign_hiding=sbh)
+        st.set_inter(x, y, 8, m, skip=False)
 
     def _write_tt16_split(self, enc, st, x, y):
         """CU16 transform tree split to 4 TU8 luma + 4x4 chroma per
@@ -725,6 +974,25 @@ class QtDeviceRandomAccessEncoder(ra.RandomAccessEncoder):
                 enc, qt["coef_v"][cy:cy + 8, cx:cx + 8].astype(np.int32),
                 3, rom.SCAN_DIAG, False, sign_hiding=sbh)
 
+    def _code_ref_idx(self, enc, idx: int, nref: int) -> None:
+        """TR ref_idx_lX: bins 0/1 ctx-coded, rest bypass (mirror of
+        GeneralDecoder._parse_ref_idx / TDecSbac parseRefFrmIdx)."""
+        if nref <= 1:
+            return
+        enc.encode_bin(ctx.off("ref_idx", 0), 1 if idx > 0 else 0)
+        if idx == 0:
+            return
+        k = 1
+        while k < nref - 1:
+            b = 1 if idx > k else 0
+            if k == 1:
+                enc.encode_bin(ctx.off("ref_idx", 1), b)
+            else:
+                enc.encode_bypass(b)
+            if not b:
+                break
+            k += 1
+
     def _code_merge_idx(self, enc, idx: int) -> None:
         pc.LowDelayEncoder._encode_merge_idx(self, enc, idx)
 
@@ -734,14 +1002,12 @@ class QtDeviceRandomAccessEncoder(ra.RandomAccessEncoder):
 class _QtSliceState:
     """Per-slice serializer state: spec motion grid + depth/mode maps."""
 
-    def __init__(self, cfg, qt, poc, is_anchor, ref_poc):
+    def __init__(self, cfg, qt, poc, is_anchor, ref_pocs):
         self.cfg = cfg
         self.qt = qt
         self.is_anchor = is_anchor
-        self.ref_poc = ref_poc
+        self.ref_pocs = ref_pocs
         self.pm = motion_hm.PicMotion(cfg.width, cfg.height, poc)
-        ref_pocs = [[ref_poc[L0]],
-                    [ref_poc[L1]] if L1 in ref_poc else []]
         no_backward = all(p <= poc for lst in ref_pocs for p in lst)
         self.mctx = motion_hm.SliceMotionCtx(
             poc, ref_pocs, not is_anchor, cfg.merge_cands, False, None,

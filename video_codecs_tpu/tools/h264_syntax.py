@@ -354,3 +354,63 @@ def parse_slice_header_full(rbsp: bytes, nal_type: int, nal_ref_idc: int,
         s["slice_group_change_cycle"] = r.read(bits)
     s["header_bits"] = r.bit_pos()
     return s
+
+
+def parse_avcc(data: bytes) -> dict:
+    """AVCDecoderConfigurationRecord (ISO 14496-15 5.2.4.1; bsanalyzer
+    h264_avcc.cpp read_avcc): the MP4 'avcC' extradata box carrying
+    SPS/PPS as length-prefixed NALs.
+
+    Returns the header fields plus parsed SPS/PPS dicts and
+    `annexb` — the parameter sets rewrapped as an Annex-B byte stream
+    (start codes) for tools that only consume Annex B."""
+    out: dict = {}
+    out["configurationVersion"] = data[0]
+    out["AVCProfileIndication"] = data[1]
+    out["profile_compatibility"] = data[2]
+    out["AVCLevelIndication"] = data[3]
+    out["lengthSizeMinusOne"] = data[4] & 3
+    pos = 5
+    n_sps = data[pos] & 0x1F
+    pos += 1
+    sps_list, pps_list, annexb = [], [], bytearray()
+    for _ in range(n_sps):
+        ln = (data[pos] << 8) | data[pos + 1]
+        pos += 2
+        nal = data[pos:pos + ln]
+        pos += ln
+        annexb += b"\x00\x00\x00\x01" + nal
+        sps_list.append(parse_sps_full(_strip_ep(nal[1:])))
+    n_pps = data[pos]
+    pos += 1
+    for _ in range(n_pps):
+        ln = (data[pos] << 8) | data[pos + 1]
+        pos += 2
+        nal = data[pos:pos + ln]
+        pos += ln
+        annexb += b"\x00\x00\x00\x01" + nal
+        pps_list.append(parse_pps_full(_strip_ep(nal[1:])))
+    out["sps"] = sps_list
+    out["pps"] = pps_list
+    out["annexb"] = bytes(annexb)
+    return out
+
+
+def _strip_ep(rbsp: bytes) -> bytes:
+    from video_codecs_tpu.models.h264.intra_codec import \
+        strip_emulation_prevention
+    return strip_emulation_prevention(rbsp)
+
+
+def write_avcc(sps_nal: bytes, pps_nal: bytes) -> bytes:
+    """Build an avcC record from raw SPS/PPS NALs (header byte included),
+    the inverse of parse_avcc (h264_avcc.cpp write_avcc)."""
+    sps_rbsp = _strip_ep(sps_nal[1:])
+    r = BitReader(sps_rbsp)
+    profile = r.read(8)
+    compat = r.read(8)
+    level = r.read(8)
+    out = bytearray([1, profile, compat, level, 0xFF, 0xE0 | 1])
+    out += len(sps_nal).to_bytes(2, "big") + sps_nal
+    out += bytes([1]) + len(pps_nal).to_bytes(2, "big") + pps_nal
+    return bytes(out)
