@@ -437,6 +437,8 @@ def parse_pred_weight_table(r: bs.BitReader, h: "SliceHeader") -> WpTable:
 class SliceHeader:
     slice_type: int = 2         # 0 B, 1 P, 2 I
     nal_type: int = 0
+    first_slice: bool = True
+    slice_address: int = 0
     temporal_id: int = 0
     poc_lsb: int = 0
     poc: int = 0
@@ -466,11 +468,15 @@ def parse_slice_header(rbsp: bytes, nal_type: int, sps: Sps,
     r = bs.BitReader(rbsp)
     h = SliceHeader()
     h.nal_type = nal_type
-    first = r.flag()
-    assert first, "multi-slice pictures not supported yet"
+    h.first_slice = bool(r.flag())
     if 16 <= nal_type <= 23:    # IRAP
         r.flag()                # no_output_of_prior_pics
     r.ue()                      # slice_pic_parameter_set_id
+    if not h.first_slice:
+        ctb = 1 << sps.log2_ctb
+        n_ctbs = ((sps.width + ctb - 1) // ctb) * \
+            ((sps.height + ctb - 1) // ctb)
+        h.slice_address = r.read(max(1, (n_ctbs - 1).bit_length()))
     for _ in range(pps.num_extra_bits):
         r.flag()                # slice_reserved_flag
     h.slice_type = r.ue()
@@ -706,11 +712,15 @@ class GeneralDecoder:
         sps, pps = self.sps, self.pps
         h = parse_slice_header(rbsp, nal_type, sps, pps)
         h.temporal_id = tid
-        h.poc = self._derive_poc(nal_type, tid, h.poc_lsb)
         w, hgt = sps.width, sps.height
         ctb = 1 << sps.log2_ctb
         cw = (w + ctb - 1) // ctb
         ch = (hgt + ctb - 1) // ctb
+        if h.first_slice:
+            h.poc = self._derive_poc(nal_type, tid, h.poc_lsb)
+        else:
+            # continuation slice segment of the current picture
+            return self._decode_slice_segment(rbsp, h, resume=True)
 
         # reference lists + TMVP source (inter slices)
         ref_pocs: list = [[], []]
@@ -731,30 +741,86 @@ class GeneralDecoder:
             h.tmvp and col is not None, col, h.collocated_from_l0,
             no_backward)
 
-        # cabac_init_flag swaps the P/B init tables (spec 9.3.2.2)
+        st = _PicState(sps, pps, h)
+        st.ref_pics = ref_pics
+        st.mctx = mctx
+        sao_params = [[sao_ops.SaoParam()] * 3 for _ in range(cw * ch)]
+        self._cur_pic = dict(st=st, sao=sao_params, h0=h, slice_idx=0,
+                             ctb_slice=np.full(cw * ch, -1, np.int32))
+        return self._decode_slice_segment(rbsp, h, resume=False)
+
+    def _decode_slice_segment(self, rbsp: bytes, h: SliceHeader,
+                              resume: bool):
+        """CTB loop of one (independent) slice segment; finalizes the
+        picture after its last CTB (spec 7.3.6.1 multi-slice pictures;
+        TDecSlice substream handling for the single-substream case)."""
+        sps, pps = self.sps, self.pps
+        cp = self._cur_pic
+        st = cp["st"]
+        sao_params = cp["sao"]
+        w, hgt = sps.width, sps.height
+        ctb = 1 << sps.log2_ctb
+        cw = (w + ctb - 1) // ctb
+        ch = (hgt + ctb - 1) // ctb
+        if resume:
+            h.poc = cp["h0"].poc
+            assert h.qp == cp["h0"].qp, \
+                "per-slice QP differences: later round"
+            cp["slice_idx"] += 1
+            st.h = h
+            # per-slice reference lists (headers repeat the RPS)
+            ref_pocs: list = [[], []]
+            ref_pics: list = [[], []]
+            col = None
+            if h.slice_type != I_SLICE:
+                ref_pocs = self._ref_lists(h)
+                for lx in (0, 1):
+                    for p in ref_pocs[lx]:
+                        ref_pics[lx].append(self.dpb[p][0])
+                col_lx = 0 if h.collocated_from_l0 else 1
+                if h.tmvp and ref_pocs[col_lx]:
+                    col = self.dpb[ref_pocs[col_lx]
+                                   [h.collocated_ref_idx]][1]
+            no_backward = all(p <= h.poc for lst in ref_pocs
+                              for p in lst)
+            st.ref_pics = ref_pics
+            st.mctx = motion_hm.SliceMotionCtx(
+                h.poc, ref_pocs, h.slice_type == B_SLICE, h.max_merge,
+                h.tmvp and col is not None, col, h.collocated_from_l0,
+                no_backward)
+
+        st.cur_slice = cp["slice_idx"]
+        st.z_floor = h.slice_address * (1 << (2 * (sps.log2_ctb - 2)))
+        st.pm.slice4 = st.slice4
+        st.pm.cur_slice = cp["slice_idx"]
+
         init_type = h.slice_type
         if h.cabac_init and h.slice_type != I_SLICE:
             init_type = B_SLICE if h.slice_type == P_SLICE else P_SLICE
         dec = cabac.CabacDecoder(
             bs.BitReader(rbsp[h.data_offset_bits // 8:]),
             ctx.init_states(init_type, h.qp))
-        st = _PicState(sps, pps, h)
-        st.ref_pics = ref_pics
-        st.mctx = mctx
-        sao_params = [[sao_ops.SaoParam()] * 3 for _ in range(cw * ch)]
 
-        i = 0
-        for cy in range(0, hgt, ctb):
-            for cx in range(0, w, ctb):
-                if h.sao_luma or h.sao_chroma:
-                    self._decode_sao(dec, sao_params, i, cx // ctb,
-                                     cy // ctb, cw, h)
-                self._decode_cqt(dec, st, cx, cy, sps.log2_ctb, 0)
-                i += 1
-                end = dec.decode_terminate()
-                assert end == (1 if i == cw * ch else 0), \
-                    f"end_of_slice mismatch at CTU {i}"
-
+        i = h.slice_address
+        while i < cw * ch:
+            cx = (i % cw) * ctb
+            cy = (i // cw) * ctb
+            cp["ctb_slice"][i] = cp["slice_idx"]
+            st.slice4[cy // 4:min(cy + ctb, hgt) // 4,
+                      cx // 4:min(cx + ctb, w) // 4] = cp["slice_idx"]
+            if h.sao_luma or h.sao_chroma:
+                self._decode_sao(dec, sao_params, i, cx // ctb,
+                                 cy // ctb, cw, h,
+                                 ctb_slice=cp["ctb_slice"])
+            self._decode_cqt(dec, st, cx, cy, sps.log2_ctb, 0)
+            i += 1
+            end = dec.decode_terminate()
+            if end:
+                break
+        if i < cw * ch:
+            return None                 # more slices follow
+        st.pm.cur_slice = None          # whole-picture motion hereafter
+        h = cp["h0"]
         rec_y, rec_u, rec_v = st.rec_y, st.rec_u, st.rec_v
         if not h.deblocking_disabled:
             assert h.beta_offset_div2 == 0 and h.tc_offset_div2 == 0, \
@@ -787,12 +853,19 @@ class GeneralDecoder:
                 del self.dpb[p]
         return frame
 
-    def _decode_sao(self, dec, params, i, bx, by, cw, h: SliceHeader):
-        """sao() syntax (spec 7.3.8.3) with per-component slice enables."""
-        if bx > 0 and dec.decode_bin(ctx.off("sao_merge")):
+    def _decode_sao(self, dec, params, i, bx, by, cw, h: SliceHeader,
+                    ctb_slice=None):
+        """sao() syntax (spec 7.3.8.3) with per-component slice enables;
+        merge flags are only present when the neighbor CTB is in the
+        same slice segment (spec 7.3.8.3 leftCtbInSliceSeg)."""
+        def same(j):
+            return ctb_slice is None or ctb_slice[j] == ctb_slice[i]
+
+        if bx > 0 and same(i - 1) and dec.decode_bin(ctx.off("sao_merge")):
             params[i] = list(params[i - 1])
             return
-        if by > 0 and dec.decode_bin(ctx.off("sao_merge")):
+        if by > 0 and same(i - cw) and \
+                dec.decode_bin(ctx.off("sao_merge")):
             params[i] = list(params[i - cw])
             return
         out = [sao_ops.SaoParam()] * 3
@@ -1324,7 +1397,7 @@ class GeneralDecoder:
             lv = residual.decode_residual(dec, log2, stype, True,
                                           sign_hiding=pps.sign_data_hiding)
         ref = build_ref_z(st.rec_y, x, y, n, sps.width, sps.height,
-                          sps.log2_ctb)
+                          sps.log2_ctb, z_floor=st.z_floor)
         pred = predict_intra_general(ref, mode, log2, True,
                                      sps.strong_intra_smoothing)
         st.rec_y[y:y + n, x:x + n] = _recon_tb(
@@ -1358,7 +1431,8 @@ class GeneralDecoder:
                     dec, clog2, stype, False,
                     sign_hiding=pps.sign_data_hiding)
             refc = build_ref_z(plane, cx, cy, cs, sps.width // 2,
-                               sps.height // 2, sps.log2_ctb - 1)
+                               sps.height // 2, sps.log2_ctb - 1,
+                               z_floor=st.z_floor >> 2)
             predc = intra_ops.predict_intra_np(refc, cmode, clog2,
                                                is_luma=False)
             qp_c = ic.chroma_qp(st.qp + qp_off)
@@ -1452,6 +1526,14 @@ class _PicState:
         self._serial = 0
         self._pu_serial = 0
         self._tu_serial = 0
+        # multi-slice: per-4x4 slice index, the active slice, and the
+        # Z-scan floor of the active slice segment (spec 6.4.1)
+        self.slice4 = np.zeros((hgt // 4, w // 4), np.int32)
+        self.cur_slice = 0
+        self.z_floor = 0
+
+    def same_slice(self, sx, sy):
+        return self.slice4[sy // 4, sx // 4] == self.cur_slice
 
     def mark_pu(self, x, y, w, h):
         self._pu_serial += 1
@@ -1470,10 +1552,10 @@ class _PicState:
         c = 0
         gx, gy = x // 4, y // 4
         if x > 0 and self.pm.decoded[gy, gx - 1] and \
-                self.pm.skip[gy, gx - 1]:
+                self.same_slice(x - 4, y) and self.pm.skip[gy, gx - 1]:
             c += 1
         if y > 0 and self.pm.decoded[gy - 1, gx] and \
-                self.pm.skip[gy - 1, gx]:
+                self.same_slice(x, y - 4) and self.pm.skip[gy - 1, gx]:
             c += 1
         return c
 
@@ -1488,6 +1570,8 @@ class _PicState:
             if clamp_ctb and (sy >> sps.log2_ctb) != (y >> sps.log2_ctb):
                 return DC
             if z_index(sx, sy, w, sps.log2_ctb) >= cur:
+                return DC
+            if not self.same_slice(sx, sy):
                 return DC
             if not self.intra[sy // 4, sx // 4]:
                 return DC
@@ -1508,9 +1592,11 @@ class _PicState:
 
     def split_ctx(self, x, y, depth):
         c = 0
-        if x > 0 and self.depth[y // 8, (x - 1) // 8] > depth:
+        if x > 0 and self.same_slice(x - 8, y) and \
+                self.depth[y // 8, (x - 1) // 8] > depth:
             c += 1
-        if y > 0 and self.depth[(y - 1) // 8, x // 8] > depth:
+        if y > 0 and self.same_slice(x, y - 8) and \
+                self.depth[(y - 1) // 8, x // 8] > depth:
             c += 1
         return c
 

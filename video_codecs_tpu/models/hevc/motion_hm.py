@@ -68,6 +68,12 @@ class PicMotion:
         self.intra = np.zeros((h4, w4), bool)
         self.skip = np.zeros((h4, w4), bool)
         self.decoded = np.zeros((h4, w4), bool)
+        #: multi-slice gating: per-4x4 slice-segment index + the slice
+        #: being decoded — spatial neighbors in another slice are
+        #: unavailable (spec 6.4.1).  None = single slice / collocated
+        #: picture (whole-picture availability).
+        self.slice4: np.ndarray | None = None
+        self.cur_slice: int | None = None
 
     def set_pu(self, x: int, y: int, w: int, h: int, m: Motion) -> None:
         sx, sy = x // 4, y // 4
@@ -92,6 +98,9 @@ class PicMotion:
             return None
         gx, gy = x // 4, y // 4
         if not self.decoded[gy, gx] or self.intra[gy, gx]:
+            return None
+        if self.cur_slice is not None and self.slice4 is not None and \
+                self.slice4[gy, gx] != self.cur_slice:
             return None
         return Motion(
             [bool(self.pf[0, gy, gx]), bool(self.pf[1, gy, gx])],

@@ -51,8 +51,13 @@ def z_index(x: int, y: int, w: int, ctb_shift: int) -> int:
 
 
 def build_ref_z(plane: np.ndarray, x: int, y: int, n: int,
-                w: int, h: int, ctb_shift: int) -> np.ndarray:
-    """Reference array with general Z-scan availability (spec 6.4.1)."""
+                w: int, h: int, ctb_shift: int,
+                z_floor: int = 0) -> np.ndarray:
+    """Reference array with general Z-scan availability (spec 6.4.1).
+
+    z_floor: Z-scan address of the current slice segment's first 4x4 —
+    samples of earlier slices are unavailable (prediction never crosses
+    regular slice boundaries, spec 6.4.1 availableN)."""
     r = 4 * n + 1
     samples = np.zeros(r, np.int32)
     avail = np.zeros(r, bool)
@@ -61,7 +66,8 @@ def build_ref_z(plane: np.ndarray, x: int, y: int, n: int,
     def ok(sx: int, sy: int) -> bool:
         if sx < 0 or sy < 0 or sx >= w or sy >= h:
             return False
-        return z_index(sx, sy, w, ctb_shift) < cur
+        z = z_index(sx, sy, w, ctb_shift)
+        return z_floor <= z < cur
 
     for k in range(2 * n):                 # left column, bottom -> top
         j = 2 * n - 1 - k
@@ -433,7 +439,8 @@ def encode_slice_qt(cfg: headers.HevcConfig, roots) -> bytes:
     when the CU does not fit the picture, children entirely outside are
     skipped (the tree carries None for them).
     """
-    w = headers.write_slice_header(cfg, bs.NAL_IDR_W_RADL)
+    w = headers.write_slice_header(cfg, bs.NAL_IDR_W_RADL,
+                                   sao_flags=False)
     enc = cabac.CabacEncoder(w, ctx.init_states(ctx.I, cfg.qp))
     st = State(cfg.width, cfg.height, cfg.log2_ctb)
     n = len(roots)
@@ -739,8 +746,10 @@ class QuadtreeFastEncoder:
             "device quadtree build is CTB32 / min CU 8"
         assert cfg.log2_max_tb == 5, "TU tree is CU-aligned (max TB 32)"
         assert cfg.width % 8 == 0 and cfg.height % 8 == 0
-        assert cfg.tile_columns == 1 and not cfg.sao and not cfg.wpp, \
-            "tiles/SAO/WPP on the quadtree device path: later round"
+        assert cfg.tile_columns == 1 and not cfg.wpp, \
+            "tiles/WPP on the quadtree device path: later round"
+        # cfg.sao allowed: the IDR slice writes slice_sao flags 0 (SAO
+        # stays a B-slice tool on the qt RA path for now)
         self.cfg = cfg
 
     stream_headers = ic.IntraEncoder.stream_headers
