@@ -85,14 +85,15 @@ def run_hm(frames, w, h, qp):
 def run_ours(frames, w, h, qp, search_range):
     from video_codecs_tpu.models.hevc import headers, inter_qt
 
-    nr = int(os.environ.get("VCT_QT_REFS", "2"))
+    nr = int(os.environ.get("VCT_QT_REFS", "1"))
     cu8 = os.environ.get("VCT_QT_CU8", "1") not in ("0", "off")
     sao = os.environ.get("VCT_QT_SAO", "0") not in ("0", "off")
+    tmvp = os.environ.get("VCT_QT_TMVP", "0") not in ("0", "off")
     cfg = headers.HevcConfig(width=w, height=h, qp=qp, log2_ctb=5,
                              log2_min_cb=3, log2_max_tb=5,
                              reorder_pics=3, sign_data_hiding=True,
                              rdoq="lite", merge_cands=5, sao=sao,
-                             hash_sei=False)
+                             temporal_mvp=tmvp, hash_sei=False)
     enc = inter_qt.QtDeviceRandomAccessEncoder(
         cfg, search_range=search_range, cu8=cu8, num_refs_active=nr)
     t0 = time.time()

@@ -154,3 +154,31 @@ def test_qt_ra_cu8_and_multiref_roundtrip():
             np.testing.assert_array_equal(np.asarray(r[c]),
                                           np.asarray(o[c]),
                                           err_msg=f"frame {k} plane {c}")
+
+
+def test_qt_ra_tmvp_roundtrip(tmp_path):
+    """TMVP on the qt path: temporal merge/AMVP candidates from the
+    stored collocated field, slice headers with slice_temporal_mvp /
+    collocated_from_l0; serializer and decoder derive identical lists
+    (shared motion_hm machinery + identical col motion)."""
+    w, h = 96, 64
+    cfg = _cfg(w, h)
+    cfg.temporal_mvp = True
+    enc = inter_qt.QtDeviceRandomAccessEncoder(cfg, search_range=8)
+    frames = clip(w, h, 9, seed=13)
+    stream, recons = enc.encode_sequence_ra(frames)
+    dec = decoder.GeneralDecoder()
+    out = dec.decode(stream)
+    assert dec.hash_status == [True] * len(frames)
+    for k, (r, o) in enumerate(zip(recons, out)):
+        for c in range(3):
+            np.testing.assert_array_equal(np.asarray(r[c]),
+                                          np.asarray(o[c]),
+                                          err_msg=f"frame {k} plane {c}")
+    if os.path.exists(HM_DECODER):
+        (tmp_path / "o.bin").write_bytes(stream)
+        r = subprocess.run([HM_DECODER, "-b", str(tmp_path / "o.bin"),
+                            "-o", str(tmp_path / "r.yuv")],
+                           capture_output=True, text=True, timeout=300)
+        assert r.returncode == 0 and "ERROR" not in r.stdout, \
+            r.stdout[-1500:]

@@ -147,7 +147,8 @@ def encode_slice_qt_native(cfg, st) -> bytes | None:
     cy = np.ascontiguousarray(st["coef_y"], np.int16)
     cu = np.ascontiguousarray(st["coef_u"], np.int16)
     cv = np.ascontiguousarray(st["coef_v"], np.int16)
-    header = headers.write_slice_header(cfg, bs.NAL_IDR_W_RADL).data()
+    header = headers.write_slice_header(cfg, bs.NAL_IDR_W_RADL,
+                                        sao_flags=False).data()
     header_arr = np.frombuffer(header, np.uint8)
     states = np.ascontiguousarray(ctx.init_states(ctx.I, cfg.qp), np.uint8)
     cap = cy.nbytes + cu.nbytes + cv.nbytes + len(header) + 4096

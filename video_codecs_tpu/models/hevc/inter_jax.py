@@ -480,7 +480,7 @@ def b_me_one(ref_y, cur, x0, y0, search_range: int, me_method: str,
     jax.jit,
     static_argnames=("qp", "w", "h", "has_l1", "search_range", "sbh",
                      "rdoq", "me_method", "deblock", "allow_intra",
-                     "merge_eval", "lam", "rqt", "cu8"))
+                     "merge_eval", "lam", "rqt", "cu8", "no_backward"))
 def encode_b_frame_dev(y, u, v, ref0_y, ref0_u, ref0_v,
                        ref1_y, ref1_u, ref1_v,
                        qp: int, w: int, h: int, has_l1: bool,
@@ -490,7 +490,8 @@ def encode_b_frame_dev(y, u, v, ref0_y, ref0_u, ref0_v,
                        merge_eval: str = "first",
                        lam: float | None = None, rqt: bool = False,
                        cu8: bool = False,
-                       gx_blk0=None, pic_bw=None):
+                       gx_blk0=None, pic_bw=None, tmvp_fields=None,
+                       no_backward: bool = False):
     """One B (or anchor P) picture of the hierarchical/RA toolset, all
     pixel math on device.  Twin of bframe_codec._encode_b_frame's
     decision loop (SURVEY §3.1; HM TEncSearch bi-pred iteration :3567
@@ -577,17 +578,48 @@ def encode_b_frame_dev(y, u, v, ref0_y, ref0_u, ref0_v,
     cost_uni = [satds[lx] + jnp.round(sl * (7 + bits[lx])).astype(jnp.int32)
                 for lx in range(n_lists)]
 
-    # bi hypothesis from the two best-uni MVs (host-path behavior)
+    # bi hypothesis from the two best-uni MVs, then ONE alternating
+    # refinement round per list: hold the other hypothesis fixed and
+    # diamond-search +-1 quarter-pel on the bi-averaged SATD
+    # (TEncSearch.cpp:3567 bi-pred iteration, collapsed to one pass)
     if has_l1:
         p0_14 = interp.mc_luma14_multi(refs_y[0], ridxs[0],
                                        x0, y0, mvs[0][0], mvs[0][1], 16)
         p1_14 = interp.mc_luma14_multi(refs_y[1], ridxs[1],
                                        x0, y0, mvs[1][0], mvs[1][1], 16)
-        pred_bi = interp.bi_average(p0_14, p1_14)
-        cost_bi = cost_ops.hadamard_satd_8x8(cur, pred_bi) + jnp.round(
+
+        def bi_refine(fix14, refs_l, ridx_l, mvx, mvy):
+            best = cost_ops.hadamard_satd_8x8(
+                cur, interp.bi_average(
+                    fix14, interp.mc_luma14_multi(
+                        refs_l, ridx_l, x0, y0, mvx, mvy, 16)))
+            for k in range(8):
+                cx_ = mvx + int(me_ops._OFFS8[k][0])
+                cy_ = mvy + int(me_ops._OFFS8[k][1])
+                satd = cost_ops.hadamard_satd_8x8(
+                    cur, interp.bi_average(
+                        fix14, interp.mc_luma14_multi(
+                            refs_l, ridx_l, x0, y0, cx_, cy_, 16)))
+                better = satd < best
+                best = jnp.where(better, satd, best)
+                mvx = jnp.where(better, cx_, mvx)
+                mvy = jnp.where(better, cy_, mvy)
+            return mvx, mvy, best
+
+        b1x, b1y, _ = bi_refine(p0_14, refs_y[1], ridxs[1],
+                                mvs[1][0], mvs[1][1])
+        p1r_14 = interp.mc_luma14_multi(refs_y[1], ridxs[1], x0, y0,
+                                        b1x, b1y, 16)
+        b0x, b0y, satd_bi = bi_refine(p1r_14, refs_y[0], ridxs[0],
+                                      mvs[0][0], mvs[0][1])
+        # rate estimate keeps the uni-based mvd bits (refinement moves
+        # the MVs at most +-1 quarter step)
+        cost_bi = satd_bi + jnp.round(
             sl * (8 + bits[0] + bits[1])).astype(jnp.int32)
+        mvs_bi = ((b0x, b0y), (b1x, b1y))
     else:
         cost_bi = jnp.full(nb, 1 << 30, jnp.int32)
+        mvs_bi = None
 
     # provisional field = best explicit hypothesis (for merge approx)
     if has_l1:
@@ -599,12 +631,17 @@ def encode_b_frame_dev(y, u, v, ref0_y, ref0_u, ref0_v,
     else:
         prov_dir = jnp.ones(nb, jnp.int32)
         cost_expl = cost_uni[0]
-    prov_mv0x, prov_mv0y = mvs[0]
-    prov_r0 = ridxs[0]
     if has_l1:
-        prov_mv1x, prov_mv1y = mvs[1]
+        is_bi = prov_dir == 3
+        prov_mv0x = jnp.where(is_bi, mvs_bi[0][0], mvs[0][0])
+        prov_mv0y = jnp.where(is_bi, mvs_bi[0][1], mvs[0][1])
+        prov_mv1x = jnp.where(is_bi, mvs_bi[1][0], mvs[1][0])
+        prov_mv1y = jnp.where(is_bi, mvs_bi[1][1], mvs[1][1])
+        prov_r0 = ridxs[0]
         prov_r1 = ridxs[1]
     else:
+        prov_mv0x, prov_mv0y = mvs[0]
+        prov_r0 = ridxs[0]
         prov_mv1x = prov_mv1y = jnp.zeros(nb, jnp.int32)
         prov_r1 = jnp.zeros(nb, jnp.int32)
 
@@ -634,7 +671,7 @@ def encode_b_frame_dev(y, u, v, ref0_y, ref0_u, ref0_v,
                       jnp.clip((p1 + 32) >> 6, 0, 255))).astype(jnp.int32)
 
     if merge_eval == "best4":
-        # candidate list approximation (A1, B1, B0, B2, zero)
+        # candidate list approximation (A1, B1, B0, B2 [, TMVP], zero)
         mcands = []
         for dx, dy in ((-1, 0), (0, -1), (1, -1), (-1, -1)):
             ys_ = jnp.repeat(jnp.arange(bh), bw) + dy
@@ -652,6 +689,51 @@ def encode_b_frame_dev(y, u, v, ref0_y, ref0_u, ref0_v,
                                 (prov_mv0y, 0), (prov_mv1x, 0),
                                 (prov_mv1y, 0), (prov_r0, 0),
                                 (prov_r1, 0))) + (ok,))
+        if tmvp_fields is not None:
+            # temporal candidate approximation (spec 8.5.3.2.8-9 via the
+            # compressed 16x16 collocated field): bottom-right col block
+            # when inside the picture and the same CTB row, else center;
+            # MV from the selected col list scaled to refIdx 0
+            (cinter, c0x_, c0y_, c1x_, c1y_, cpf0, cpf1, crp0, crp1,
+             cpoc, curpoc, tp0, tp1) = tmvp_fields
+            cinter = cinter.reshape(nb)
+            c0x_, c0y_ = c0x_.reshape(nb), c0y_.reshape(nb)
+            c1x_, c1y_ = c1x_.reshape(nb), c1y_.reshape(nb)
+            cpf0, cpf1 = cpf0.reshape(nb), cpf1.reshape(nb)
+            crp0, crp1 = crp0.reshape(nb), crp1.reshape(nb)
+            by_i = jnp.repeat(jnp.arange(bh), bw)
+            bx_i = jnp.tile(jnp.arange(bw), bh)
+            use_br = ((bx_i + 1 < bw) & (by_i + 1 < bh) &
+                      ((by_i % 2) == 0) &
+                      _shift_grid(grid(cinter), 1, 1, False).reshape(nb))
+
+            def pick(f, fill=0):
+                return jnp.where(use_br,
+                                 _shift_grid(grid(f), 1, 1, fill)
+                                 .reshape(nb), f)
+
+            a_int = pick(cinter, False)
+            a0x, a0y = pick(c0x_), pick(c0y_)
+            a1x, a1y = pick(c1x_), pick(c1y_)
+            a_pf0, a_pf1 = pick(cpf0, False), pick(cpf1, False)
+            a_rp0, a_rp1 = pick(crp0), pick(crp1)
+            # listCol: L1 if col has no L0, L0 if no L1; else the
+            # no-backward/collocated_from_l0 rule (col list 1 here)
+            tmv = []
+            for lx, tpoc in ((0, tp0), (1, tp1)):
+                fixed_col = lx if no_backward else 0  # col_from_l0=0
+                lcol = jnp.where(~a_pf0, 1, jnp.where(~a_pf1, 0,
+                                                      fixed_col))
+                cmx = jnp.where(lcol == 0, a0x, a1x)
+                cmy = jnp.where(lcol == 0, a0y, a1y)
+                crp = jnp.where(lcol == 0, a_rp0, a_rp1)
+                sx, sy = scale_mv_dev(cmx, cmy, curpoc - tpoc,
+                                      cpoc - crp)
+                tmv.append((sx, sy))
+            t_dir = jnp.where(a_int, fb_dir, 0)
+            mcands.append((t_dir, tmv[0][0], tmv[0][1],
+                           tmv[1][0], tmv[1][1], zr, zr,
+                           a_int & (t_dir > 0)))
         mcands.append((jnp.full(nb, fb_dir, jnp.int32), zr, zr, zr, zr,
                        zr, zr, jnp.ones(nb, bool)))
         cost_mrg = jnp.full(nb, 1 << 30, jnp.int32)

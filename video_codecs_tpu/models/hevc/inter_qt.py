@@ -479,7 +479,6 @@ class QtDeviceRandomAccessEncoder(ra.RandomAccessEncoder):
                  cu8: bool = True, num_refs_active: int = 1) -> None:
         assert cfg.log2_ctb == 5 and cfg.log2_min_cb == 3 and \
             cfg.log2_max_tb == 5, "qt inter build is CTB32 (quadtree SPS)"
-        assert not cfg.temporal_mvp, "TMVP on the qt path: later"
         assert cfg.width % 16 == 0 and cfg.height % 16 == 0
         cfg.tt_depth_inter = 1     # CU32 residuals code an RQT split
         self.cu8 = cu8
@@ -520,7 +519,15 @@ class QtDeviceRandomAccessEncoder(ra.RandomAccessEncoder):
         args += [stack(l1 or l0, 0), stack(l1 or l0, 1),
                  stack(l1 or l0, 2)]
         lam = inter_jax._gop_lambda(self, poc)
-        qt = self._device_phase(y, u, v, args, has_l1, lam)
+        no_backward = all(p < poc for lst in ref_pocs for p in lst)
+        if cfg.temporal_mvp:
+            col_poc = (ref_pocs[1][0] if has_l1 else ref_pocs[0][0])
+            tf = self._tmvp_fields(col_poc, poc, ref_pocs)
+            qt = self._device_phase(y, u, v, args, has_l1, lam,
+                                    tmvp_fields=tf,
+                                    no_backward=no_backward)
+        else:
+            qt = self._device_phase(y, u, v, args, has_l1, lam)
         sao_params = None
         if cfg.sao:
             sao_params = self._sao_decide_qt(
@@ -537,12 +544,106 @@ class QtDeviceRandomAccessEncoder(ra.RandomAccessEncoder):
 
         slice_nal = self._serialize_qt_slice(qt, poc, is_anchor,
                                              ref_pocs, sao_params)
+        if cfg.temporal_mvp:
+            self._store_motion(qt, poc, ref_pocs)
         rec = tuple(qt[k].astype(np.int32)
                     for k in ("rec_y", "rec_u", "rec_v"))
         sei_nal = self._hash_sei(*rec)
         return [slice_nal, sei_nal], rec
 
-    def _device_phase(self, y, u, v, args, has_l1, lam):
+    # ---- TMVP support: per-picture motion storage + device fields ----
+
+    def _store_motion(self, qt, poc, ref_pocs):
+        """Retain the picture's final 8-grid motion as the collocated
+        source (spec-identical to what any decoder reconstructs from
+        the stream; 8-grid repeat == the 4x4 field since every PU is
+        >= 8 samples)."""
+        mots = getattr(self, "_motion", None)
+        if mots is None:
+            mots = self._motion = {}
+        d8 = qt["dir8"].astype(np.int32)
+        intra8 = np.repeat(np.repeat(
+            qt["pred_mode"].astype(np.int32) == MODE_INTRA, 2, 0), 2, 1)
+        rp = [np.asarray(ref_pocs[0], np.int32),
+              np.asarray(ref_pocs[1] or [0], np.int32)]
+        r0 = qt.get("r0_8", np.zeros_like(d8)).astype(np.int32)
+        r1 = qt.get("r1_8", np.zeros_like(d8)).astype(np.int32)
+        mots[poc] = dict(
+            poc=poc,
+            inter=(~intra8) & (d8 > 0),
+            pf0=(~intra8) & ((d8 & 1) > 0),
+            pf1=(~intra8) & ((d8 & 2) > 0),
+            mv0x=qt["mv0x8"].astype(np.int32),
+            mv0y=qt["mv0y8"].astype(np.int32),
+            mv1x=qt["mv1x8"].astype(np.int32),
+            mv1y=qt["mv1y8"].astype(np.int32),
+            r0=r0, r1=r1,
+            rp0=rp[0][np.clip(r0, 0, len(rp[0]) - 1)],
+            rp1=rp[1][np.clip(r1, 0, len(rp[1]) - 1)])
+        if len(mots) > 20:
+            for k in sorted(mots)[:-20]:
+                del mots[k]
+
+    def _tmvp_fields(self, col_poc, poc, ref_pocs):
+        """Device TMVP candidate inputs from the stored collocated
+        motion, compressed to the 16 grid (top-left 4x4 per 16x16 —
+        spec 8.5.3.2.8 / TComCUMvField::compress)."""
+        m = getattr(self, "_motion", {}).get(col_poc)
+        cfg = self.cfg
+        bw, bh = cfg.width // 16, cfg.height // 16
+        if m is None:
+            z = jnp.zeros((bh, bw), jnp.int32)
+            return (jnp.zeros((bh, bw), bool), z, z, z, z,
+                    jnp.zeros((bh, bw), bool), jnp.zeros((bh, bw), bool),
+                    z, z, jnp.int32(0), jnp.int32(poc),
+                    jnp.int32(ref_pocs[0][0]),
+                    jnp.int32(ref_pocs[1][0] if ref_pocs[1]
+                              else ref_pocs[0][0]))
+
+        def c16(a):
+            return jnp.asarray(np.ascontiguousarray(a[::2, ::2]))
+
+        return (c16(m["inter"]), c16(m["mv0x"]), c16(m["mv0y"]),
+                c16(m["mv1x"]), c16(m["mv1y"]), c16(m["pf0"]),
+                c16(m["pf1"]), c16(m["rp0"]), c16(m["rp1"]),
+                jnp.int32(m["poc"]), jnp.int32(poc),
+                jnp.int32(ref_pocs[0][0]),
+                jnp.int32(ref_pocs[1][0] if ref_pocs[1]
+                          else ref_pocs[0][0]))
+
+    def _col_picmotion(self, col_poc):
+        """motion_hm.PicMotion view of the stored collocated picture
+        (serializer + decoder-parity TMVP derivation).  An unknown POC
+        (the IDR) maps to an all-intra field — exactly the decoder's
+        view, so candidate lists stay in lockstep."""
+        cfg = self.cfg
+        m = getattr(self, "_motion", {}).get(col_poc)
+        if m is None:
+            pm = motion_hm.PicMotion(cfg.width, cfg.height, col_poc)
+            pm.intra[:] = True
+            pm.decoded[:] = True
+            return pm
+        pm = motion_hm.PicMotion(cfg.width, cfg.height, m["poc"])
+
+        def up(a):
+            return np.repeat(np.repeat(a, 2, 0), 2, 1)
+
+        pm.pf[0] = up(m["pf0"])
+        pm.pf[1] = up(m["pf1"])
+        pm.mv[0, :, :, 0] = up(m["mv0x"])
+        pm.mv[0, :, :, 1] = up(m["mv0y"])
+        pm.mv[1, :, :, 0] = up(m["mv1x"])
+        pm.mv[1, :, :, 1] = up(m["mv1y"])
+        pm.ref_idx[0] = np.where(pm.pf[0], up(m["r0"]), -1)
+        pm.ref_idx[1] = np.where(pm.pf[1], up(m["r1"]), -1)
+        pm.ref_poc[0] = up(m["rp0"])
+        pm.ref_poc[1] = up(m["rp1"])
+        pm.intra[:] = up(~m["inter"])
+        pm.decoded[:] = True
+        return pm
+
+    def _device_phase(self, y, u, v, args, has_l1, lam,
+                      tmvp_fields=None, no_backward=False):
         """Full device pipeline of one B picture: per-16 decision +
         CU8 tree + 32 merge tree + deblock.  The multichip dryrun
         overrides this with a tile-sharded twin (pad -> compute ->
@@ -554,7 +655,8 @@ class QtDeviceRandomAccessEncoder(ra.RandomAccessEncoder):
             search_range=self.search_range, sbh=cfg.sign_data_hiding,
             rdoq=True, me_method=self.me_method, deblock=False,
             allow_intra=False, merge_eval="best4", lam=lam, rqt=True,
-            cu8=self.cu8)
+            cu8=self.cu8, tmvp_fields=tmvp_fields,
+            no_backward=no_backward)
         return qt_merge_dev(
             jnp.asarray(y), jnp.asarray(u), jnp.asarray(v), *args, st16,
             qp=cfg.qp, w=cfg.width, h=cfg.height, has_l1=has_l1,
@@ -623,7 +725,11 @@ class QtDeviceRandomAccessEncoder(ra.RandomAccessEncoder):
         enc = cabac.CabacEncoder(
             w, ctx.init_states(ctx.P if is_anchor else ctx.B, cfg.qp))
 
-        st = _QtSliceState(cfg, qt, poc, is_anchor, ref_pocs)
+        col = None
+        if cfg.temporal_mvp:
+            col = self._col_picmotion(
+                ref_pocs[1][0] if ref_pocs[1] else ref_pocs[0][0])
+        st = _QtSliceState(cfg, qt, poc, is_anchor, ref_pocs, col)
         n_ctbs = cfg.ctbs_x * cfg.ctbs_y
         i = 0
         for cy in range(0, cfg.height, 32):
@@ -1002,7 +1108,7 @@ class QtDeviceRandomAccessEncoder(ra.RandomAccessEncoder):
 class _QtSliceState:
     """Per-slice serializer state: spec motion grid + depth/mode maps."""
 
-    def __init__(self, cfg, qt, poc, is_anchor, ref_pocs):
+    def __init__(self, cfg, qt, poc, is_anchor, ref_pocs, col=None):
         self.cfg = cfg
         self.qt = qt
         self.is_anchor = is_anchor
@@ -1010,8 +1116,9 @@ class _QtSliceState:
         self.pm = motion_hm.PicMotion(cfg.width, cfg.height, poc)
         no_backward = all(p <= poc for lst in ref_pocs for p in lst)
         self.mctx = motion_hm.SliceMotionCtx(
-            poc, ref_pocs, not is_anchor, cfg.merge_cands, False, None,
-            True, no_backward)
+            poc, ref_pocs, not is_anchor,
+            cfg.merge_cands, cfg.temporal_mvp and col is not None, col,
+            False, no_backward)
         self.depth8 = np.zeros((cfg.height // 8, cfg.width // 8), np.int32)
         self.mode4 = np.full((cfg.height // 4, cfg.width // 4), DC,
                              np.int32)

@@ -83,11 +83,13 @@ def parse_gop_entries(cfg_text: str) -> list[GOPEntry]:
 
 def write_ra_slice_header(cfg, poc: int, slice_type: int, qp: int,
                           neg: list[tuple[int, bool]],
-                          pos: list[tuple[int, bool]]):
+                          pos: list[tuple[int, bool]],
+                          n0: int = 1, n1: int = 1):
     """B/P slice header with an explicit multi-entry RPS.
 
     neg: [(delta_poc, used)] with delta < 0, closest first;
-    pos: [(delta_poc, used)] with delta > 0, closest first.
+    pos: [(delta_poc, used)] with delta > 0, closest first;
+    n0/n1: num_ref_idx_active per list (override written when != 1).
     """
     w = bs.BitWriter()
     w.flag(1)                      # first_slice_segment_in_pic_flag
@@ -107,12 +109,25 @@ def write_ra_slice_header(cfg, poc: int, slice_type: int, qp: int,
         w.ue(d - prev - 1)
         w.flag(1 if used else 0)
         prev = d
+    if cfg.temporal_mvp:
+        w.flag(1)                  # slice_temporal_mvp_enabled_flag
     if cfg.sao:
         w.flag(1)                  # slice_sao_luma_flag
         w.flag(1)                  # slice_sao_chroma_flag
-    w.flag(0)                      # num_ref_idx_active_override (use pps=1)
+    override = n0 != 1 or (slice_type == 0 and n1 != 1)
+    w.flag(1 if override else 0)   # num_ref_idx_active_override
+    if override:
+        w.ue(n0 - 1)
+        if slice_type == 0:
+            w.ue(n1 - 1)
     if slice_type == 0:
         w.flag(0)                  # mvd_l1_zero_flag
+    if cfg.temporal_mvp:
+        if slice_type == 0:
+            w.flag(0)              # collocated_from_l0 = 0 (list 1)
+        col_l0 = slice_type != 0   # P slices: inferred 1
+        if (col_l0 and n0 > 1) or (not col_l0 and n1 > 1):
+            w.ue(0)                # collocated_ref_idx
     w.ue(5 - cfg.merge_cands)      # five_minus_max_num_merge_cand
     w.se(qp - 26)
     if not cfg.deblocking_disabled:
@@ -121,7 +136,8 @@ def write_ra_slice_header(cfg, poc: int, slice_type: int, qp: int,
     return w
 
 
-def parse_ra_slice_header(rbsp: bytes, pps, sps_sao: bool = False):
+def parse_ra_slice_header(rbsp: bytes, pps, sps_sao: bool = False,
+                          sps_tmvp: bool = False):
     r = bs.BitReader(rbsp)
     assert r.flag() == 1
     assert r.ue() == 0
@@ -138,11 +154,18 @@ def parse_ra_slice_header(rbsp: bytes, pps, sps_sao: bool = False):
     for _ in range(n_pos):
         prev = prev + r.ue() + 1
         pos.append((prev, bool(r.flag())))
+    if sps_tmvp:
+        assert r.flag() == 0, \
+            "TMVP RA streams: decode with GeneralDecoder"
     sao = False
     if sps_sao:
         sao = bool(r.flag())
         assert bool(r.flag()) == sao, "joint luma+chroma SAO expected"
-    assert r.flag() == 0           # no num_ref override
+    if r.flag():                   # num_ref_idx_active_override
+        n0 = 1 + r.ue()
+        n1 = (1 + r.ue()) if st == 0 else 1
+        assert n0 == 1 and n1 == 1, \
+            "multi-ref RA streams: decode with GeneralDecoder"
     if st == 0:
         r.flag()                   # mvd_l1_zero
     merge_cands = 5 - r.ue()
@@ -195,9 +218,24 @@ class RandomAccessEncoder(bc.HierarchicalBEncoder):
                 is_anchor = not fut
                 if fut:
                     refs[L1] = (fut[0], dpb[fut[0]])
+                # spec 8.3.4 reference lists from the RPS "used" sets:
+                # L0 = usedPast (closest first) + usedFut, L1 = usedFut +
+                # usedPast, each truncated to the active count (GOPEntry
+                # num_ref_pics_active; multi-ref engines read these via
+                # self._cur_ref_lists, legacy engines keep `refs`)
+                na = min(getattr(self, "num_refs_active", 1),
+                         len(past) + len(fut))
+                used_past = list(reversed(past))[:na]
+                used_fut = fut[:na]
+                l0 = (used_past + used_fut)[:na]
+                l1 = (used_fut + used_past)[:na] if fut else []
+                self._cur_ref_lists = (
+                    [(p, dpb[p]) for p in l0],
+                    [(p, dpb[p]) for p in l1])
+                used = set(l0) | set(l1)
                 self._cur_rps = (
-                    [(p - poc, p == past[-1]) for p in reversed(past)],
-                    [(p - poc, bool(fut) and p == fut[0]) for p in fut])
+                    [(p - poc, p in used) for p in reversed(past)],
+                    [(p - poc, p in used) for p in fut])
                 cfg.qp = base_qp + e.qp_offset
                 fnb, recb = self._encode_b_frame(frames[poc], poc, refs,
                                                  is_anchor)
