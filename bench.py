@@ -90,7 +90,8 @@ def bench_ra_1080():
     cfg = headers.HevcConfig(width=1920, height=1072, qp=32, log2_ctb=5,
                              log2_min_cb=3, log2_max_tb=5,
                              reorder_pics=3, sign_data_hiding=True,
-                             rdoq="lite", merge_cands=5, hash_sei=False)
+                             rdoq="lite", merge_cands=5, hash_sei=False,
+                             temporal_mvp=True)
     enc = inter_qt.QtDeviceRandomAccessEncoder(cfg, search_range=64)
     enc.encode_sequence_ra(frames)            # compile + warm caches
     t0 = time.time()
@@ -113,7 +114,8 @@ def bench_ra_foreman():
     cfg = headers.HevcConfig(width=176, height=144, qp=32, log2_ctb=5,
                              log2_min_cb=3, log2_max_tb=5,
                              reorder_pics=3, sign_data_hiding=True,
-                             rdoq="lite", merge_cands=5, hash_sei=False)
+                             rdoq="lite", merge_cands=5, hash_sei=False,
+                             temporal_mvp=True)
     enc = inter_qt.QtDeviceRandomAccessEncoder(cfg, search_range=16)
     stream, recons = enc.encode_sequence_ra(frames)
     kbps = len(stream) * 8 * 30 / len(frames) / 1000
