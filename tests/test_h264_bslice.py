@@ -78,6 +78,58 @@ def test_b_display_reorder(b_frames):
     roundtrip(H264BEncoder(64, 48, qp=28, b_frames=b_frames), frames)
 
 
+def shear_frames(n=5, w=96, h=64, seed=3):
+    """Top and bottom halves translate differently: rectangular B
+    partitions (16x8/8x16/B_8x8) win on the boundary macroblocks."""
+    rng = np.random.default_rng(seed)
+    by = rng.integers(0, 256, (h + 16, w + 16)).astype(np.uint8)
+    out = []
+    for t in range(n):
+        y = np.roll(by, (t, 2 * t), (0, 1)).copy()
+        y[:h // 2 + 8] = np.roll(y[:h // 2 + 8], -3 * t, 1)
+        y = y[:h, :w]
+        u = (y[::2, ::2] // 2 + 60).astype(np.uint8)
+        v = (y[1::2, ::2] // 2 + 30).astype(np.uint8)
+        out.append((y, u, v))
+    return out
+
+
+@pytest.mark.parametrize("entropy", ["cavlc", "cabac"])
+def test_b_partitions_roundtrip_and_engage(entropy):
+    """16x8 / 8x16 / B_8x8 partition types must engage on shear motion
+    and round-trip bit-exactly (spec Table 7-14 mb_types 4..22)."""
+    frames = shear_frames()
+    enc = H264BEncoder(96, 64, qp=30, b_frames=1, entropy=entropy)
+    roundtrip(enc, frames)
+    rect = sum(v for k, v in enc.mb_type_stats.items()
+               if isinstance(k, int) and 4 <= k <= 21)
+    b8 = enc.mb_type_stats.get(22, 0)
+    assert rect > 0, enc.mb_type_stats
+    assert b8 > 0, enc.mb_type_stats
+
+
+@pytest.mark.skipif(not os.path.exists(JM_DECODER),
+                    reason="JM reference decoder not built")
+@pytest.mark.parametrize("entropy", ["cavlc", "cabac"])
+def test_b_partitions_ldecod_conformance(tmp_path, entropy):
+    """Partitioned B streams must decode bit-exactly in JM ldecod."""
+    frames = shear_frames(n=7)
+    enc = H264BEncoder(96, 64, qp=30, b_frames=2, entropy=entropy)
+    stream, recons = roundtrip(enc, frames)
+    assert sum(v for k, v in enc.mb_type_stats.items()
+               if isinstance(k, int) and 4 <= k <= 22) > 0
+    (tmp_path / "bp.264").write_bytes(stream)
+    r = subprocess.run([JM_DECODER, "-i", "bp.264", "-o", "jm.yuv"],
+                       capture_output=True, text=True, timeout=120,
+                       cwd=tmp_path)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert f"{len(frames)} frames are decoded" in r.stdout, r.stdout
+    ry, ru, rv = yuv.read_frames(str(tmp_path / "jm.yuv"), 96, 64)
+    for i in range(len(frames)):
+        for ours, ref in zip(recons[i], (ry[i], ru[i], rv[i])):
+            np.testing.assert_array_equal(ref, ours.astype(np.uint8))
+
+
 @pytest.mark.skipif(not os.path.exists(JM_DECODER),
                     reason="JM reference decoder not built")
 @pytest.mark.parametrize("entropy,b_frames", [("cavlc", 1), ("cabac", 1),
@@ -106,7 +158,8 @@ def test_b_jm_ldecod_conformance(tmp_path, entropy, b_frames):
 @pytest.mark.parametrize("entropy", ["cavlc", "cabac"])
 def test_b_decode_jm_encoded_stream(tmp_path, entropy):
     """Our decoder reproduces a JM-ENCODED I-B-P stream bit-exactly
-    (16x16 partitions, spatial direct, 2 L0 refs in B), CAVLC+CABAC."""
+    (16x16 + 16x8/8x16/B_8x8 partitions, spatial direct, 2 L0 refs in
+    B with per-partition ref_idx), CAVLC+CABAC."""
     cfg = "/root/repo/.refbuild/jm18.5/bin/encoder_baseline.cfg"
     cabac = entropy == "cabac"
     r = subprocess.run(
@@ -126,11 +179,11 @@ def test_b_decode_jm_encoded_stream(tmp_path, entropy):
          "-p", "PSliceSearch8x4=0", "-p", "PSliceSearch4x8=0",
          "-p", "PSliceSearch4x4=0", "-p", "SearchRange=16",
          "-p", "NumberBFrames=1", "-p", "BSliceSearch16x16=1",
-         "-p", "BSliceSearch16x8=0", "-p", "BSliceSearch8x16=0",
-         "-p", "BSliceSearch8x8=0", "-p", "BSliceSearch8x4=0",
+         "-p", "BSliceSearch16x8=1", "-p", "BSliceSearch8x16=1",
+         "-p", "BSliceSearch8x8=1", "-p", "BSliceSearch8x4=0",
          "-p", "BSliceSearch4x8=0", "-p", "BSliceSearch4x4=0",
-         "-p", "BiPredSearch16x16=1", "-p", "BiPredSearch16x8=0",
-         "-p", "BiPredSearch8x16=0", "-p", "BiPredSearch8x8=0",
+         "-p", "BiPredSearch16x16=1", "-p", "BiPredSearch16x8=1",
+         "-p", "BiPredSearch8x16=1", "-p", "BiPredSearch8x8=0",
          "-p", "DirectModeType=1", "-p", "DirectInferenceFlag=1",
          "-p", "HierarchicalCoding=0", "-p", "BReferencePictures=0",
          "-p", "WeightedBiprediction=0", "-p", "WeightedPrediction=0",

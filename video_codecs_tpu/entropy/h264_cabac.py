@@ -334,6 +334,35 @@ class H264CabacEncoder:
         self.bin(off("b8_type", 0, 3), 1)
         self.bin(off("b8_type", 0, 4), 1 if v == 2 else 0)
 
+    def sub_mb_type_b(self, v: int) -> None:
+        """writeB8_typeInfo_CABAC, B rows (cabac.c:584 / spec 9.3.2.5):
+        sub_mb_type 0 = B_Direct_8x8 '0'@ctx0; 1/2 = L0/L1 8x8
+        '1 0 b'@ctx0,1,3; 3..6 '1 1 0 b b'@ctx0,1,2,3,3;
+        7..10 '1 1 1 0 b b'; 11/12 '1 1 1 1 b' (all tail bins @ctx3)."""
+        if v == 0:
+            self.bin(off("b8_type", 1, 0), 0)
+            return
+        self.bin(off("b8_type", 1, 0), 1)
+        a = v - 1
+        if a < 2:
+            self.bin(off("b8_type", 1, 1), 0)
+            self.bin(off("b8_type", 1, 3), a)
+            return
+        self.bin(off("b8_type", 1, 1), 1)
+        if a < 6:
+            self.bin(off("b8_type", 1, 2), 0)
+            self.bin(off("b8_type", 1, 3), ((a - 2) >> 1) & 1)
+            self.bin(off("b8_type", 1, 3), (a - 2) & 1)
+            return
+        self.bin(off("b8_type", 1, 2), 1)
+        if a < 10:
+            self.bin(off("b8_type", 1, 3), 0)
+            self.bin(off("b8_type", 1, 3), ((a - 6) >> 1) & 1)
+            self.bin(off("b8_type", 1, 3), (a - 6) & 1)
+        else:
+            self.bin(off("b8_type", 1, 3), 1)
+            self.bin(off("b8_type", 1, 3), a - 10)
+
     def mb_skip_flag_b(self, skip: int, left_nonskip: int,
                        up_nonskip: int) -> None:
         """writeMB_Bskip_flagInfo_CABAC (cabac.c:456): 1 = skip
@@ -697,6 +726,22 @@ class H264CabacDecoder:
         if not self.bin(off("b8_type", 0, 3)):
             return 1
         return 2 if self.bin(off("b8_type", 0, 4)) else 3
+
+    def sub_mb_type_b(self) -> int:
+        """readB8_typeInfo_CABAC_b_slice (ldecod cabac.c)."""
+        if not self.bin(off("b8_type", 1, 0)):
+            return 0
+        if not self.bin(off("b8_type", 1, 1)):
+            return 1 + self.bin(off("b8_type", 1, 3))
+        if not self.bin(off("b8_type", 1, 2)):
+            a = 2 + ((self.bin(off("b8_type", 1, 3)) << 1)
+                     | self.bin(off("b8_type", 1, 3)))
+        elif self.bin(off("b8_type", 1, 3)):
+            a = 10 + self.bin(off("b8_type", 1, 3))
+        else:
+            a = 6 + ((self.bin(off("b8_type", 1, 3)) << 1)
+                     | self.bin(off("b8_type", 1, 3)))
+        return a + 1
 
     def mb_skip_flag_b(self, left_nonskip: int, up_nonskip: int) -> int:
         return self.bin(off("mb_type", 2, 7 + left_nonskip + up_nonskip))

@@ -9,9 +9,15 @@ structure: the encoder reuses the whole-frame numpy passes of the P codec
 and adds a second reference list, bi-prediction averaging, and the
 spec-8.4.1.2.2 spatial direct with direct_8x8_inference colocated corners.
 
-Toolset: 16x16 partitions (B_Direct_16x16 / B_L0 / B_L1 / B_Bi / B_Skip +
-intra), one reference per list (past anchor in L0, future anchor in L1),
-non-reference B pictures, pic_order_cnt_type 0, CAVLC or CABAC.
+Toolset: the full B macroblock partition set of spec Table 7-14 —
+16x16 (B_Direct_16x16 / B_L0 / B_L1 / B_Bi / B_Skip + intra), the 18
+two-partition 16x8 / 8x16 types with per-partition L0/L1/Bi, and B_8x8
+with 8x8-only sub_mb_types (B_Direct_8x8 / L0 / L1 / Bi) — encoded
+with one reference per list (past anchor in L0, future anchor in L1);
+the decoder additionally handles multi-reference lists with
+per-partition ref_idx (JM streams).  Non-reference B pictures,
+pic_order_cnt_type 0, CAVLC or CABAC (per-4x4 mvd and ref_idx context
+grids per spec 9.3.3.1.1.6-7).
 """
 
 from __future__ import annotations
@@ -29,10 +35,24 @@ from video_codecs_tpu.models.h264.intra_codec import (
     NAL_SPS, NAL_PPS, NAL_SLICE_IDR)
 from video_codecs_tpu.models.h264.inter_codec import (
     H264Decoder, H264Encoder, _CBP_FROM_CODE_INTER_420, _NCBP_INTER_420,
-    _code_residual_16, _se_bits, median_mv_pred)
+    _code_residual_16, _commit_part, _se_bits, _te_bits, _te_read,
+    _ue_bits, median_mv_pred, mv_pred_part)
 
 # direct_8x8_inference colocated corner 4x4 per 8x8 quadrant (spec 8.4.1.2.2)
 _QUAD_COL = {(0, 0): (0, 0), (0, 1): (3, 0), (1, 0): (0, 3), (1, 1): (3, 3)}
+
+# Two-partition B macroblock types (spec Table 7-14): mb_type 4 + 2*i is
+# the 16x8 flavor of prediction pair i, 4 + 2*i + 1 the 8x16 flavor.
+# Per-partition prediction modes: 0 = Pred_L0, 1 = Pred_L1, 2 = BiPred.
+_B_PAIRS = [(0, 0), (1, 1), (0, 1), (1, 0), (0, 2), (1, 2),
+            (2, 0), (2, 1), (2, 2)]
+_B_RECT = {}          # mb_type -> (partition geometry, (mode0, mode1))
+for _i, _pair in enumerate(_B_PAIRS):
+    _B_RECT[4 + 2 * _i] = (((0, 0, 16, 8), (0, 8, 16, 8)), _pair)
+    _B_RECT[5 + 2 * _i] = (((0, 0, 8, 16), (8, 0, 8, 16)), _pair)
+# B sub_mb_type (Table 7-18, 8x8-only rows): 0 = B_Direct_8x8,
+# 1 = B_L0_8x8, 2 = B_L1_8x8, 3 = B_Bi_8x8 (smaller subs unsupported)
+_B_SUB_MODE = {1: 0, 2: 1, 3: 2}
 
 
 def _min_positive(a: int, b: int) -> int:
@@ -139,12 +159,13 @@ class H264BEncoder(H264Encoder):
     def __init__(self, width: int, height: int, qp: int = 28,
                  search_range: int = 16, b_frames: int = 1,
                  entropy: str = "cavlc", quant: str = "normal",
-                 b_qp_offset: int = 0) -> None:
+                 b_qp_offset: int = 0, b_parts: bool = True) -> None:
         super().__init__(width, height, qp=qp, search_range=search_range,
                          entropy=entropy, quant=quant)
         assert b_frames >= 1
         self.b_frames = b_frames
         self.b_qp_offset = b_qp_offset
+        self.b_parts = b_parts     # 16x8 / 8x16 / B_8x8 partition search
 
     def encode_sequence(self, frames):
         cabac = self.entropy == "cabac"
@@ -212,7 +233,11 @@ class H264BEncoder(H264Encoder):
         intra_mb = np.zeros((mbh, mbw), bool)
         skip_arr = np.zeros((mbh, mbw), bool)
         direct_arr = np.zeros((mbh, mbw), bool)
-        mvd_arr = np.zeros((mbh, mbw, 2, 2), np.int32)   # [list][comp]
+        dec4 = np.zeros((mbh * 4, mbw * 4), bool)   # partition decode order
+        # per-4x4 |mvd| for CABAC mvd contexts (spec 9.3.3.1.1.7) and
+        # per-4x4 direct/skip coding for ref_idx contexts (9.3.3.1.1.6)
+        mvd4 = np.zeros((mbh * 4, mbw * 4, 2, 2), np.int32)  # [list][comp]
+        dir4 = np.zeros((mbh * 4, mbw * 4), bool)
         lam = 0.85 * 2.0 ** ((qp - 12) / 3.0)
         lam_me = lam ** 0.5
         zz = cavlc.ZIGZAG_4x4
@@ -261,9 +286,9 @@ class H264BEncoder(H264Encoder):
                       and not skip_arr[mby - 1, mbx]) else 0
             return a + b
 
-        def mvd_err(mbx, mby, lst, comp):
-            a = abs(int(mvd_arr[mby, mbx - 1, lst, comp])) if mbx > 0 else 0
-            b = abs(int(mvd_arr[mby - 1, mbx, lst, comp])) if mby > 0 else 0
+        def mvd_err(px4, py4, lst, comp):
+            a = abs(int(mvd4[py4, px4 - 1, lst, comp])) if px4 > 0 else 0
+            b = abs(int(mvd4[py4 - 1, px4, lst, comp])) if py4 > 0 else 0
             return a + b
 
         def direct_pred(mbx, mby, ref0, ref1, dmv0, dmv1):
@@ -303,6 +328,110 @@ class H264BEncoder(H264Encoder):
                     pv2[4 * qy:4 * qy + 4, 4 * qx:4 * qx + 4] = bv
             return pl, pu2, pv2
 
+        def best_part_mode(og, bx, by, px4, py4, pw_, ph_, shape,
+                           t00, t01, t10, t11, td):
+            """Best of Pred_L0 / Pred_L1 / BiPred for one partition with
+            the tmp motion grids (decode-order predictor chaining)."""
+            pmv0 = mv_pred_part(t00, t01, td, px4, py4, pw_ // 4,
+                                ph_ // 4, 0, shape)
+            c0, mx0, my0 = self._search(og, py_, bx, by, pmv0, lam_me,
+                                        pw_, ph_)
+            pmv1 = mv_pred_part(t10, t11, td, px4, py4, pw_ // 4,
+                                ph_ // 4, 0, shape)
+            c1, mx1, my1 = self._search(og, fy_, bx, by, pmv1, lam_me,
+                                        pw_, ph_)
+            b0 = mc_luma_np(py_, bx, by, mx0, my0, pw_, ph_)
+            b1 = mc_luma_np(fy_, bx, by, mx1, my1, pw_, ph_)
+            bi_ = (b0 + b1 + 1) >> 1
+            cbi_ = int(np.abs(og - bi_).sum()) + round(lam_me * (
+                _se_bits(mx0 - pmv0[0]) + _se_bits(my0 - pmv0[1])
+                + _se_bits(mx1 - pmv1[0]) + _se_bits(my1 - pmv1[1])))
+            mode = min((c0, 0), (c1, 1), (cbi_, 2), key=lambda t: t[0])[1]
+            info = {0: dict(mv=(mx0, my0), pmv=pmv0),
+                    1: dict(mv=(mx1, my1), pmv=pmv1),
+                    "preds": (b0, b1, bi_)}
+            return (c0, c1, cbi_)[mode], mode, info
+
+        def commit_tmp(t00, t01, t10, t11, td, px4, py4, pw_, ph_,
+                       mode, info):
+            r4 = (slice(py4, py4 + ph_ // 4), slice(px4, px4 + pw_ // 4))
+            for lst in ((0,) if mode == 0 else (1,) if mode == 1
+                        else (0, 1)):
+                tm, tr = (t00, t01) if lst == 0 else (t10, t11)
+                tm[r4] = info[lst]["mv"]
+                tr[r4] = 0
+            td[r4] = True
+
+        def eval_rect(mbx, mby, vert):
+            """Two-partition candidate (mb_type 4..21): each partition
+            picks its own best of L0 / L1 / Bi."""
+            x, yy = mbx * 16, mby * 16
+            gx, gy = mbx * 4, mby * 4
+            geo, base = ((((0, 0, 8, 16), (8, 0, 8, 16)), "8x16") if vert
+                         else (((0, 0, 16, 8), (0, 8, 16, 8)), "16x8"))
+            t00, t01 = mvg0.copy(), refg0.copy()
+            t10, t11 = mvg1.copy(), refg1.copy()
+            td = dec4.copy()
+            tot, parts = 0, []
+            for pi, (ox, oy, pw_, ph_) in enumerate(geo):
+                og = yv[yy + oy:yy + oy + ph_, x + ox:x + ox + pw_]
+                px4, py4 = gx + ox // 4, gy + oy // 4
+                c, mode, info = best_part_mode(
+                    og, x + ox, yy + oy, px4, py4, pw_, ph_,
+                    f"{base}_{pi}", t00, t01, t10, t11, td)
+                commit_tmp(t00, t01, t10, t11, td, px4, py4, pw_, ph_,
+                           mode, info)
+                parts.append((ox, oy, pw_, ph_, mode, info))
+                tot += c
+            mbt = 4 + 2 * _B_PAIRS.index((parts[0][4], parts[1][4])) \
+                + (1 if vert else 0)
+            return tot + round(lam_me * _ue_bits(mbt)), mbt, parts, None
+
+        def eval_b8x8(mbx, mby, dp_y, dp_u, dp_v, d_ref0, d_ref1,
+                      d_mv0, d_mv1):
+            """B_8x8 candidate: per 8x8 quadrant best of B_Direct_8x8 /
+            B_L0_8x8 / B_L1_8x8 / B_Bi_8x8 (8x8-only sub_mb_types)."""
+            x, yy = mbx * 16, mby * 16
+            gx, gy = mbx * 4, mby * 4
+            t00, t01 = mvg0.copy(), refg0.copy()
+            t10, t11 = mvg1.copy(), refg1.copy()
+            td = dec4.copy()
+            tot = round(lam_me * _ue_bits(22))
+            parts, subs = [], []
+            for b8 in range(4):
+                qy, qx = b8 >> 1, b8 & 1
+                ox, oy = qx * 8, qy * 8
+                og = yv[yy + oy:yy + oy + 8, x + ox:x + ox + 8]
+                px4, py4 = gx + 2 * qx, gy + 2 * qy
+                c, mode, info = best_part_mode(
+                    og, x + ox, yy + oy, px4, py4, 8, 8, "",
+                    t00, t01, t10, t11, td)
+                c += round(lam_me * _ue_bits(mode + 1))
+                cd = int(np.abs(
+                    og - dp_y[oy:oy + 8, ox:ox + 8]).sum()) \
+                    + round(lam_me * _ue_bits(0))
+                r4 = (slice(py4, py4 + 2), slice(px4, px4 + 2))
+                if cd <= c:          # B_Direct_8x8
+                    subs.append(0)
+                    if d_ref0 >= 0:
+                        t00[r4] = d_mv0[qy, qx]
+                        t01[r4] = d_ref0
+                    if d_ref1 >= 0:
+                        t10[r4] = d_mv1[qy, qx]
+                        t11[r4] = d_ref1
+                    td[r4] = True
+                    parts.append((ox, oy, 8, 8, None, None))
+                    tot += cd
+                else:
+                    subs.append(mode + 1)
+                    commit_tmp(t00, t01, t10, t11, td, px4, py4, 8, 8,
+                               mode, info)
+                    parts.append((ox, oy, 8, 8, mode, info))
+                    tot += c
+            return tot, 22, parts, subs
+
+        if not hasattr(self, "mb_type_stats"):
+            self.mb_type_stats = {}   # chosen B mb_type histogram
         skip_run = 0
         for mby in range(mbh):
             for mbx in range(mbw):
@@ -337,10 +466,19 @@ class H264BEncoder(H264Encoder):
                     for m in ([2] + ([0] if mby else [])
                               + ([1] if mbx else []))) + round(lam_me * 24)
 
-                best = min((cost_d, 0), (c0, 1), (c1, 2), (cbi, 3),
-                           (isad, 4), key=lambda t: t[0])[1]
+                best_c, best = min((cost_d, 0), (c0, 1), (c1, 2),
+                                   (cbi, 3), (isad, 4),
+                                   key=lambda t: t[0])
+                part_sel = None
+                if self.b_parts:
+                    for ev in (eval_rect(mbx, mby, False),
+                               eval_rect(mbx, mby, True),
+                               eval_b8x8(mbx, mby, dp_y, dp_u, dp_v,
+                                         d_ref0, d_ref1, d_mv0, d_mv1)):
+                        if ev[0] < best_c:
+                            best_c, part_sel = ev[0], ev
 
-                if best == 4:
+                if part_sel is None and best == 4:
                     # intra MB in a B slice (mb_type offset 23)
                     if ce is not None:
                         a, b = skip_terms(mbx, mby)
@@ -356,10 +494,80 @@ class H264BEncoder(H264Encoder):
                                         nc_y, nc_u, nc_v, mbx, mby, qp, qpc,
                                         mb_type_offset=23)
                     intra_mb[mby, mbx] = True
+                    dec4[gy:gy + 4, gx:gx + 4] = True
+                    self.mb_type_stats["intra"] = \
+                        self.mb_type_stats.get("intra", 0) + 1
                     continue
 
                 # --- chosen inter prediction + per-list motion bookkeeping
-                if best == 0:
+                # mvds entries: (list, mvd_x, mvd_y, bx4, by4) in syntax
+                # order (all list-0 partition mvds, then all list-1)
+                mbt, subs = best, None
+                if part_sel is not None:
+                    _, mbt, parts, subs = part_sel
+                    pred = np.zeros((16, 16), np.int32)
+                    pu = np.zeros((8, 8), np.int32)
+                    pv = np.zeros((8, 8), np.int32)
+                    mvds0, mvds1 = [], []
+                    for ox, oy, pw_, ph_, mode, info in parts:
+                        px4, py4 = gx + ox // 4, gy + oy // 4
+                        r4 = (slice(py4, py4 + ph_ // 4),
+                              slice(px4, px4 + pw_ // 4))
+                        sl_y = (slice(oy, oy + ph_), slice(ox, ox + pw_))
+                        sl_c = (slice(oy // 2, (oy + ph_) // 2),
+                                slice(ox // 2, (ox + pw_) // 2))
+                        if mode is None:        # B_Direct_8x8 sub
+                            qy, qx = oy // 8, ox // 8
+                            pred[sl_y] = dp_y[sl_y]
+                            pu[sl_c] = dp_u[sl_c]
+                            pv[sl_c] = dp_v[sl_c]
+                            if d_ref0 >= 0:
+                                mvg0[r4] = d_mv0[qy, qx]
+                                refg0[r4] = d_ref0
+                                refpoc0[r4] = past["poc"]
+                            if d_ref1 >= 0:
+                                mvg1[r4] = d_mv1[qy, qx]
+                                refg1[r4] = d_ref1
+                                refpoc1[r4] = future["poc"]
+                            dir4[r4] = True
+                            dec4[r4] = True
+                            continue
+                        lists = ((0,) if mode == 0 else
+                                 (1,) if mode == 1 else (0, 1))
+                        cps = []
+                        for lst in lists:
+                            mvx_, mvy_ = info[lst]["mv"]
+                            pmx_, pmy_ = info[lst]["pmv"]
+                            (mvds0 if lst == 0 else mvds1).append(
+                                (lst, mvx_ - pmx_, mvy_ - pmy_, px4, py4))
+                            mvd4[r4[0], r4[1], lst, 0] = mvx_ - pmx_
+                            mvd4[r4[0], r4[1], lst, 1] = mvy_ - pmy_
+                            if lst == 0:
+                                mvg0[r4] = (mvx_, mvy_)
+                                refg0[r4] = 0
+                                refpoc0[r4] = past["poc"]
+                                su, sv = pu_, pv_
+                            else:
+                                mvg1[r4] = (mvx_, mvy_)
+                                refg1[r4] = 0
+                                refpoc1[r4] = future["poc"]
+                                su, sv = fu_, fv_
+                            cps.append((
+                                mc_chroma_np(su, cx + ox // 2,
+                                             cy + oy // 2, mvx_, mvy_,
+                                             pw_ // 2, ph_ // 2),
+                                mc_chroma_np(sv, cx + ox // 2,
+                                             cy + oy // 2, mvx_, mvy_,
+                                             pw_ // 2, ph_ // 2)))
+                        dec4[r4] = True
+                        pred[sl_y] = info["preds"][mode]
+                        if len(cps) == 2:
+                            pu[sl_c] = (cps[0][0] + cps[1][0] + 1) >> 1
+                            pv[sl_c] = (cps[0][1] + cps[1][1] + 1) >> 1
+                        else:
+                            pu[sl_c], pv[sl_c] = cps[0]
+                    mvds = mvds0 + mvds1
+                elif best == 0:
                     pred, pu, pv = dp_y, dp_u, dp_v
                     for qy in range(2):
                         for qx in range(2):
@@ -373,6 +581,7 @@ class H264BEncoder(H264Encoder):
                                 mvg1[sy, sx] = d_mv1[qy, qx]
                                 refg1[sy, sx] = d_ref1
                                 refpoc1[sy, sx] = future["poc"]
+                    dir4[gy:gy + 4, gx:gx + 4] = True
                     mvds = []
                 elif best == 1:
                     pred = bl0
@@ -381,7 +590,7 @@ class H264BEncoder(H264Encoder):
                     mvg0[gy:gy + 4, gx:gx + 4] = (mx0, my0)
                     refg0[gy:gy + 4, gx:gx + 4] = 0
                     refpoc0[gy:gy + 4, gx:gx + 4] = past["poc"]
-                    mvds = [(0, mx0 - pmv0[0], my0 - pmv0[1])]
+                    mvds = [(0, mx0 - pmv0[0], my0 - pmv0[1], gx, gy)]
                 elif best == 2:
                     pred = bl1
                     pu = mc_chroma_np(fu_, cx, cy, mx1, my1, 8, 8)
@@ -389,7 +598,7 @@ class H264BEncoder(H264Encoder):
                     mvg1[gy:gy + 4, gx:gx + 4] = (mx1, my1)
                     refg1[gy:gy + 4, gx:gx + 4] = 0
                     refpoc1[gy:gy + 4, gx:gx + 4] = future["poc"]
-                    mvds = [(1, mx1 - pmv1[0], my1 - pmv1[1])]
+                    mvds = [(1, mx1 - pmv1[0], my1 - pmv1[1], gx, gy)]
                 else:
                     pred = bi
                     pu = (mc_chroma_np(pu_, cx, cy, mx0, my0, 8, 8)
@@ -404,8 +613,10 @@ class H264BEncoder(H264Encoder):
                     mvg1[gy:gy + 4, gx:gx + 4] = (mx1, my1)
                     refg1[gy:gy + 4, gx:gx + 4] = 0
                     refpoc1[gy:gy + 4, gx:gx + 4] = future["poc"]
-                    mvds = [(0, mx0 - pmv0[0], my0 - pmv0[1]),
-                            (1, mx1 - pmv1[0], my1 - pmv1[1])]
+                    mvds = [(0, mx0 - pmv0[0], my0 - pmv0[1], gx, gy),
+                            (1, mx1 - pmv1[0], my1 - pmv1[1], gx, gy)]
+
+                self.mb_type_stats[mbt] = self.mb_type_stats.get(mbt, 0) + 1
 
                 # --- residual ---
                 res = orig - pred
@@ -433,10 +644,11 @@ class H264BEncoder(H264Encoder):
                     1 if any(q.any() for q in c_dc_q) else 0)
                 cbp = cbp_luma | (cbp_chroma << 4)
 
-                if best == 0 and cbp == 0:
+                if mbt == 0 and cbp == 0:
                     # B_Skip
                     skip_arr[mby, mbx] = True
                     direct_arr[mby, mbx] = True
+                    dec4[gy:gy + 4, gx:gx + 4] = True
                     if ce is not None:
                         a, b = skip_terms(mbx, mby)
                         ce.mb_skip_flag_b(1, a, b)
@@ -456,15 +668,18 @@ class H264BEncoder(H264Encoder):
                                 grid.set(mbx * 2 + bx2, mby * 2 + by2, 0)
                     continue
 
-                if best == 0:
+                if mbt == 0:
                     direct_arr[mby, mbx] = True
-                for lst, dx, dy in mvds:
-                    mvd_arr[mby, mbx, lst] = (dx, dy)
+                if part_sel is None:
+                    dec4[gy:gy + 4, gx:gx + 4] = True
+                    for lst, dx, dy, _, _ in mvds:
+                        mvd4[gy:gy + 4, gx:gx + 4, lst, 0] = dx
+                        mvd4[gy:gy + 4, gx:gx + 4, lst, 1] = dy
 
                 if ce is not None:
-                    self._write_b16_cabac(ce, mbx, mby, best, mvds, cbp, lv,
-                                          c_dc_q, c_ac_q, skip_terms,
-                                          type_ctx, mvd_err)
+                    self._write_b_mb_cabac(ce, mbx, mby, mbt, subs, mvds,
+                                           cbp, lv, c_dc_q, c_ac_q,
+                                           skip_terms, type_ctx, mvd_err)
                     for i8 in range(4):
                         for k in range(4):
                             idx = 4 * i8 + k
@@ -482,8 +697,12 @@ class H264BEncoder(H264Encoder):
                 else:
                     w.ue(skip_run)
                     skip_run = 0
-                    w.ue(best)               # mb_type 0..3
-                    for lst, dx, dy in mvds:
+                    w.ue(mbt)               # mb_type 0..22
+                    if mbt == 22:
+                        for s_ in subs:
+                            w.ue(s_)        # sub_mb_type (8x8 rows)
+                    # ref_idx not coded: one reference per list
+                    for lst, dx, dy, _, _ in mvds:
                         w.se(dx)
                         w.se(dy)
                     w.ue(_NCBP_INTER_420[cbp])
@@ -552,9 +771,10 @@ class H264BEncoder(H264Encoder):
                                             bs_ver, bs_hor)
         return w.data(), (rec_y, rec_u, rec_v)
 
-    def _write_b16_cabac(self, ce, mbx, mby, best, mvds, cbp, lv,
-                         c_dc_q, c_ac_q, skip_terms, type_ctx, mvd_err):
-        """CABAC syntax for one non-skip B MB (direct / L0 / L1 / Bi).
+    def _write_b_mb_cabac(self, ce, mbx, mby, mbt, subs, mvds, cbp, lv,
+                          c_dc_q, c_ac_q, skip_terms, type_ctx, mvd_err):
+        """CABAC syntax for one non-skip B MB (direct / 16x16 modes /
+        16x8 / 8x16 two-partition types / B_8x8 with 8x8 subs).
 
         Parity: jm18.5/lencod/src/cabac.c writeMB_Bskip_flagInfo :456,
         writeMB_B_typeInfo :626, writeMVD :1152, writeCBP :1326; residual
@@ -565,10 +785,14 @@ class H264BEncoder(H264Encoder):
         cbf = self._cbf
         a, b = skip_terms(mbx, mby)
         ce.mb_skip_flag_b(0, a, b)
-        ce.mb_type_b(best, type_ctx(mbx, mby))
-        for lst, dx, dy in mvds:
-            ce.mvd(dx, 0, mvd_err(mbx, mby, lst, 0))
-            ce.mvd(dy, 1, mvd_err(mbx, mby, lst, 1))
+        ce.mb_type_b(mbt, type_ctx(mbx, mby))
+        if mbt == 22:
+            for s_ in subs:
+                ce.sub_mb_type_b(s_)
+        # ref_idx not coded: one reference per list
+        for lst, dx, dy, bx4, by4 in mvds:
+            ce.mvd(dx, 0, mvd_err(bx4, by4, lst, 0))
+            ce.mvd(dy, 1, mvd_err(bx4, by4, lst, 1))
 
         def nbr(dx, dy):
             nx, ny = mbx + dx, mby + dy
@@ -753,6 +977,7 @@ class H264BDecoder(H264Decoder):
         intra_mb = np.zeros((mbh, mbw), bool)
         mode4 = np.full((mbh * 4, mbw * 4), 2, np.int32)
         is_i4 = np.zeros((mbh, mbw), bool)
+        dec4 = np.zeros((mbh * 4, mbw * 4), bool)   # partition decode order
         zz = cavlc.ZIGZAG_4x4
 
         from video_codecs_tpu.models.h264.intra_codec import _decoded_before
@@ -778,9 +1003,11 @@ class H264BDecoder(H264Decoder):
                     mc_chroma_np(eu, cx, cy, mvx, mvy, bw // 2, bh // 2),
                     mc_chroma_np(ev, cx, cy, mvx, mvy, bw // 2, bh // 2))
 
-        def direct_recon(mbx, mby, apply=True):
+        def direct_recon(mbx, mby, apply=True, quad=None):
             """Derive spatial-direct motion; optionally write the MC
-            prediction into the recon planes (B_Skip / B_Direct)."""
+            prediction into the recon planes (B_Skip / B_Direct).  With
+            quad=(qy, qx) only that 8x8 quadrant is derived/committed
+            (B_Direct_8x8 sub-macroblock) and its planes returned."""
             gx, gy = mbx * 4, mby * 4
             x, yy = mbx * 16, mby * 16
             cx, cy = mbx * 8, mby * 8
@@ -792,6 +1019,8 @@ class H264BDecoder(H264Decoder):
             pv = np.zeros((8, 8), np.int32)
             for qy in range(2):
                 for qx in range(2):
+                    if quad is not None and (qy, qx) != quad:
+                        continue
                     bl = bu = bv = None
                     if d_ref0 >= 0:
                         bl, bu, bv = mc_pair(
@@ -824,6 +1053,11 @@ class H264BDecoder(H264Decoder):
                         mvg1[sy, sx] = d_mv1[qy, qx]
                         refg1[sy, sx] = d_ref1
                         refpoc1[sy, sx] = l1[d_ref1]["poc"]
+            if quad is not None:
+                qy, qx = quad
+                return (pl[8 * qy:8 * qy + 8, 8 * qx:8 * qx + 8],
+                        pu[4 * qy:4 * qy + 4, 4 * qx:4 * qx + 4],
+                        pv[4 * qy:4 * qy + 4, 4 * qx:4 * qx + 4])
             if apply:
                 rec_y[yy:yy + 16, x:x + 16] = pl
                 rec_u[cy:cy + 8, cx:cx + 8] = pu
@@ -864,23 +1098,73 @@ class H264BDecoder(H264Decoder):
                     cp + ht.inverse4x4(cd)
                     .transpose(0, 2, 1, 3).reshape(8, 8), 0, 255)
 
-        def store_uni(mbx, mby, lst, ref_i, mvx, mvy):
-            gx, gy = mbx * 4, mby * 4
+        def store_part(px4, py4, pw4, ph4, lst, ref_i, mvx, mvy):
+            r4 = (slice(py4, py4 + ph4), slice(px4, px4 + pw4))
             if lst == 0:
-                mvg0[gy:gy + 4, gx:gx + 4] = (mvx, mvy)
-                refg0[gy:gy + 4, gx:gx + 4] = ref_i
-                refpoc0[gy:gy + 4, gx:gx + 4] = l0[ref_i]["poc"]
+                mvg0[r4] = (mvx, mvy)
+                refg0[r4] = ref_i
+                refpoc0[r4] = l0[ref_i]["poc"]
             else:
-                mvg1[gy:gy + 4, gx:gx + 4] = (mvx, mvy)
-                refg1[gy:gy + 4, gx:gx + 4] = ref_i
-                refpoc1[gy:gy + 4, gx:gx + 4] = l1[ref_i]["poc"]
+                mvg1[r4] = (mvx, mvy)
+                refg1[r4] = ref_i
+                refpoc1[r4] = l1[ref_i]["poc"]
+
+        def store_uni(mbx, mby, lst, ref_i, mvx, mvy):
+            store_part(mbx * 4, mby * 4, 4, 4, lst, ref_i, mvx, mvy)
+
+        def decode_parts(mbx, mby, geo, modes, base, refs, mvd_p):
+            """Reconstruct a partitioned B MB: per-partition predictor
+            derivation in decode order, motion commit, MC, averaging.
+            modes[pi] is None for B_Direct_8x8 subs.  Returns the
+            assembled 16x16/8x8 prediction planes."""
+            gx, gy = mbx * 4, mby * 4
+            x, yy = mbx * 16, mby * 16
+            cx, cy = mbx * 8, mby * 8
+            pred = np.zeros((16, 16), np.int32)
+            pu = np.zeros((8, 8), np.int32)
+            pv = np.zeros((8, 8), np.int32)
+            for pi, (ox, oy, pw_, ph_) in enumerate(geo):
+                px4, py4 = gx + ox // 4, gy + oy // 4
+                sl_y = (slice(oy, oy + ph_), slice(ox, ox + pw_))
+                sl_c = (slice(oy // 2, (oy + ph_) // 2),
+                        slice(ox // 2, (ox + pw_) // 2))
+                if modes[pi] is None:          # B_Direct_8x8
+                    pred[sl_y], pu[sl_c], pv[sl_c] = direct_recon(
+                        mbx, mby, apply=False, quad=(oy // 8, ox // 8))
+                    dec4[py4:py4 + 2, px4:px4 + 2] = True
+                    continue
+                lists = ((0,) if modes[pi] == 0 else
+                         (1,) if modes[pi] == 1 else (0, 1))
+                preds = []
+                for lst in lists:
+                    mg, rg = (mvg0, refg0) if lst == 0 else (mvg1, refg1)
+                    ref_i = refs[pi][lst]
+                    pmv = mv_pred_part(mg, rg, dec4, px4, py4, pw_ // 4,
+                                       ph_ // 4, ref_i,
+                                       f"{base}_{pi}" if base else "")
+                    dx, dy = mvd_p[pi][lst]
+                    mvx, mvy = pmv[0] + dx, pmv[1] + dy
+                    store_part(px4, py4, pw_ // 4, ph_ // 4, lst, ref_i,
+                               mvx, mvy)
+                    ent = l0[ref_i] if lst == 0 else l1[ref_i]
+                    preds.append(mc_pair(ent, x + ox, yy + oy,
+                                         cx + ox // 2, cy + oy // 2,
+                                         mvx, mvy, pw_, ph_))
+                dec4[py4:py4 + ph_ // 4, px4:px4 + pw_ // 4] = True
+                if len(preds) == 2:
+                    pred[sl_y] = (preds[0][0] + preds[1][0] + 1) >> 1
+                    pu[sl_c] = (preds[0][1] + preds[1][1] + 1) >> 1
+                    pv[sl_c] = (preds[0][2] + preds[1][2] + 1) >> 1
+                else:
+                    pred[sl_y], pu[sl_c], pv[sl_c] = preds[0]
+            return pred, pu, pv
 
         if cabac:
             self._decode_b_mbs_cabac(
                 r, qp, qpc, model, rec_y, rec_u, rec_v, nc_y, nc_u, nc_v,
                 mvg0, refg0, mvg1, refg1, intra_mb, mode4, is_i4,
                 pred_mode4, direct_recon, clear_nc, add_residual, store_uni,
-                mc_pair, l0, l1, n0, n1)
+                mc_pair, l0, l1, n0, n1, decode_parts, dec4)
         else:
             from video_codecs_tpu.models.h264.inter_codec import _te_read
             n_mbs = mbw * mbh
@@ -890,14 +1174,18 @@ class H264BDecoder(H264Decoder):
                 for _ in range(run):
                     direct_recon(addr % mbw, addr // mbw)
                     clear_nc(addr % mbw, addr // mbw)
+                    dec4[(addr // mbw) * 4:(addr // mbw) * 4 + 4,
+                         (addr % mbw) * 4:(addr % mbw) * 4 + 4] = True
                     addr += 1
                 if addr >= n_mbs:
                     break
                 mbx, mby = addr % mbw, addr // mbw
                 addr += 1
                 mb_type = r.ue()
+                gx, gy = mbx * 4, mby * 4
                 if mb_type >= 23:
                     intra_mb[mby, mbx] = True
+                    dec4[gy:gy + 4, gx:gx + 4] = True
                     if mb_type == 23:
                         self._decode_i4_mb(r, None, rec_y, rec_u, rec_v,
                                            nc_y, nc_u, nc_v, mbx, mby,
@@ -907,35 +1195,43 @@ class H264BDecoder(H264Decoder):
                                             rec_v, nc_y, nc_u, nc_v,
                                             mbx, mby, qp, qpc)
                     continue
-                assert mb_type <= 3, f"unsupported B mb_type {mb_type}"
-                gx, gy = mbx * 4, mby * 4
-                x, yy = mbx * 16, mby * 16
-                cx, cy = mbx * 8, mby * 8
+                assert mb_type <= 22, f"unsupported B mb_type {mb_type}"
                 if mb_type == 0:
                     pred, pu, pv = direct_recon(mbx, mby, apply=False)
+                    dec4[gy:gy + 4, gx:gx + 4] = True
                 else:
-                    lists = {1: [0], 2: [1], 3: [0, 1]}[mb_type]
-                    refs = {}
-                    for lst in lists:
-                        na = n0 if lst == 0 else n1
-                        refs[lst] = _te_read(r, na - 1) if na > 1 else 0
-                    preds = {}
-                    for lst in lists:
-                        mg, rg = (mvg0, refg0) if lst == 0 else (mvg1, refg1)
-                        pmv = median_mv_pred(mg, rg, gx, gy, w4,
-                                             ref=refs[lst])
-                        mvx = pmv[0] + r.se()
-                        mvy = pmv[1] + r.se()
-                        store_uni(mbx, mby, lst, refs[lst], mvx, mvy)
-                        ent = l0[refs[lst]] if lst == 0 else l1[refs[lst]]
-                        preds[lst] = mc_pair(ent, x, yy, cx, cy,
-                                             mvx, mvy, 16, 16)
-                    if len(lists) == 2:
-                        pred = (preds[0][0] + preds[1][0] + 1) >> 1
-                        pu = (preds[0][1] + preds[1][1] + 1) >> 1
-                        pv = (preds[0][2] + preds[1][2] + 1) >> 1
+                    if mb_type <= 3:
+                        geo = ((0, 0, 16, 16),)
+                        modes, base = (mb_type - 1,), ""
+                    elif mb_type <= 21:
+                        geo, modes = _B_RECT[mb_type]
+                        base = "16x8" if mb_type % 2 == 0 else "8x16"
                     else:
-                        pred, pu, pv = preds[lists[0]]
+                        subs_ = [r.ue() for _ in range(4)]
+                        assert max(subs_) <= 3, \
+                            f"unsupported B sub_mb_type {subs_}"
+                        geo = ((0, 0, 8, 8), (8, 0, 8, 8),
+                               (0, 8, 8, 8), (8, 8, 8, 8))
+                        modes = [None if s == 0 else s - 1 for s in subs_]
+                        base = ""
+                    uses = [() if m is None else
+                            ((0,) if m == 0 else
+                             (1,) if m == 1 else (0, 1)) for m in modes]
+                    nparts = len(geo)
+                    refs = [[0, 0] for _ in range(nparts)]
+                    for lst in (0, 1):
+                        na = n0 if lst == 0 else n1
+                        if na > 1:
+                            for pi in range(nparts):
+                                if lst in uses[pi]:
+                                    refs[pi][lst] = _te_read(r, na - 1)
+                    mvd_p = [[None, None] for _ in range(nparts)]
+                    for lst in (0, 1):
+                        for pi in range(nparts):
+                            if lst in uses[pi]:
+                                mvd_p[pi][lst] = (r.se(), r.se())
+                    pred, pu, pv = decode_parts(mbx, mby, geo, modes,
+                                                base, refs, mvd_p)
                 cbp = _CBP_FROM_CODE_INTER_420[r.ue()]
                 cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
                 if cbp:
@@ -990,7 +1286,7 @@ class H264BDecoder(H264Decoder):
                             nc_y, nc_u, nc_v, mvg0, refg0, mvg1, refg1,
                             intra_mb, mode4, is_i4, pred_mode4,
                             direct_recon, clear_nc, add_residual, store_uni,
-                            mc_pair, l0, l1, n0, n1):
+                            mc_pair, l0, l1, n0, n1, decode_parts, dec4):
         """CABAC B-slice MB loop (mirror of the encoder's CABAC path)."""
         from video_codecs_tpu.entropy import h264_cabac as hc
         mbw, mbh = self.size
@@ -1006,12 +1302,15 @@ class H264BDecoder(H264Decoder):
         cipred = np.zeros((mbh, mbw), np.int32)
         skip = np.zeros((mbh, mbw), bool)
         direct = np.zeros((mbh, mbw), bool)
-        mvd_arr = np.zeros((mbh, mbw, 2, 2), np.int32)
+        # per-4x4 |mvd| / direct-coding grids for the mvd and ref_idx
+        # context derivations (spec 9.3.3.1.1.6-7)
+        mvd4 = np.zeros((mbh * 4, mbw * 4, 2, 2), np.int32)
+        dir4 = np.zeros((mbh * 4, mbw * 4), bool)
         i16 = np.zeros((mbh, mbw), bool)
 
-        def mvd_err(mbx, mby, lst, comp):
-            a = abs(int(mvd_arr[mby, mbx - 1, lst, comp])) if mbx > 0 else 0
-            b = abs(int(mvd_arr[mby - 1, mbx, lst, comp])) if mby > 0 else 0
+        def mvd_err(px4, py4, lst, comp):
+            a = abs(int(mvd4[py4, px4 - 1, lst, comp])) if px4 > 0 else 0
+            b = abs(int(mvd4[py4 - 1, px4, lst, comp])) if py4 > 0 else 0
             return a + b
 
         for mby in range(mbh):
@@ -1025,6 +1324,8 @@ class H264BDecoder(H264Decoder):
                 if cd.mb_skip_flag_b(a, b):
                     skip[mby, mbx] = True
                     direct[mby, mbx] = True
+                    dir4[gy:gy + 4, gx:gx + 4] = True
+                    dec4[gy:gy + 4, gx:gx + 4] = True
                     direct_recon(mbx, mby)
                     clear_nc(mbx, mby)
                     cbf.mark(mbx, mby)
@@ -1037,49 +1338,83 @@ class H264BDecoder(H264Decoder):
                 act, i16_sym = cd.mb_type_b(ta + tb)
                 if act >= 23:
                     intra_mb[mby, mbx] = True
+                    dec4[gy:gy + 4, gx:gx + 4] = True
                     self._decode_intra_mb_cabac(
                         cd, 6 if act == 23 else 7, i16_sym, mbx, mby, qp,
                         qpc, rec_y, rec_u, rec_v, cbf, cbp_arr, cipred,
                         mode4, is_i4, pred_mode4, i16)
                     assert cd.final() == (1 if last_mb else 0)
                     continue
-                assert act <= 3, f"unsupported B mb_type act {act}"
+                assert act <= 22, f"unsupported B mb_type act {act}"
                 if act == 0:
                     direct[mby, mbx] = True
+                    dir4[gy:gy + 4, gx:gx + 4] = True
+                    dec4[gy:gy + 4, gx:gx + 4] = True
                     pred, pu, pv = direct_recon(mbx, mby, apply=False)
                 else:
-                    lists = {1: [0], 2: [1], 3: [0, 1]}[act]
-                    preds = {}
-                    for lst in lists:
-                        na = n0 if lst == 0 else n1
-                        rg = refg0 if lst == 0 else refg1
-                        ref_i = 0
-                        if na > 1:
-                            # writeRefPic_B_CABAC: the neighbor term is 0
-                            # when the neighbor MB is direct/skip
-                            ra = 1 if (gx > 0
-                                       and not direct[mby, mbx - 1]
-                                       and rg[gy, gx - 1] > 0) else 0
-                            rb = 1 if (gy > 0
-                                       and not direct[mby - 1, mbx]
-                                       and rg[gy - 1, gx] > 0) else 0
-                            ref_i = cd.ref_idx(ra + 2 * rb)
-                        mvdx = cd.mvd(0, mvd_err(mbx, mby, lst, 0))
-                        mvdy = cd.mvd(1, mvd_err(mbx, mby, lst, 1))
-                        mvd_arr[mby, mbx, lst] = (mvdx, mvdy)
-                        mg = mvg0 if lst == 0 else mvg1
-                        pmv = median_mv_pred(mg, rg, gx, gy, w4, ref=ref_i)
-                        mvx, mvy = pmv[0] + mvdx, pmv[1] + mvdy
-                        store_uni(mbx, mby, lst, ref_i, mvx, mvy)
-                        ent = l0[ref_i] if lst == 0 else l1[ref_i]
-                        preds[lst] = mc_pair(ent, x, yy, cx, cy,
-                                             mvx, mvy, 16, 16)
-                    if len(lists) == 2:
-                        pred = (preds[0][0] + preds[1][0] + 1) >> 1
-                        pu = (preds[0][1] + preds[1][1] + 1) >> 1
-                        pv = (preds[0][2] + preds[1][2] + 1) >> 1
+                    subs = None
+                    if act <= 3:
+                        geo = ((0, 0, 16, 16),)
+                        modes, base = (act - 1,), ""
+                    elif act <= 21:
+                        geo, modes = _B_RECT[act]
+                        base = "16x8" if act % 2 == 0 else "8x16"
                     else:
-                        pred, pu, pv = preds[lists[0]]
+                        subs = [cd.sub_mb_type_b() for _ in range(4)]
+                        assert max(subs) <= 3, \
+                            f"unsupported B sub_mb_type {subs}"
+                        geo = ((0, 0, 8, 8), (8, 0, 8, 8),
+                               (0, 8, 8, 8), (8, 8, 8, 8))
+                        modes = [None if s == 0 else s - 1 for s in subs]
+                        base = ""
+                        for pi, m in enumerate(modes):
+                            if m is None:
+                                px4 = gx + geo[pi][0] // 4
+                                py4 = gy + geo[pi][1] // 4
+                                dir4[py4:py4 + 2, px4:px4 + 2] = True
+                    uses = [() if m is None else
+                            ((0,) if m == 0 else
+                             (1,) if m == 1 else (0, 1)) for m in modes]
+                    nparts = len(geo)
+                    refs = [[0, 0] for _ in range(nparts)]
+                    for lst in (0, 1):
+                        na = n0 if lst == 0 else n1
+                        if na <= 1:
+                            continue
+                        for pi in range(nparts):
+                            if lst not in uses[pi]:
+                                continue
+                            ox, oy, pw_, ph_ = geo[pi]
+                            px4, py4 = gx + ox // 4, gy + oy // 4
+                            rg = refg0 if lst == 0 else refg1
+                            # readRefFrame_CABAC: neighbor term is 0 when
+                            # the neighboring partition is direct/skip
+                            ra = 1 if (px4 > 0 and not dir4[py4, px4 - 1]
+                                       and rg[py4, px4 - 1] > 0) else 0
+                            rb = 1 if (py4 > 0 and not dir4[py4 - 1, px4]
+                                       and rg[py4 - 1, px4] > 0) else 0
+                            ref_i = cd.ref_idx(ra + 2 * rb)
+                            refs[pi][lst] = ref_i
+                            # parsed refIdx made visible to later
+                            # partitions' ref contexts (9.3.3.1.1.6)
+                            rg[py4:py4 + ph_ // 4,
+                               px4:px4 + pw_ // 4] = ref_i
+                    mvd_p = [[None, None] for _ in range(nparts)]
+                    for lst in (0, 1):
+                        for pi in range(nparts):
+                            if lst not in uses[pi]:
+                                continue
+                            ox, oy, pw_, ph_ = geo[pi]
+                            px4, py4 = gx + ox // 4, gy + oy // 4
+                            dx = cd.mvd(0, mvd_err(px4, py4, lst, 0))
+                            dy = cd.mvd(1, mvd_err(px4, py4, lst, 1))
+                            mvd_p[pi][lst] = (dx, dy)
+                            mvd4[py4:py4 + ph_ // 4,
+                                 px4:px4 + pw_ // 4, lst, 0] = dx
+                            mvd4[py4:py4 + ph_ // 4,
+                                 px4:px4 + pw_ // 4, lst, 1] = dy
+                    pred, pu, pv = decode_parts(mbx, mby, geo, modes,
+                                                base, refs, mvd_p)
 
                 def nbr(dx, dy):
                     nx, ny = mbx + dx, mby + dy
