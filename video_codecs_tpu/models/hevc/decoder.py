@@ -297,7 +297,7 @@ def parse_sps(rbsp: bytes) -> Sps:
         s.conf_win = (r.ue(), r.ue(), r.ue(), r.ue())
     s.bit_depth = 8 + r.ue()
     assert 8 + r.ue() == s.bit_depth, "chroma bit depth must match"
-    assert s.bit_depth == 8, "Main profile 8-bit only (Main10: roadmap)"
+    assert 8 <= s.bit_depth <= 10, "Main / Main10 profiles only"
     s.log2_max_poc_lsb = 4 + r.ue()
     sub_layer_ordering = r.flag()
     for _ in range((max_sub_layers + 1) if sub_layer_ordering else 1):
@@ -582,19 +582,22 @@ def filtered_ref(ref: np.ndarray, n: int, strong: bool,
 
 
 def predict_intra_general(ref: np.ndarray, mode: int, log2: int,
-                          is_luma: bool, strong: bool) -> np.ndarray:
+                          is_luma: bool, strong: bool,
+                          bit_depth: int = 8) -> np.ndarray:
     """predict_intra_np with HM's strong-intra-smoothing reference."""
     n = 1 << log2
     if not (is_luma and strong and n == 32 and
             intra_ops.filter_flag(mode, log2, is_luma)):
-        return intra_ops.predict_intra_np(ref, mode, log2, is_luma=is_luma)
+        return intra_ops.predict_intra_np(ref, mode, log2, is_luma=is_luma,
+                                          bit_depth=bit_depth)
     # Rebuild a raw ref whose internal 1-2-1 smoothing we bypass by calling
     # the weight machinery directly with the strong-filtered array.
     w, bias, s_common = intra_ops._mode_weights(log2, is_luma)
-    fref = filtered_ref(ref, n, True)
+    fref = filtered_ref(ref, n, True, bit_depth)
     ref2 = np.concatenate([ref.astype(np.int64), fref])
     pred = ((w[mode].astype(np.int64) @ ref2 + int(bias[mode])) >> s_common)
-    return np.clip(pred.reshape(n, n), 0, 255).astype(np.int32)
+    return np.clip(pred.reshape(n, n), 0,
+                   (1 << bit_depth) - 1).astype(np.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -702,8 +705,15 @@ class GeneralDecoder:
         if not self.frames:
             return
         f = self.frames[-1]
-        ok = all(hashlib.md5(f[i].astype(np.uint8).tobytes()).digest()
-                 == md5s[i] for i in range(3))
+        # >8-bit samples hash as 2 bytes little-endian (HM TComPicYuv
+        # MD5 per-component, 8-bit streams one byte per sample)
+        if self.sps.bit_depth > 8:
+            ok = all(hashlib.md5(
+                f[i].astype('<u2').tobytes()).digest() == md5s[i]
+                for i in range(3))
+        else:
+            ok = all(hashlib.md5(f[i].astype(np.uint8).tobytes()).digest()
+                     == md5s[i] for i in range(3))
         self.hash_status.append(ok)
 
     # ---- picture decode ----
@@ -828,7 +838,7 @@ class GeneralDecoder:
             bs_ver, bs_hor = _bs_maps_general(st)
             rec_y, rec_u, rec_v = deblock_ops.deblock_420_bs_np(
                 rec_y, rec_u, rec_v, h.qp, bs_ver, bs_hor, block=8,
-                seg4=True)
+                bit_depth=self.sps.bit_depth, seg4=True)
         if h.sao_luma or h.sao_chroma:
             outs = [rec_y.copy(), rec_u.copy(), rec_v.copy()]
             for i in range(cw * ch):
@@ -836,13 +846,16 @@ class GeneralDecoder:
                 p3 = sao_params[i]
                 if h.sao_luma:
                     sao_ops.apply_ctu(rec_y, outs[0], bx * ctb, by * ctb,
-                                      ctb, p3[0])
+                                      ctb, p3[0],
+                                      bit_depth=self.sps.bit_depth)
                 if h.sao_chroma:
                     half = ctb // 2
                     sao_ops.apply_ctu(rec_u, outs[1], bx * half, by * half,
-                                      half, p3[1])
+                                      half, p3[1],
+                                      bit_depth=self.sps.bit_depth)
                     sao_ops.apply_ctu(rec_v, outs[2], bx * half, by * half,
-                                      half, p3[2])
+                                      half, p3[2],
+                                      bit_depth=self.sps.bit_depth)
             rec_y, rec_u, rec_v = outs
         frame = (rec_y, rec_u, rec_v)
         self.frames.append(frame)
@@ -884,10 +897,13 @@ class GeneralDecoder:
                 type_idx = out[1].type_idx
             if type_idx == sao_ops.SAO_OFF:
                 continue
+            # sao_offset_abs TR cMax = (1 << (min(bd,10) - 5)) - 1
+            # (spec 7.4.9.3): 7 at 8-bit, 31 at 10-bit
+            cmax = (1 << (min(self.sps.bit_depth, 10) - 5)) - 1
             mags = []
             for _ in range(4):
                 m = 0
-                while m < 7 and dec.decode_bypass():
+                while m < cmax and dec.decode_bypass():
                     m += 1
                 mags.append(m)
             if type_idx == sao_ops.SAO_BO:
@@ -1103,6 +1119,9 @@ class GeneralDecoder:
         st.pm.set_pu(px, py, pw, ph, m)
         if skip:
             st.pm.skip[py // 4:(py + ph) // 4, px // 4:(px + pw) // 4] = True
+        bd = self.sps.bit_depth
+        sh2 = 14 - bd          # uni final shift (spec 8.5.3.3.3.2)
+        osc = bd - 8           # WP offset scale (HM setWpScaling)
         p14 = [[None] * 3, [None] * 3]
         for lx in (0, 1):
             if not m.pf[lx]:
@@ -1110,11 +1129,13 @@ class GeneralDecoder:
             ry, ru, rv = st.ref_pics[lx][m.ref_idx[lx]]
             mvx, mvy = m.mv[lx]
             p14[lx][0] = interp.mc_luma14_rect_np(ry, px, py, mvx, mvy,
-                                                  pw, ph)
+                                                  pw, ph, bit_depth=bd)
             p14[lx][1] = interp.mc_chroma14_rect_np(
-                ru, px // 2, py // 2, mvx, mvy, pw // 2, ph // 2)
+                ru, px // 2, py // 2, mvx, mvy, pw // 2, ph // 2,
+                bit_depth=bd)
             p14[lx][2] = interp.mc_chroma14_rect_np(
-                rv, px // 2, py // 2, mvx, mvy, pw // 2, ph // 2)
+                rv, px // 2, py // 2, mvx, mvy, pw // 2, ph // 2,
+                bit_depth=bd)
         bi = m.pf[0] and m.pf[1]
         wp = h.wp
         for c, (plane, cx, cy, cw_, ch_) in enumerate((
@@ -1126,21 +1147,25 @@ class GeneralDecoder:
                     w0, o0 = wp.weights[0][m.ref_idx[0]][c]
                     w1, o1 = wp.weights[1][m.ref_idx[1]][c]
                     denom = wp.luma_denom if c == 0 else wp.chroma_denom
-                    sh = denom + 6
+                    sh = denom + sh2
                     out = (p14[0][c] * w0 + p14[1][c] * w1 +
-                           ((o0 + o1 + 1) << sh)) >> (sh + 1)
+                           (((o0 << osc) + (o1 << osc) + 1)
+                            << sh)) >> (sh + 1)
                 else:
-                    out = (p14[0][c] + p14[1][c] + 64) >> 7
+                    out = (p14[0][c] + p14[1][c] +
+                           (1 << sh2)) >> (sh2 + 1)
             else:
                 lx = 0 if m.pf[0] else 1
                 if wp is not None:
                     w_, o_ = wp.weights[lx][m.ref_idx[lx]][c]
                     denom = wp.luma_denom if c == 0 else wp.chroma_denom
-                    sh = denom + 6
-                    out = ((p14[lx][c] * w_ + (1 << (sh - 1))) >> sh) + o_
+                    sh = denom + sh2
+                    out = ((p14[lx][c] * w_ + (1 << (sh - 1))) >> sh) \
+                        + (o_ << osc)
                 else:
-                    out = (p14[lx][c] + 32) >> 6
-            plane[cy:cy + ch_, cx:cx + cw_] = np.clip(out, 0, 255)
+                    out = (p14[lx][c] + (1 << (sh2 - 1))) >> sh2
+            plane[cy:cy + ch_, cx:cx + cw_] = np.clip(out, 0,
+                                                      (1 << bd) - 1)
 
     # ---- inter RQT ----
 
@@ -1198,9 +1223,9 @@ class GeneralDecoder:
             lv = residual.decode_residual(dec, log2, rom.SCAN_DIAG, True,
                                           sign_hiding=pps.sign_data_hiding)
             pred = st.rec_y[y:y + n, x:x + n]
-            st.rec_y[y:y + n, x:x + n] = _recon_tb(pred, lv, st.qp, log2,
-                                                   dst=False, ts=ts,
-                                                   m=self._sl_m(log2, 3))
+            st.rec_y[y:y + n, x:x + n] = _recon_tb(
+                pred, lv, st.qp, log2, dst=False, ts=ts,
+                m=self._sl_m(log2, 3), bit_depth=self.sps.bit_depth)
         if log2 > 2:
             self._decode_tu_chroma_inter(dec, st, x, y, log2 - 1,
                                          cbf_cb, cbf_cr)
@@ -1228,7 +1253,8 @@ class GeneralDecoder:
             pred = plane[cy:cy + cs, cx:cx + cs]
             plane[cy:cy + cs, cx:cx + cs] = _recon_tb(
                 pred, lv, qp_c, clog2, dst=False, ts=ts,
-                m=self._sl_m(clog2, 4 + comp))
+                m=self._sl_m(clog2, 4 + comp),
+                bit_depth=self.sps.bit_depth)
 
     # ---- intra CUs ----
 
@@ -1397,12 +1423,14 @@ class GeneralDecoder:
             lv = residual.decode_residual(dec, log2, stype, True,
                                           sign_hiding=pps.sign_data_hiding)
         ref = build_ref_z(st.rec_y, x, y, n, sps.width, sps.height,
-                          sps.log2_ctb, z_floor=st.z_floor)
+                          sps.log2_ctb, z_floor=st.z_floor,
+                          default=1 << (sps.bit_depth - 1))
         pred = predict_intra_general(ref, mode, log2, True,
-                                     sps.strong_intra_smoothing)
+                                     sps.strong_intra_smoothing,
+                                     bit_depth=sps.bit_depth)
         st.rec_y[y:y + n, x:x + n] = _recon_tb(
             pred, lv, st.qp, log2, dst=(log2 == 2), ts=ts,
-            m=self._sl_m(log2, 0))
+            m=self._sl_m(log2, 0), bit_depth=sps.bit_depth)
 
         # chroma: at this node when log2 > 2; when log2 == 2, with the
         # fourth 4x4 luma TU of the enclosing 8x8 area (spec 7.3.8.10)
@@ -1432,16 +1460,19 @@ class GeneralDecoder:
                     sign_hiding=pps.sign_data_hiding)
             refc = build_ref_z(plane, cx, cy, cs, sps.width // 2,
                                sps.height // 2, sps.log2_ctb - 1,
-                               z_floor=st.z_floor >> 2)
+                               z_floor=st.z_floor >> 2,
+                               default=1 << (sps.bit_depth - 1))
             predc = intra_ops.predict_intra_np(refc, cmode, clog2,
-                                               is_luma=False)
+                                               is_luma=False,
+                                               bit_depth=sps.bit_depth)
             qp_c = ic.chroma_qp(st.qp + qp_off)
             plane[cy:cy + cs, cx:cx + cs] = _recon_tb(
                 predc, lv, qp_c, clog2, dst=False, ts=ts,
-                m=self._sl_m(clog2, 1 + comp))
+                m=self._sl_m(clog2, 1 + comp),
+                bit_depth=sps.bit_depth)
 
 
-def _recon_tb(pred, lv, qp, log2, dst, ts=False, m=None):
+def _recon_tb(pred, lv, qp, log2, dst, ts=False, m=None, bit_depth=8):
     """Dequant + inverse transform + add.  m: per-coefficient scaling
     matrix (spec 8.6.3 with scaling lists; HM TComTrQuant::xDeQuant
     enableScalingLists branch, rightShift += LOG2_SCALING_LIST_NEUTRAL
@@ -1449,10 +1480,13 @@ def _recon_tb(pred, lv, qp, log2, dst, ts=False, m=None):
     to transform-skip blocks (HM getUseScalingList)."""
     if lv is None:
         return pred.astype(np.int32)
+    # scaling uses the DERIVED QP: Qp' = Qp + QpBdOffset = Qp + 6*(bd-8)
+    # (spec 8.6.1; zero at 8-bit).  Deblocking keeps the unoffset QpY.
+    qp = qp + 6 * (bit_depth - 8)
     if m is not None:
         per, rem = qp // 6, qp % 6
-        right = rom.IQUANT_SHIFT - (quant_ops.transform_shift(log2) +
-                                    per) + 4
+        right = rom.IQUANT_SHIFT - \
+            (quant_ops.transform_shift(log2, bit_depth) + per) + 4
         scale = int(rom.INV_QUANT_SCALES[rem])
         lim = 1 << rom.MAX_TR_DYNAMIC_RANGE
         q = np.clip(lv.astype(np.int64), -32768, 32767)
@@ -1463,13 +1497,14 @@ def _recon_tb(pred, lv, qp, log2, dst, ts=False, m=None):
             c = dqc << (-right)
         dq = np.clip(c, -lim, lim - 1).astype(np.int32)
     else:
-        dq = quant_ops.dequantize_np(lv, qp, log2)
+        dq = quant_ops.dequantize_np(lv, qp, log2, bit_depth=bit_depth)
     if ts:
-        shift = quant_ops.transform_shift(log2)
+        shift = quant_ops.transform_shift(log2, bit_depth)
         r = (dq + (1 << (shift - 1))) >> shift
     else:
-        r = tr_ops.inverse_transform_np(dq, log2, dst=dst)
-    return np.clip(pred + r, 0, 255).astype(np.int32)
+        r = tr_ops.inverse_transform_np(dq, log2, bit_depth=bit_depth,
+                                        dst=dst)
+    return np.clip(pred + r, 0, (1 << bit_depth) - 1).astype(np.int32)
 
 
 class _CuCtx:

@@ -52,7 +52,7 @@ def z_index(x: int, y: int, w: int, ctb_shift: int) -> int:
 
 def build_ref_z(plane: np.ndarray, x: int, y: int, n: int,
                 w: int, h: int, ctb_shift: int,
-                z_floor: int = 0) -> np.ndarray:
+                z_floor: int = 0, default: int = 128) -> np.ndarray:
     """Reference array with general Z-scan availability (spec 6.4.1).
 
     z_floor: Z-scan address of the current slice segment's first 4x4 —
@@ -82,7 +82,7 @@ def build_ref_z(plane: np.ndarray, x: int, y: int, n: int,
             samples[2 * n + 1 + i] = plane[y - 1, x + i]
             avail[2 * n + 1 + i] = True
     if not avail.any():
-        return np.full(r, 128, np.int32)
+        return np.full(r, default, np.int32)
     out = samples.copy()
     if not avail[0]:
         out[0] = samples[np.argmax(avail)]

@@ -275,9 +275,12 @@ def _mc_chroma14_np(ref, x0, y0, mvx, mvy, n):
 
 
 def mc_luma14_rect_np(ref: np.ndarray, x0: int, y0: int, mvx: int,
-                      mvy: int, w: int, h: int) -> np.ndarray:
+                      mvy: int, w: int, h: int,
+                      bit_depth: int = 8) -> np.ndarray:
     """Vectorized rectangular luma MC to the 14-bit domain (general
-    decoder path: PU sizes 64x64 .. 8x4)."""
+    decoder path: PU sizes 64x64 .. 8x4).  The horizontal intermediate
+    is truncated by shift1 = bit_depth - 8 BEFORE the vertical stage
+    (spec 8.5.3.3.3.1) — the two truncations do not commute."""
     ix, iy = x0 + (mvx >> 2), y0 + (mvy >> 2)
     fx, fy = mvx & 3, mvy & 3
     hh, ww = ref.shape
@@ -286,12 +289,13 @@ def mc_luma14_rect_np(ref: np.ndarray, x0: int, y0: int, mvx: int,
     win = ref[np.ix_(rows, cols)].astype(np.int64)
     fh = LUMA_FILTERS[fx].astype(np.int64)
     fv = LUMA_FILTERS[fy].astype(np.int64)
-    hor = sum(win[:, i:i + w] * fh[i] for i in range(8))
+    hor = sum(win[:, i:i + w] * fh[i] for i in range(8)) >> (bit_depth - 8)
     return sum(hor[i:i + h, :] * fv[i] for i in range(8)) >> 6
 
 
 def mc_chroma14_rect_np(ref: np.ndarray, x0: int, y0: int, mvx: int,
-                        mvy: int, w: int, h: int) -> np.ndarray:
+                        mvy: int, w: int, h: int,
+                        bit_depth: int = 8) -> np.ndarray:
     """Vectorized rectangular chroma MC to the 14-bit domain (1/8-pel)."""
     ix, iy = x0 + (mvx >> 3), y0 + (mvy >> 3)
     fx, fy = mvx & 7, mvy & 7
@@ -301,7 +305,7 @@ def mc_chroma14_rect_np(ref: np.ndarray, x0: int, y0: int, mvx: int,
     win = ref[np.ix_(rows, cols)].astype(np.int64)
     fh = CHROMA_FILTERS[fx].astype(np.int64)
     fv = CHROMA_FILTERS[fy].astype(np.int64)
-    hor = sum(win[:, i:i + w] * fh[i] for i in range(4))
+    hor = sum(win[:, i:i + w] * fh[i] for i in range(4)) >> (bit_depth - 8)
     return sum(hor[i:i + h, :] * fv[i] for i in range(4)) >> 6
 
 

@@ -274,7 +274,7 @@ def apply_frame(pre: np.ndarray, params: list, ctb: int,
 
 
 def apply_ctu(pre: np.ndarray, out: np.ndarray, x0: int, y0: int,
-              size: int, p: SaoParam) -> None:
+              size: int, p: SaoParam, bit_depth: int = 8) -> None:
     """Apply one CTU's SAO params; reads `pre` (deblocked), writes `out`."""
     if p.type_idx == SAO_OFF:
         return
@@ -283,11 +283,12 @@ def apply_ctu(pre: np.ndarray, out: np.ndarray, x0: int, y0: int,
         lut = np.zeros(32, np.int32)
         for k in range(4):
             lut[(p.band_position + k) & 31] = p.offsets[k]
-        res = region + lut[region >> 3]
+        res = region + lut[region >> (bit_depth - 5)]
     else:
         cat = eo_category_map(pre, p.eo_class)[y0:y0 + size, x0:x0 + size]
         # categories 1,2 add +|o|; 3,4 add -|o| (signs implicit, spec 7.4.9.3)
         lut = np.array([0, p.offsets[0], p.offsets[1],
                         -p.offsets[2], -p.offsets[3]], np.int32)
         res = region + lut[cat]
-    out[y0:y0 + size, x0:x0 + size] = np.clip(res, 0, 255)
+    out[y0:y0 + size, x0:x0 + size] = np.clip(res, 0,
+                                              (1 << bit_depth) - 1)
