@@ -243,6 +243,11 @@ class Pps:
     transquant_bypass: bool = False
     tiles: bool = False
     entropy_sync: bool = False
+    tile_cols: int = 1
+    tile_rows: int = 1
+    tile_uniform: bool = True
+    tile_col_widths: list | None = None    # CTUs, first n-1 columns
+    tile_row_heights: list | None = None
     loop_filter_across_slices: bool = True
     deblocking_control: bool = False
     deblocking_override_enabled: bool = False
@@ -369,8 +374,19 @@ def parse_pps(rbsp: bytes) -> Pps:
     assert not p.transquant_bypass, "transquant bypass not supported"
     p.tiles = bool(r.flag())
     p.entropy_sync = bool(r.flag())
-    assert not p.tiles and not p.entropy_sync, \
-        "tiles/WPP parse for foreign streams: later round"
+    assert not (p.tiles and p.entropy_sync), \
+        "tiles + WPP combined: unsupported"
+    if p.tiles:
+        p.tile_cols = 1 + r.ue()
+        p.tile_rows = 1 + r.ue()
+        p.tile_uniform = bool(r.flag())
+        if not p.tile_uniform:
+            p.tile_col_widths = [1 + r.ue()
+                                 for _ in range(p.tile_cols - 1)]
+            p.tile_row_heights = [1 + r.ue()
+                                  for _ in range(p.tile_rows - 1)]
+        assert r.flag(), \
+            "loop_filter_across_tiles disabled: unsupported"
     p.loop_filter_across_slices = bool(r.flag())
     p.deblocking_control = bool(r.flag())
     if p.deblocking_control:
@@ -459,6 +475,7 @@ class SliceHeader:
     cabac_init: bool = False
     mvd_l1_zero: bool = False
     wp: WpTable | None = None
+    entry_points: list = dataclasses.field(default_factory=list)
 
 
 def parse_slice_header(rbsp: bytes, nal_type: int, sps: Sps,
@@ -547,6 +564,11 @@ def parse_slice_header(rbsp: bytes, nal_type: int, sps: Sps,
     if pps.loop_filter_across_slices and (h.sao_luma or h.sao_chroma or
                                           not h.deblocking_disabled):
         r.flag()                # slice_loop_filter_across_slices
+    if pps.tiles or pps.entropy_sync:
+        n_entry = r.ue()        # num_entry_point_offsets
+        if n_entry:
+            olen = 1 + r.ue()   # offset_len_minus1 + 1
+            h.entry_points = [1 + r.read(olen) for _ in range(n_entry)]
     # byte_alignment(): alignment_bit_equal_to_one is ALWAYS present, even
     # when the header already ends on a byte boundary (spec 7.3.2.10)
     one = r.flag()
@@ -616,6 +638,43 @@ def _wrap16(v: int) -> int:
     return ((v + 32768) & 65535) - 32768
 
 
+def _strip_ep_with_pos(payload: bytes):
+    """Emulation-prevention strip that also records, for each removed
+    0x03 byte, the RBSP index of the byte that followed it — needed to
+    convert signalled entry_point_offsets (EBSP bytes, spec 7.4.7.1)
+    into RBSP positions (HM TDecSlice 'adjust for emulation bytes')."""
+    out = bytearray()
+    pos = []
+    i, n = 0, len(payload)
+    while i < n:
+        if i + 2 < n and payload[i] == 0 and payload[i + 1] == 0 \
+                and payload[i + 2] == 3:
+            out += payload[i:i + 2]
+            pos.append(len(out))
+            i += 3
+        else:
+            out.append(payload[i])
+            i += 1
+    return bytes(out), pos
+
+
+def _tile_grid(pps: Pps, cw: int, ch: int):
+    """Tile CTU column/row boundaries (spec 6.5.1)."""
+    nc, nr = pps.tile_cols, pps.tile_rows
+    if pps.tile_uniform:
+        cols = [(i * cw) // nc for i in range(nc + 1)]
+        rows = [(i * ch) // nr for i in range(nr + 1)]
+    else:
+        cols, rows = [0], [0]
+        for w_ in pps.tile_col_widths:
+            cols.append(cols[-1] + w_)
+        cols.append(cw)
+        for h_ in pps.tile_row_heights:
+            rows.append(rows[-1] + h_)
+        rows.append(ch)
+    return cols, rows
+
+
 class GeneralDecoder:
     """Decodes conformant HEVC Main streams (incl. HM output): all-intra,
     low-delay P/B and random-access hierarchical-B toolsets."""
@@ -645,6 +704,10 @@ class GeneralDecoder:
             elif nal_type == bs.NAL_PPS:
                 self.pps = parse_pps(rbsp)
             elif nal_type <= 21:        # coded slice (TRAIL..CRA)
+                if self.pps.tiles or self.pps.entropy_sync:
+                    rbsp, self._cur_emu = _strip_ep_with_pos(nal[2:])
+                else:
+                    self._cur_emu = []
                 self._decode_picture(rbsp, nal_type, tid)
             elif nal_type in (bs.NAL_PREFIX_SEI, bs.NAL_SUFFIX_SEI):
                 self._check_hash(rbsp)
@@ -799,34 +862,89 @@ class GeneralDecoder:
                 h.tmvp and col is not None, col, h.collocated_from_l0,
                 no_backward)
 
-        st.cur_slice = cp["slice_idx"]
+        # availability "region" id: slice index in the high bits, tile
+        # index low — one equality test covers the same-slice AND
+        # same-tile requirements of spec 6.4.1 at every gating site
+        # (intra refs, merge/AMVP, CABAC ctx neighbors, SAO merges)
+        region0 = cp["slice_idx"] << 12
         st.z_floor = h.slice_address * (1 << (2 * (sps.log2_ctb - 2)))
         st.pm.slice4 = st.slice4
-        st.pm.cur_slice = cp["slice_idx"]
 
         init_type = h.slice_type
         if h.cabac_init and h.slice_type != I_SLICE:
             init_type = B_SLICE if h.slice_type == P_SLICE else P_SLICE
-        dec = cabac.CabacDecoder(
-            bs.BitReader(rbsp[h.data_offset_bits // 8:]),
-            ctx.init_states(init_type, h.qp))
+        base = h.data_offset_bits // 8
+        # signalled entry offsets are EBSP bytes; convert to RBSP
+        # positions by discounting the emulation bytes in each span
+        emu = getattr(self, "_cur_emu", [])
+        starts, acc = [base], 0
+        for off_ in h.entry_points:
+            acc += off_
+            s = base + acc
+            while True:
+                c = sum(1 for r_ in emu if base < r_ <= s)
+                s2 = base + acc - c
+                if s2 == s:
+                    break
+                s = s2
+            starts.append(s)
 
-        i = h.slice_address
-        while i < cw * ch:
+        def fresh_dec(k, states=None):
+            return cabac.CabacDecoder(
+                bs.BitReader(rbsp[starts[k]:]),
+                ctx.init_states(init_type, h.qp)
+                if states is None else states)
+
+        def decode_ctu(dec, i, region):
             cx = (i % cw) * ctb
             cy = (i // cw) * ctb
-            cp["ctb_slice"][i] = cp["slice_idx"]
+            st.cur_slice = region
+            st.pm.cur_slice = region
+            cp["ctb_slice"][i] = region
             st.slice4[cy // 4:min(cy + ctb, hgt) // 4,
-                      cx // 4:min(cx + ctb, w) // 4] = cp["slice_idx"]
+                      cx // 4:min(cx + ctb, w) // 4] = region
             if h.sao_luma or h.sao_chroma:
                 self._decode_sao(dec, sao_params, i, cx // ctb,
                                  cy // ctb, cw, h,
                                  ctb_slice=cp["ctb_slice"])
             self._decode_cqt(dec, st, cx, cy, sps.log2_ctb, 0)
-            i += 1
-            end = dec.decode_terminate()
-            if end:
-                break
+            return dec.decode_terminate()
+
+        if pps.tiles:
+            assert h.first_slice and h.slice_address == 0, \
+                "tiles with multiple slices: unsupported"
+            cols, rows = _tile_grid(pps, cw, ch)
+            k = 0
+            for tr in range(len(rows) - 1):
+                for tc in range(len(cols) - 1):
+                    dec = fresh_dec(k)
+                    for ty in range(rows[tr], rows[tr + 1]):
+                        for tx in range(cols[tc], cols[tc + 1]):
+                            decode_ctu(dec, ty * cw + tx, region0 | k)
+                    k += 1
+            i = cw * ch
+        elif pps.entropy_sync:
+            assert h.first_slice and h.slice_address == 0, \
+                "WPP with multiple slices: unsupported"
+            snap = None
+            for row in range(ch):
+                dec = fresh_dec(row, None if row == 0 or snap is None
+                                else snap.copy())
+                for col in range(cw):
+                    decode_ctu(dec, row * cw + col, region0)
+                    if col == min(1, cw - 1):
+                        # context storage after the 2nd CTU of the row
+                        # (spec 9.3.1 sync process)
+                        snap = dec.states.copy()
+            i = cw * ch
+        else:
+            dec = fresh_dec(0)
+            i = h.slice_address
+            while i < cw * ch:
+                end = decode_ctu(dec, i, region0)
+                i += 1
+                if end:
+                    break
         if i < cw * ch:
             return None                 # more slices follow
         st.pm.cur_slice = None          # whole-picture motion hereafter
@@ -1424,7 +1542,8 @@ class GeneralDecoder:
                                           sign_hiding=pps.sign_data_hiding)
         ref = build_ref_z(st.rec_y, x, y, n, sps.width, sps.height,
                           sps.log2_ctb, z_floor=st.z_floor,
-                          default=1 << (sps.bit_depth - 1))
+                          default=1 << (sps.bit_depth - 1),
+                          region4=st.slice4, cur_region=st.cur_slice)
         pred = predict_intra_general(ref, mode, log2, True,
                                      sps.strong_intra_smoothing,
                                      bit_depth=sps.bit_depth)
@@ -1461,7 +1580,9 @@ class GeneralDecoder:
             refc = build_ref_z(plane, cx, cy, cs, sps.width // 2,
                                sps.height // 2, sps.log2_ctb - 1,
                                z_floor=st.z_floor >> 2,
-                               default=1 << (sps.bit_depth - 1))
+                               default=1 << (sps.bit_depth - 1),
+                               region4=st.slice4,
+                               cur_region=st.cur_slice, region_scale=2)
             predc = intra_ops.predict_intra_np(refc, cmode, clog2,
                                                is_luma=False,
                                                bit_depth=sps.bit_depth)
@@ -1563,7 +1684,10 @@ class _PicState:
         self._tu_serial = 0
         # multi-slice: per-4x4 slice index, the active slice, and the
         # Z-scan floor of the active slice segment (spec 6.4.1)
-        self.slice4 = np.zeros((hgt // 4, w // 4), np.int32)
+        # -1 = not yet decoded: region ids start at 0, and tile 0 of
+        # slice 0 must not alias with undecoded area (tile scan order
+        # decodes the picture out of raster order)
+        self.slice4 = np.full((hgt // 4, w // 4), -1, np.int32)
         self.cur_slice = 0
         self.z_floor = 0
 

@@ -52,12 +52,18 @@ def z_index(x: int, y: int, w: int, ctb_shift: int) -> int:
 
 def build_ref_z(plane: np.ndarray, x: int, y: int, n: int,
                 w: int, h: int, ctb_shift: int,
-                z_floor: int = 0, default: int = 128) -> np.ndarray:
+                z_floor: int = 0, default: int = 128,
+                region4=None, cur_region=None,
+                region_scale: int = 1) -> np.ndarray:
     """Reference array with general Z-scan availability (spec 6.4.1).
 
     z_floor: Z-scan address of the current slice segment's first 4x4 —
     samples of earlier slices are unavailable (prediction never crosses
-    regular slice boundaries, spec 6.4.1 availableN)."""
+    regular slice boundaries, spec 6.4.1 availableN).
+    region4/cur_region: optional per-4x4 (slice, tile) region map —
+    samples in a different region are unavailable (tile boundaries).
+    region_scale converts chroma coordinates to the luma-granularity
+    map (pass 2 for 4:2:0 chroma planes)."""
     r = 4 * n + 1
     samples = np.zeros(r, np.int32)
     avail = np.zeros(r, bool)
@@ -65,6 +71,10 @@ def build_ref_z(plane: np.ndarray, x: int, y: int, n: int,
 
     def ok(sx: int, sy: int) -> bool:
         if sx < 0 or sy < 0 or sx >= w or sy >= h:
+            return False
+        if region4 is not None and \
+                region4[(sy * region_scale) // 4,
+                        (sx * region_scale) // 4] != cur_region:
             return False
         z = z_index(sx, sy, w, ctb_shift)
         return z_floor <= z < cur
