@@ -156,6 +156,47 @@ def test_b_jm_ldecod_conformance(tmp_path, entropy, b_frames):
                          and os.path.exists(FOREMAN)),
                     reason="JM reference encoder not built")
 @pytest.mark.parametrize("entropy", ["cavlc", "cabac"])
+def test_b_decode_jm_stream_small_subs(tmp_path, entropy):
+    """JM streams with 8x4/4x8/4x4 B sub-partitions enabled decode
+    bit-exactly (full sub_mb_type Table 7-18 on the decode side)."""
+    cabac = entropy == "cabac"
+    r = subprocess.run(
+        [JM_ENCODER, "-d",
+         "/root/repo/.refbuild/jm18.5/bin/encoder_baseline.cfg",
+         "-p", f"InputFile={FOREMAN}",
+         "-p", "SourceWidth=176", "-p", "SourceHeight=144",
+         "-p", "FramesToBeEncoded=3", "-p", "IntraPeriod=0",
+         "-p", "IDRPeriod=0", "-p", "ProfileIDC=77",
+         "-p", f"SymbolMode={1 if cabac else 0}",
+         "-p", "QPISlice=30", "-p", "QPPSlice=30", "-p", "QPBSlice=34",
+         "-p", "OutFileMode=0",
+         "-p", "OutputFile=jm.264", "-p", "ReconFile=jm_rec.yuv",
+         "-p", "Transform8x8Mode=0", "-p", "PicOrderCntType=0",
+         "-p", "Log2MaxFNumMinus4=4", "-p", "RDOptimization=0",
+         "-p", "PSliceSearch16x16=1", "-p", "SearchRange=16",
+         "-p", "NumberBFrames=1", "-p", "BSliceSearch16x16=1",
+         "-p", "BSliceSearch16x8=1", "-p", "BSliceSearch8x16=1",
+         "-p", "BSliceSearch8x8=1", "-p", "BSliceSearch8x4=1",
+         "-p", "BSliceSearch4x8=1", "-p", "BSliceSearch4x4=1",
+         "-p", "BiPredSearch16x16=1", "-p", "DirectModeType=1",
+         "-p", "DirectInferenceFlag=1", "-p", "HierarchicalCoding=0",
+         "-p", "BReferencePictures=0", "-p", "WeightedBiprediction=0",
+         "-p", "WeightedPrediction=0",
+         "-p", "NumberReferenceFrames=2"],
+        capture_output=True, text=True, timeout=300, cwd=tmp_path)
+    assert (tmp_path / "jm.264").exists(), r.stdout + r.stderr
+    out = H264BDecoder().decode((tmp_path / "jm.264").read_bytes())
+    assert len(out) == 3
+    ry, ru, rv = yuv.read_frames(str(tmp_path / "jm_rec.yuv"), 176, 144)
+    for i in range(3):
+        for ours, ref in zip(out[i], (ry[i], ru[i], rv[i])):
+            np.testing.assert_array_equal(ours.astype(np.uint8), ref)
+
+
+@pytest.mark.skipif(not (os.path.exists(JM_ENCODER)
+                         and os.path.exists(FOREMAN)),
+                    reason="JM reference encoder not built")
+@pytest.mark.parametrize("entropy", ["cavlc", "cabac"])
 def test_b_decode_jm_encoded_stream(tmp_path, entropy):
     """Our decoder reproduces a JM-ENCODED I-B-P stream bit-exactly
     (16x16 + 16x8/8x16/B_8x8 partitions, spatial direct, 2 L0 refs in

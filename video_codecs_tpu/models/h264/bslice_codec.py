@@ -50,9 +50,25 @@ _B_RECT = {}          # mb_type -> (partition geometry, (mode0, mode1))
 for _i, _pair in enumerate(_B_PAIRS):
     _B_RECT[4 + 2 * _i] = (((0, 0, 16, 8), (0, 8, 16, 8)), _pair)
     _B_RECT[5 + 2 * _i] = (((0, 0, 8, 16), (8, 0, 8, 16)), _pair)
-# B sub_mb_type (Table 7-18, 8x8-only rows): 0 = B_Direct_8x8,
-# 1 = B_L0_8x8, 2 = B_L1_8x8, 3 = B_Bi_8x8 (smaller subs unsupported)
-_B_SUB_MODE = {1: 0, 2: 1, 3: 2}
+# B sub_mb_type (spec Table 7-18): mode (0 = L0, 1 = L1, 2 = Bi,
+# None = B_Direct_8x8) and sub-partition geometry within the 8x8.
+# The encoder emits only 0..3; the decoder handles the full table
+# (8x4 / 4x8 / 4x4 sub-partitions appear in JM streams).
+_B_SUB_GEO = {
+    0: (None, ((0, 0, 8, 8),)),
+    1: (0, ((0, 0, 8, 8),)),
+    2: (1, ((0, 0, 8, 8),)),
+    3: (2, ((0, 0, 8, 8),)),
+    4: (0, ((0, 0, 8, 4), (0, 4, 8, 4))),
+    5: (0, ((0, 0, 4, 8), (4, 0, 4, 8))),
+    6: (1, ((0, 0, 8, 4), (0, 4, 8, 4))),
+    7: (1, ((0, 0, 4, 8), (4, 0, 4, 8))),
+    8: (2, ((0, 0, 8, 4), (0, 4, 8, 4))),
+    9: (2, ((0, 0, 4, 8), (4, 0, 4, 8))),
+    10: (0, ((0, 0, 4, 4), (4, 0, 4, 4), (0, 4, 4, 4), (4, 4, 4, 4))),
+    11: (1, ((0, 0, 4, 4), (4, 0, 4, 4), (0, 4, 4, 4), (4, 4, 4, 4))),
+    12: (2, ((0, 0, 4, 4), (4, 0, 4, 4), (0, 4, 4, 4), (4, 4, 4, 4))),
+}
 
 
 def _min_positive(a: int, b: int) -> int:
@@ -1203,28 +1219,39 @@ class H264BDecoder(H264Decoder):
                     if mb_type <= 3:
                         geo = ((0, 0, 16, 16),)
                         modes, base = (mb_type - 1,), ""
+                        grp = [0]
                     elif mb_type <= 21:
                         geo, modes = _B_RECT[mb_type]
                         base = "16x8" if mb_type % 2 == 0 else "8x16"
+                        grp = [0, 1]
                     else:
                         subs_ = [r.ue() for _ in range(4)]
-                        assert max(subs_) <= 3, \
-                            f"unsupported B sub_mb_type {subs_}"
-                        geo = ((0, 0, 8, 8), (8, 0, 8, 8),
-                               (0, 8, 8, 8), (8, 8, 8, 8))
-                        modes = [None if s == 0 else s - 1 for s in subs_]
-                        base = ""
+                        assert max(subs_) <= 12, \
+                            f"invalid B sub_mb_type {subs_}"
+                        geo, modes, grp, base = [], [], [], ""
+                        for b8, s_ in enumerate(subs_):
+                            mode, sgeo = _B_SUB_GEO[s_]
+                            for sx, sy, pw_, ph_ in sgeo:
+                                geo.append(((b8 & 1) * 8 + sx,
+                                            (b8 >> 1) * 8 + sy, pw_, ph_))
+                                modes.append(mode)
+                                grp.append(b8)
                     uses = [() if m is None else
                             ((0,) if m == 0 else
                              (1,) if m == 1 else (0, 1)) for m in modes]
                     nparts = len(geo)
-                    refs = [[0, 0] for _ in range(nparts)]
+                    # ref_idx is coded once per partition group (per MB
+                    # partition, or per 8x8 sub-macroblock for B_8x8)
+                    ngrp = max(grp) + 1
+                    refs_g = [[0, 0] for _ in range(ngrp)]
                     for lst in (0, 1):
                         na = n0 if lst == 0 else n1
                         if na > 1:
-                            for pi in range(nparts):
-                                if lst in uses[pi]:
-                                    refs[pi][lst] = _te_read(r, na - 1)
+                            for g in range(ngrp):
+                                if any(grp[pi] == g and lst in uses[pi]
+                                       for pi in range(nparts)):
+                                    refs_g[g][lst] = _te_read(r, na - 1)
+                    refs = [refs_g[grp[pi]] for pi in range(nparts)]
                     mvd_p = [[None, None] for _ in range(nparts)]
                     for lst in (0, 1):
                         for pi in range(nparts):
@@ -1356,36 +1383,49 @@ class H264BDecoder(H264Decoder):
                     if act <= 3:
                         geo = ((0, 0, 16, 16),)
                         modes, base = (act - 1,), ""
+                        grp = [0]
+                        grp_r4 = [(gx, gy, 4, 4)]
                     elif act <= 21:
                         geo, modes = _B_RECT[act]
                         base = "16x8" if act % 2 == 0 else "8x16"
+                        grp = [0, 1]
+                        grp_r4 = [(gx + ox // 4, gy + oy // 4,
+                                   pw_ // 4, ph_ // 4)
+                                  for ox, oy, pw_, ph_ in geo]
                     else:
                         subs = [cd.sub_mb_type_b() for _ in range(4)]
-                        assert max(subs) <= 3, \
-                            f"unsupported B sub_mb_type {subs}"
-                        geo = ((0, 0, 8, 8), (8, 0, 8, 8),
-                               (0, 8, 8, 8), (8, 8, 8, 8))
-                        modes = [None if s == 0 else s - 1 for s in subs]
-                        base = ""
-                        for pi, m in enumerate(modes):
-                            if m is None:
-                                px4 = gx + geo[pi][0] // 4
-                                py4 = gy + geo[pi][1] // 4
-                                dir4[py4:py4 + 2, px4:px4 + 2] = True
+                        assert max(subs) <= 12, \
+                            f"invalid B sub_mb_type {subs}"
+                        geo, modes, grp, base = [], [], [], ""
+                        grp_r4 = []
+                        for b8, s_ in enumerate(subs):
+                            mode, sgeo = _B_SUB_GEO[s_]
+                            ox8, oy8 = (b8 & 1) * 8, (b8 >> 1) * 8
+                            grp_r4.append((gx + ox8 // 4, gy + oy8 // 4,
+                                           2, 2))
+                            if mode is None:
+                                dir4[gy + oy8 // 4:gy + oy8 // 4 + 2,
+                                     gx + ox8 // 4:gx + ox8 // 4 + 2] \
+                                    = True
+                            for sx, sy, pw_, ph_ in sgeo:
+                                geo.append((ox8 + sx, oy8 + sy, pw_, ph_))
+                                modes.append(mode)
+                                grp.append(b8)
                     uses = [() if m is None else
                             ((0,) if m == 0 else
                              (1,) if m == 1 else (0, 1)) for m in modes]
                     nparts = len(geo)
-                    refs = [[0, 0] for _ in range(nparts)]
+                    ngrp = max(grp) + 1
+                    refs_g = [[0, 0] for _ in range(ngrp)]
                     for lst in (0, 1):
                         na = n0 if lst == 0 else n1
                         if na <= 1:
                             continue
-                        for pi in range(nparts):
-                            if lst not in uses[pi]:
+                        for g in range(ngrp):
+                            if not any(grp[pi] == g and lst in uses[pi]
+                                       for pi in range(nparts)):
                                 continue
-                            ox, oy, pw_, ph_ = geo[pi]
-                            px4, py4 = gx + ox // 4, gy + oy // 4
+                            px4, py4, pw4, ph4 = grp_r4[g]
                             rg = refg0 if lst == 0 else refg1
                             # readRefFrame_CABAC: neighbor term is 0 when
                             # the neighboring partition is direct/skip
@@ -1394,11 +1434,11 @@ class H264BDecoder(H264Decoder):
                             rb = 1 if (py4 > 0 and not dir4[py4 - 1, px4]
                                        and rg[py4 - 1, px4] > 0) else 0
                             ref_i = cd.ref_idx(ra + 2 * rb)
-                            refs[pi][lst] = ref_i
+                            refs_g[g][lst] = ref_i
                             # parsed refIdx made visible to later
                             # partitions' ref contexts (9.3.3.1.1.6)
-                            rg[py4:py4 + ph_ // 4,
-                               px4:px4 + pw_ // 4] = ref_i
+                            rg[py4:py4 + ph4, px4:px4 + pw4] = ref_i
+                    refs = [refs_g[grp[pi]] for pi in range(nparts)]
                     mvd_p = [[None, None] for _ in range(nparts)]
                     for lst in (0, 1):
                         for pi in range(nparts):
