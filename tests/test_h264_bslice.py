@@ -155,6 +155,54 @@ def test_b_jm_ldecod_conformance(tmp_path, entropy, b_frames):
 @pytest.mark.skipif(not (os.path.exists(JM_ENCODER)
                          and os.path.exists(FOREMAN)),
                     reason="JM reference encoder not built")
+@pytest.mark.parametrize("idc", [1, 2])
+def test_b_decode_jm_weighted_bipred(tmp_path, idc):
+    """JM B streams with explicit (idc=1) and implicit (idc=2) weighted
+    bi-prediction decode bit-exactly.  NumberBFrames=2 over 7 frames
+    puts B pictures at unequal POC distances, so the implicit weights
+    genuinely differ from the default 32/32 average (spec 8.4.2.3.1)."""
+    ys, us, vs = yuv.read_frames(FOREMAN, 176, 144)
+    cyc = [i % 3 for i in range(7)]
+    src = tmp_path / "src.yuv"
+    yuv.write_frames(str(src), ys[cyc], us[cyc], vs[cyc])
+    r = subprocess.run(
+        [JM_ENCODER, "-d",
+         "/root/repo/.refbuild/jm18.5/bin/encoder_baseline.cfg",
+         "-p", f"InputFile={src}",
+         "-p", "SourceWidth=176", "-p", "SourceHeight=144",
+         "-p", "FramesToBeEncoded=7", "-p", "IntraPeriod=0",
+         "-p", "IDRPeriod=0", "-p", "ProfileIDC=77",
+         "-p", "SymbolMode=0",
+         "-p", "QPISlice=30", "-p", "QPPSlice=30", "-p", "QPBSlice=32",
+         "-p", "OutFileMode=0",
+         "-p", "OutputFile=jm.264", "-p", "ReconFile=jm_rec.yuv",
+         "-p", "Transform8x8Mode=0", "-p", "PicOrderCntType=0",
+         "-p", "Log2MaxFNumMinus4=4", "-p", "RDOptimization=0",
+         "-p", "PSliceSearch16x16=1", "-p", "SearchRange=16",
+         "-p", "NumberBFrames=2", "-p", "BSliceSearch16x16=1",
+         "-p", "BSliceSearch16x8=1", "-p", "BSliceSearch8x16=1",
+         "-p", "BSliceSearch8x8=1",
+         "-p", "BiPredSearch16x16=1", "-p", "DirectModeType=1",
+         "-p", "DirectInferenceFlag=1", "-p", "HierarchicalCoding=0",
+         "-p", "BReferencePictures=0",
+         "-p", f"WeightedBiprediction={idc}",
+         "-p", "WeightedPrediction=0",
+         "-p", "NumberReferenceFrames=2"],
+        capture_output=True, text=True, timeout=300, cwd=tmp_path)
+    assert (tmp_path / "jm.264").exists(), r.stdout + r.stderr
+    dec = H264BDecoder()
+    out = dec.decode((tmp_path / "jm.264").read_bytes())
+    assert dec.wbp_idc == idc
+    assert len(out) == 7
+    ry, ru, rv = yuv.read_frames(str(tmp_path / "jm_rec.yuv"), 176, 144)
+    for i in range(7):
+        for ours, ref in zip(out[i], (ry[i], ru[i], rv[i])):
+            np.testing.assert_array_equal(ours.astype(np.uint8), ref)
+
+
+@pytest.mark.skipif(not (os.path.exists(JM_ENCODER)
+                         and os.path.exists(FOREMAN)),
+                    reason="JM reference encoder not built")
 @pytest.mark.parametrize("entropy", ["cavlc", "cabac"])
 def test_b_decode_jm_stream_small_subs(tmp_path, entropy):
     """JM streams with 8x4/4x8/4x4 B sub-partitions enabled decode

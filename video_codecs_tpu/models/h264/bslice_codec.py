@@ -900,6 +900,7 @@ class H264BDecoder(H264Decoder):
                 self.dbf_present, self.cabac, ppsinfo = \
                     parse_pps(rbsp, full=True)
                 self.default_l0 = ppsinfo["num_ref_idx_l0_default_active"]
+                self.wbp_idc = ppsinfo["weighted_bipred_idc"]
             elif nal_type in (NAL_SLICE_IDR, 1):
                 r0 = BitReader(rbsp)
                 assert r0.ue() == 0
@@ -955,6 +956,29 @@ class H264BDecoder(H264Decoder):
             n1 = r.ue() + 1
         assert r.flag() == 0            # ref_pic_list_modification_l0
         assert r.flag() == 0            # ref_pic_list_modification_l1
+        wbp_idc = getattr(self, "wbp_idc", 0)
+        wtab = None
+        if wbp_idc == 1:                # explicit B weighted prediction
+            logd = r.ue()               # luma_log2_weight_denom
+            logdc = r.ue()              # chroma_log2_weight_denom
+
+            def _wlist(n):
+                out = []
+                for _ in range(n):
+                    ws = [1 << logd, 1 << logdc, 1 << logdc]
+                    os_ = [0, 0, 0]
+                    if r.flag():
+                        ws[0] = r.se()
+                        os_[0] = r.se()
+                    if r.flag():
+                        for j in (1, 2):
+                            ws[j] = r.se()
+                            os_[j] = r.se()
+                    out.append((tuple(ws), tuple(os_)))
+                return out
+
+            wtab = dict(logd=logd, logdc=logdc,
+                        l=[_wlist(n0), _wlist(n1)])
         if ref_idc:
             assert r.flag() == 0, "MMCO unsupported"  # sliding window
         cabac = getattr(self, "cabac", False)
@@ -977,6 +1001,57 @@ class H264BDecoder(H264Decoder):
         l1 = future + past
         assert n0 <= len(l0) and n1 <= len(l1), "ref list underrun"
         col = l1[0]                    # colocated picture for direct
+
+        from video_codecs_tpu.models.h264.inter_codec import wp_apply
+
+        def _implicit_w(ref0, ref1):
+            """Implicit bipred weights from POC distances (spec
+            8.4.2.3.1; jm18.5 weighted_prediction.c
+            compute_implicit_weights)."""
+            poc0, poc1 = l0[ref0]["poc"], l1[ref1]["poc"]
+            if poc0 == poc1:
+                return 32, 32
+            tb = max(-128, min(127, poc - poc0))
+            td = max(-128, min(127, poc1 - poc0))
+            tx = (16384 + abs(td) // 2) // td if td > 0 else \
+                -((16384 + abs(td) // 2) // -td)
+            dsf = max(-1024, min(1023, (tb * tx + 32) >> 6))
+            w1 = dsf >> 2
+            if w1 < -64 or w1 > 128:
+                return 32, 32
+            return 64 - w1, w1
+
+        def wp_uni(planes, lst, ref_i):
+            """Explicit WP on a uni-predicted (y, u, v) triple."""
+            if wtab is None:
+                return planes
+            ws, os_ = wtab["l"][lst][ref_i]
+            return (wp_apply(planes[0], ws[0], os_[0], wtab["logd"]),
+                    wp_apply(planes[1], ws[1], os_[1], wtab["logdc"]),
+                    wp_apply(planes[2], ws[2], os_[2], wtab["logdc"]))
+
+        def wp_bi(p0, p1, ref0, ref1):
+            """Bi-prediction combine: default average, explicit
+            (8.4.2.3.2) or implicit (8.4.2.3.1) weighting."""
+            if wtab is not None:
+                w0s, o0s = wtab["l"][0][ref0]
+                w1s, o1s = wtab["l"][1][ref1]
+                out = []
+                for c in range(3):
+                    ld = wtab["logd"] if c == 0 else wtab["logdc"]
+                    a = p0[c].astype(np.int64)
+                    b = p1[c].astype(np.int64)
+                    v = ((a * w0s[c] + b * w1s[c] + (1 << ld))
+                         >> (ld + 1)) + ((o0s[c] + o1s[c] + 1) >> 1)
+                    out.append(np.clip(v, 0, 255).astype(np.int32))
+                return tuple(out)
+            if wbp_idc == 2:
+                w0, w1 = _implicit_w(ref0, ref1)
+                return tuple(np.clip(
+                    (p0[c].astype(np.int64) * w0
+                     + p1[c].astype(np.int64) * w1 + 32) >> 6,
+                    0, 255).astype(np.int32) for c in range(3))
+            return tuple((p0[c] + p1[c] + 1) >> 1 for c in range(3))
 
         rec_y = np.zeros((mbh * 16, mbw * 16), np.int32)
         rec_u = np.zeros((mbh * 8, mbw * 8), np.int32)
@@ -1051,11 +1126,13 @@ class H264BDecoder(H264Decoder):
                             int(d_mv1[qy, qx, 0]), int(d_mv1[qy, qx, 1]),
                             8, 8)
                         if bl is not None:
-                            bl = (bl + cl + 1) >> 1
-                            bu = (bu + cu + 1) >> 1
-                            bv = (bv + cv + 1) >> 1
+                            bl, bu, bv = wp_bi((bl, bu, bv),
+                                               (cl, cu, cv),
+                                               d_ref0, d_ref1)
                         else:
-                            bl, bu, bv = cl, cu, cv
+                            bl, bu, bv = wp_uni((cl, cu, cv), 1, d_ref1)
+                    elif bl is not None:
+                        bl, bu, bv = wp_uni((bl, bu, bv), 0, d_ref0)
                     pl[8 * qy:8 * qy + 8, 8 * qx:8 * qx + 8] = bl
                     pu[4 * qy:4 * qy + 4, 4 * qx:4 * qx + 4] = bu
                     pv[4 * qy:4 * qy + 4, 4 * qx:4 * qx + 4] = bv
@@ -1168,11 +1245,11 @@ class H264BDecoder(H264Decoder):
                                          mvx, mvy, pw_, ph_))
                 dec4[py4:py4 + ph_ // 4, px4:px4 + pw_ // 4] = True
                 if len(preds) == 2:
-                    pred[sl_y] = (preds[0][0] + preds[1][0] + 1) >> 1
-                    pu[sl_c] = (preds[0][1] + preds[1][1] + 1) >> 1
-                    pv[sl_c] = (preds[0][2] + preds[1][2] + 1) >> 1
+                    pred[sl_y], pu[sl_c], pv[sl_c] = wp_bi(
+                        preds[0], preds[1], refs[pi][0], refs[pi][1])
                 else:
-                    pred[sl_y], pu[sl_c], pv[sl_c] = preds[0]
+                    pred[sl_y], pu[sl_c], pv[sl_c] = wp_uni(
+                        preds[0], lists[0], refs[pi][lists[0]])
             return pred, pu, pv
 
         if cabac:

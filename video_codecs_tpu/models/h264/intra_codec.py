@@ -158,7 +158,7 @@ def parse_pps(rbsp: bytes, full: bool = False):
     l0_default = r.ue() + 1
     r.ue()
     weighted_pred = bool(r.flag())
-    r.read(2)        # weighted_bipred_idc
+    weighted_bipred_idc = r.read(2)
     init_qp = 26 + r.se()
     r.se()
     assert r.se() == 0, "chroma qp offset unsupported"
@@ -175,6 +175,8 @@ def parse_pps(rbsp: bytes, full: bool = False):
         return dbf_present, cabac, {"num_ref_idx_l0_default_active":
                                     l0_default,
                                     "weighted_pred": weighted_pred,
+                                    "weighted_bipred_idc":
+                                    weighted_bipred_idc,
                                     "transform_8x8_mode": trans8}
     return dbf_present, cabac
 
