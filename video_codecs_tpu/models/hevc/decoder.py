@@ -918,6 +918,7 @@ class GeneralDecoder:
             for tr in range(len(rows) - 1):
                 for tc in range(len(cols) - 1):
                     dec = fresh_dec(k)
+                    st.qp = st.qp_prev = h.qp   # QG chain restarts
                     for ty in range(rows[tr], rows[tr + 1]):
                         for tx in range(cols[tc], cols[tc + 1]):
                             decode_ctu(dec, ty * cw + tx, region0 | k)
@@ -930,6 +931,7 @@ class GeneralDecoder:
             for row in range(ch):
                 dec = fresh_dec(row, None if row == 0 or snap is None
                                 else snap.copy())
+                st.qp = st.qp_prev = h.qp   # QG chain restarts per row
                 for col in range(cw):
                     decode_ctu(dec, row * cw + col, region0)
                     if col == min(1, cw - 1):
@@ -956,7 +958,8 @@ class GeneralDecoder:
             bs_ver, bs_hor = _bs_maps_general(st)
             rec_y, rec_u, rec_v = deblock_ops.deblock_420_bs_np(
                 rec_y, rec_u, rec_v, h.qp, bs_ver, bs_hor, block=8,
-                bit_depth=self.sps.bit_depth, seg4=True)
+                bit_depth=self.sps.bit_depth,
+                qp_map=st.qp4 if pps.cu_qp_delta else None, seg4=True)
         if h.sao_luma or h.sao_chroma:
             outs = [rec_y.copy(), rec_u.copy(), rec_v.copy()]
             for i in range(cw * ch):
@@ -1041,9 +1044,59 @@ class GeneralDecoder:
 
     # ---- coding quadtree ----
 
+    def _qg_reset(self, st, x, y):
+        """New quantization group (spec 7.3.8.4 / 8.6.1): reset the
+        delta-coded flag and derive qPY_PRED from the left/above CUs
+        (same CTB + same region) with the previous-QG fallback."""
+        sps = self.sps
+        ctb = 1 << sps.log2_ctb
+        st.qp_prev, prev = st.qp, st.qp
+
+        def nb(nx, ny):
+            if nx < 0 or ny < 0:
+                return None
+            if nx // ctb != x // ctb or ny // ctb != y // ctb:
+                return None             # other CTB: unavailable
+            if st.slice4[ny // 4, nx // 4] != st.cur_slice:
+                return None
+            return int(st.qp4[ny // 4, nx // 4])
+
+        qa = nb(x - 1, y)
+        qb = nb(x, y - 1)
+        st.qp = ((prev if qa is None else qa)
+                 + (prev if qb is None else qb) + 1) >> 1
+        st.qg_coded = False
+
+    def _maybe_qp_delta(self, dec, st, any_cbf):
+        """cu_qp_delta_abs/sign at the first coded TU of the QG
+        (7.3.8.10; HM TDecSbac parseDeltaQP: TU-5 + EG0 + sign)."""
+        if st.qg_coded or not any_cbf:
+            return
+        st.qg_coded = True
+        a = 0
+        if dec.decode_bin(ctx.off("dqp", 0)):
+            a = 1
+            while a < 5 and dec.decode_bin(ctx.off("dqp", 1)):
+                a += 1
+        if a == 5:
+            k = 0
+            while dec.decode_bypass():
+                k += 1
+            suf = 0
+            for _ in range(k):
+                suf = (suf << 1) | dec.decode_bypass()
+            a += (1 << k) - 1 + suf
+        if a and dec.decode_bypass():
+            a = -a
+        bdo = 6 * (self.sps.bit_depth - 8)
+        st.qp = ((st.qp + a + 52 + 2 * bdo) % (52 + bdo)) - bdo
+
     def _decode_cqt(self, dec, st, x, y, log2, depth):
         sps = self.sps
         size = 1 << log2
+        if self.pps.cu_qp_delta and \
+                log2 >= sps.log2_ctb - self.pps.diff_cu_qp_delta_depth:
+            self._qg_reset(st, x, y)
         if x + size <= sps.width and y + size <= sps.height:
             split = False
             if log2 > sps.log2_min_cb:
@@ -1065,21 +1118,28 @@ class GeneralDecoder:
         """coding_unit (spec 7.3.8.5): skip / pred-mode dispatch."""
         h = st.h
         size = 1 << log2
-        if h.slice_type != I_SLICE:
-            c = st.skip_ctx_nb(x, y)
-            if dec.decode_bin(ctx.off("skip_flag", c)):
+        try:
+            if h.slice_type != I_SLICE:
+                c = st.skip_ctx_nb(x, y)
+                if dec.decode_bin(ctx.off("skip_flag", c)):
+                    st.set_cu(x, y, size, depth)
+                    self._decode_skip_cu(dec, st, x, y, log2)
+                    return
+                is_intra = bool(dec.decode_bin(ctx.off("pred_mode")))
+            else:
+                is_intra = True
+            if is_intra:
+                st.pm.set_intra(x, y, size)
+                self._decode_intra_cu(dec, st, x, y, log2, depth)
+            else:
                 st.set_cu(x, y, size, depth)
-                self._decode_skip_cu(dec, st, x, y, log2)
-                return
-            is_intra = bool(dec.decode_bin(ctx.off("pred_mode")))
-        else:
-            is_intra = True
-        if is_intra:
-            st.pm.set_intra(x, y, size)
-            self._decode_intra_cu(dec, st, x, y, log2, depth)
-        else:
-            st.set_cu(x, y, size, depth)
-            self._decode_inter_cu(dec, st, x, y, log2, depth)
+                self._decode_inter_cu(dec, st, x, y, log2, depth)
+        finally:
+            if self.pps.cu_qp_delta:
+                # final QpY of the CU (prediction + any coded delta)
+                # feeds deblock edge QPs and later QG predictions
+                st.qp4[y // 4:(y + size) // 4,
+                       x // 4:(x + size) // 4] = st.qp
 
     # ---- inter CUs ----
 
@@ -1334,6 +1394,10 @@ class GeneralDecoder:
                          cbf_cr):
         pps = self.pps
         n = 1 << log2
+        if pps.cu_qp_delta:
+            tu_chroma = log2 > 2 or ((x & 7) and (y & 7))
+            self._maybe_qp_delta(dec, st, cbf_y or (
+                tu_chroma and (cbf_cb or cbf_cr)))
         if cbf_y:
             ts = False
             if pps.transform_skip and log2 == 2:
@@ -1534,6 +1598,10 @@ class GeneralDecoder:
         mode = cu.mode_at(x, y)
         lv = None
         ts = False
+        if pps.cu_qp_delta:
+            tu_chroma = log2 > 2 or ((x & 7) and (y & 7))
+            self._maybe_qp_delta(dec, st, cbf_y or (
+                tu_chroma and (cbf_cb or cbf_cr)))
         if cbf_y:
             if pps.transform_skip and log2 == 2:
                 ts = bool(dec.decode_bin(ctx.off("transform_skip", 0)))
@@ -1667,6 +1735,11 @@ class _PicState:
         self.sps = sps
         self.h = h
         self.qp = h.qp
+        # cu_qp_delta state: per-4x4 final luma QP (deblock edge QPs +
+        # spatial QP prediction), previous-QG QP, per-QG coded flag
+        self.qp4 = np.full((hgt // 4, w // 4), h.qp, np.int32)
+        self.qp_prev = h.qp
+        self.qg_coded = True      # no delta expected unless enabled
         self.rec_y = np.zeros((hgt, w), np.int32)
         self.rec_u = np.zeros((hgt // 2, w // 2), np.int32)
         self.rec_v = np.zeros((hgt // 2, w // 2), np.int32)

@@ -246,7 +246,7 @@ def deblock_420_bs(rec_y, rec_u, rec_v, qp,
     segs = block // 4
 
     if seg4:
-        assert block == 8 and qp_map is None
+        assert block == 8
         bs_v = jnp.asarray(bs_ver)                         # [E, H//4]
         bs_h = jnp.asarray(bs_hor)
     else:
@@ -254,7 +254,16 @@ def deblock_420_bs(rec_y, rec_u, rec_v, qp,
         bs_h = jnp.repeat(jnp.asarray(bs_hor), segs, axis=1)
     qp_v = qp_h = qp
     cqp_v = cqp_h = qp
-    if qp_map is not None:
+    if qp_map is not None and seg4:
+        # per-4x4 luma QP map (cu_qp_delta pictures, general decoder):
+        # edge QP = (QP_P + QP_Q + 1) >> 1 per 4-sample segment
+        # (spec 8.7.2.5.3)
+        q4 = jnp.asarray(qp_map, jnp.int32)                # [H//4, W//4]
+        qp_v = ((q4[:, ey // 4 - 1] + q4[:, ey // 4] + 1) >> 1).T
+        qp_h = (q4[ex // 4 - 1, :] + q4[ex // 4, :] + 1) >> 1
+        cqp_v = jnp.repeat(qp_v[1::2], 2, axis=1)
+        cqp_h = jnp.repeat(qp_h[1::2], 2, axis=1)
+    elif qp_map is not None:
         qm = jnp.asarray(qp_map, jnp.int32)
         qe_v = (qm[:, :-1] + qm[:, 1:] + 1) >> 1           # [bh, E]
         qe_h = (qm[:-1, :] + qm[1:, :] + 1) >> 1           # [E, bw]
