@@ -953,13 +953,12 @@ class GeneralDecoder:
         h = cp["h0"]
         rec_y, rec_u, rec_v = st.rec_y, st.rec_u, st.rec_v
         if not h.deblocking_disabled:
-            assert h.beta_offset_div2 == 0 and h.tc_offset_div2 == 0, \
-                "deblocking offsets not supported"
             bs_ver, bs_hor = _bs_maps_general(st)
             rec_y, rec_u, rec_v = deblock_ops.deblock_420_bs_np(
                 rec_y, rec_u, rec_v, h.qp, bs_ver, bs_hor, block=8,
                 bit_depth=self.sps.bit_depth,
-                qp_map=st.qp4 if pps.cu_qp_delta else None, seg4=True)
+                qp_map=st.qp4 if pps.cu_qp_delta else None, seg4=True,
+                beta_off=h.beta_offset_div2, tc_off=h.tc_offset_div2)
         if h.sao_luma or h.sao_chroma:
             outs = [rec_y.copy(), rec_u.copy(), rec_v.copy()]
             for i in range(cw * ch):

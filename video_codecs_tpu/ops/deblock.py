@@ -51,7 +51,9 @@ def _chroma_params(qp: int, bit_depth: int = 8) -> int:
 
 def _filter_ver_edges_luma(plane: jnp.ndarray, edges: np.ndarray, qp,
                            bit_depth: int = 8,
-                           bs: jnp.ndarray | None = None) -> jnp.ndarray:
+                           bs: jnp.ndarray | None = None,
+                           beta_off: int = 0,
+                           tc_off: int = 0) -> jnp.ndarray:
     """Filter vertical luma edges at columns `edges`.
 
     bs: optional [E, H//4] boundary strength per 4-line segment (0/1/2);
@@ -62,17 +64,22 @@ def _filter_ver_edges_luma(plane: jnp.ndarray, edges: np.ndarray, qp,
         return plane
     scale = 1 << (bit_depth - 8)
     scalar_qp = isinstance(qp, (int, np.integer))
+    # slice beta/tc offsets shift the table indices by 2*offset_div2
+    # before clipping (spec 8.7.2.5.3)
+    bo, to = 2 * beta_off, 2 * tc_off
     if scalar_qp:
-        tc2, beta = _luma_params(qp, bit_depth)
-        tc1 = int(TC_TABLE[min(max(qp, 0), 53)]) * scale
+        tc2 = int(TC_TABLE[min(max(qp + INTRA_TC_OFFSET + to, 0),
+                               53)]) * scale
+        tc1 = int(TC_TABLE[min(max(qp + to, 0), 53)]) * scale
+        beta = int(BETA_TABLE[min(max(qp + bo, 0), 51)]) * scale
         if beta == 0 and tc2 == 0:
             return plane
     else:
-        qpa = jnp.clip(jnp.asarray(qp, jnp.int32), 0, 51)     # [E, S]
-        tc2 = dev_const(TC_TABLE)[jnp.clip(qpa + INTRA_TC_OFFSET,
+        qpa = jnp.asarray(qp, jnp.int32)                      # [E, S]
+        tc2 = dev_const(TC_TABLE)[jnp.clip(qpa + INTRA_TC_OFFSET + to,
                                              0, 53)] * scale
-        tc1 = dev_const(TC_TABLE)[jnp.clip(qpa, 0, 53)] * scale
-        beta = dev_const(BETA_TABLE)[qpa] * scale
+        tc1 = dev_const(TC_TABLE)[jnp.clip(qpa + to, 0, 53)] * scale
+        beta = dev_const(BETA_TABLE)[jnp.clip(qpa + bo, 0, 51)] * scale
     h = plane.shape[0]
     maxval = (1 << bit_depth) - 1
     idx = edges[:, None] + np.arange(-4, 4)[None, :]          # [E, 8]
@@ -153,7 +160,8 @@ def _filter_ver_edges_luma(plane: jnp.ndarray, edges: np.ndarray, qp,
 
 def _filter_ver_edges_chroma(plane: jnp.ndarray, edges: np.ndarray, qp,
                              bit_depth: int = 8,
-                             mask: jnp.ndarray | None = None) -> jnp.ndarray:
+                             mask: jnp.ndarray | None = None,
+                             tc_off: int = 0) -> jnp.ndarray:
     """Chroma vertical edges, filtered where BS==2 (spec 8.7.2.5.5).
 
     mask: optional [E, H_c] bool (BS==2 per line); None = everywhere.
@@ -161,15 +169,18 @@ def _filter_ver_edges_chroma(plane: jnp.ndarray, edges: np.ndarray, qp,
     if edges.size == 0:
         return plane
     if isinstance(qp, (int, np.integer)):
-        tc = _chroma_params(qp, bit_depth)
+        scale = 1 << (bit_depth - 8)
+        qpc = int(rom.CHROMA_QP_TABLE_420[min(max(qp, 0), 57)])
+        tc = int(TC_TABLE[min(max(qpc + INTRA_TC_OFFSET + 2 * tc_off,
+                                  0), 53)]) * scale
         if tc == 0:
             return plane
     else:
         scale = 1 << (bit_depth - 8)
         qpc = dev_const(rom.CHROMA_QP_TABLE_420)[
             jnp.clip(jnp.asarray(qp, jnp.int32), 0, 57)]
-        tc_arr = dev_const(TC_TABLE)[jnp.clip(qpc + INTRA_TC_OFFSET,
-                                                0, 53)] * scale
+        tc_arr = dev_const(TC_TABLE)[
+            jnp.clip(qpc + INTRA_TC_OFFSET + 2 * tc_off, 0, 53)] * scale
         tc = jnp.swapaxes(tc_arr, 0, 1)  # [H_c, E]
     maxval = (1 << bit_depth) - 1
     idx = edges[:, None] + np.arange(-2, 2)[None, :]
@@ -229,7 +240,8 @@ def deblock_420_np(rec_y: np.ndarray, rec_u: np.ndarray, rec_v: np.ndarray,
 def deblock_420_bs(rec_y, rec_u, rec_v, qp,
                    bs_ver: np.ndarray, bs_hor: np.ndarray,
                    block: int = 16, bit_depth: int = 8,
-                   qp_map=None, seg4: bool = False):
+                   qp_map=None, seg4: bool = False,
+                   beta_off: int = 0, tc_off: int = 0):
     """Deblock with per-block-pair boundary strengths (inter pictures).
 
     bs_ver: [n_ver_edges, bh] BS between horizontally adjacent blocks;
@@ -273,8 +285,10 @@ def deblock_420_bs(rec_y, rec_u, rec_v, qp,
         crep_ = block // 2
         cqp_v = jnp.repeat(qe_v.T[step_ - 1::step_], crep_, axis=1)
         cqp_h = jnp.repeat(qe_h[step_ - 1::step_], crep_, axis=1)
-    rec_y = _filter_ver_edges_luma(rec_y, ey, qp_v, bit_depth, bs=bs_v)
-    rec_y = _filter_ver_edges_luma(rec_y.T, ex, qp_h, bit_depth, bs=bs_h).T
+    rec_y = _filter_ver_edges_luma(rec_y, ey, qp_v, bit_depth, bs=bs_v,
+                                   beta_off=beta_off, tc_off=tc_off)
+    rec_y = _filter_ver_edges_luma(rec_y.T, ex, qp_h, bit_depth, bs=bs_h,
+                                   beta_off=beta_off, tc_off=tc_off).T
 
     # Chroma edges always lie on the 16-luma-sample grid (spec 8.7.2); for
     # block=8 only every second luma edge has a chroma counterpart.
@@ -287,16 +301,20 @@ def deblock_420_bs(rec_y, rec_u, rec_v, qp,
     cm_h = jnp.repeat(jnp.asarray(bs_hor)[step - 1::step] == 2, crep, axis=1)
     out_c = []
     for p in (rec_u, rec_v):
-        p = _filter_ver_edges_chroma(p, cey, cqp_v, bit_depth, mask=cm_v)
-        p = _filter_ver_edges_chroma(p.T, cex, cqp_h, bit_depth, mask=cm_h).T
+        p = _filter_ver_edges_chroma(p, cey, cqp_v, bit_depth, mask=cm_v,
+                                     tc_off=tc_off)
+        p = _filter_ver_edges_chroma(p.T, cex, cqp_h, bit_depth,
+                                     mask=cm_h, tc_off=tc_off).T
         out_c.append(p)
     return rec_y, out_c[0], out_c[1]
 
 
 def deblock_420_bs_np(rec_y, rec_u, rec_v, qp, bs_ver, bs_hor,
                       block: int = 16, bit_depth: int = 8, qp_map=None,
-                      seg4: bool = False):
+                      seg4: bool = False, beta_off: int = 0,
+                      tc_off: int = 0):
     out = deblock_420_bs(jnp.asarray(rec_y), jnp.asarray(rec_u),
                          jnp.asarray(rec_v), qp, bs_ver, bs_hor,
-                         block, bit_depth, qp_map=qp_map, seg4=seg4)
+                         block, bit_depth, qp_map=qp_map, seg4=seg4,
+                         beta_off=beta_off, tc_off=tc_off)
     return tuple(np.asarray(o) for o in out)
