@@ -958,7 +958,8 @@ class GeneralDecoder:
                 rec_y, rec_u, rec_v, h.qp, bs_ver, bs_hor, block=8,
                 bit_depth=self.sps.bit_depth,
                 qp_map=st.qp4 if pps.cu_qp_delta else None, seg4=True,
-                beta_off=h.beta_offset_div2, tc_off=h.tc_offset_div2)
+                beta_off=h.beta_offset_div2, tc_off=h.tc_offset_div2,
+                cb_qp_off=pps.cb_qp_offset, cr_qp_off=pps.cr_qp_offset)
         if h.sao_luma or h.sao_chroma:
             outs = [rec_y.copy(), rec_u.copy(), rec_v.copy()]
             for i in range(cw * ch):

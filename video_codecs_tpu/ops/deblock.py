@@ -161,7 +161,8 @@ def _filter_ver_edges_luma(plane: jnp.ndarray, edges: np.ndarray, qp,
 def _filter_ver_edges_chroma(plane: jnp.ndarray, edges: np.ndarray, qp,
                              bit_depth: int = 8,
                              mask: jnp.ndarray | None = None,
-                             tc_off: int = 0) -> jnp.ndarray:
+                             tc_off: int = 0,
+                             qp_off: int = 0) -> jnp.ndarray:
     """Chroma vertical edges, filtered where BS==2 (spec 8.7.2.5.5).
 
     mask: optional [E, H_c] bool (BS==2 per line); None = everywhere.
@@ -170,15 +171,19 @@ def _filter_ver_edges_chroma(plane: jnp.ndarray, edges: np.ndarray, qp,
         return plane
     if isinstance(qp, (int, np.integer)):
         scale = 1 << (bit_depth - 8)
-        qpc = int(rom.CHROMA_QP_TABLE_420[min(max(qp, 0), 57)])
+        # QpC = table[Clip3(0, 57, qP + cQpOffset)] with the PPS
+        # cb/cr offset (spec 8.7.2.5.5)
+        qpc = int(rom.CHROMA_QP_TABLE_420[min(max(qp + qp_off, 0), 57)])
         tc = int(TC_TABLE[min(max(qpc + INTRA_TC_OFFSET + 2 * tc_off,
                                   0), 53)]) * scale
         if tc == 0:
             return plane
     else:
         scale = 1 << (bit_depth - 8)
-        qpc = dev_const(rom.CHROMA_QP_TABLE_420)[
-            jnp.clip(jnp.asarray(qp, jnp.int32), 0, 57)]
+        qpa = jnp.asarray(qp, jnp.int32)
+        if qp_off:
+            qpa = qpa + qp_off
+        qpc = dev_const(rom.CHROMA_QP_TABLE_420)[jnp.clip(qpa, 0, 57)]
         tc_arr = dev_const(TC_TABLE)[
             jnp.clip(qpc + INTRA_TC_OFFSET + 2 * tc_off, 0, 53)] * scale
         tc = jnp.swapaxes(tc_arr, 0, 1)  # [H_c, E]
@@ -241,7 +246,8 @@ def deblock_420_bs(rec_y, rec_u, rec_v, qp,
                    bs_ver: np.ndarray, bs_hor: np.ndarray,
                    block: int = 16, bit_depth: int = 8,
                    qp_map=None, seg4: bool = False,
-                   beta_off: int = 0, tc_off: int = 0):
+                   beta_off: int = 0, tc_off: int = 0,
+                   cb_qp_off: int = 0, cr_qp_off: int = 0):
     """Deblock with per-block-pair boundary strengths (inter pictures).
 
     bs_ver: [n_ver_edges, bh] BS between horizontally adjacent blocks;
@@ -300,11 +306,12 @@ def deblock_420_bs(rec_y, rec_u, rec_v, qp,
     cm_v = jnp.repeat(jnp.asarray(bs_ver)[step - 1::step] == 2, crep, axis=1)
     cm_h = jnp.repeat(jnp.asarray(bs_hor)[step - 1::step] == 2, crep, axis=1)
     out_c = []
-    for p in (rec_u, rec_v):
+    for p, coff in ((rec_u, cb_qp_off), (rec_v, cr_qp_off)):
         p = _filter_ver_edges_chroma(p, cey, cqp_v, bit_depth, mask=cm_v,
-                                     tc_off=tc_off)
+                                     tc_off=tc_off, qp_off=coff)
         p = _filter_ver_edges_chroma(p.T, cex, cqp_h, bit_depth,
-                                     mask=cm_h, tc_off=tc_off).T
+                                     mask=cm_h, tc_off=tc_off,
+                                     qp_off=coff).T
         out_c.append(p)
     return rec_y, out_c[0], out_c[1]
 
@@ -312,9 +319,11 @@ def deblock_420_bs(rec_y, rec_u, rec_v, qp,
 def deblock_420_bs_np(rec_y, rec_u, rec_v, qp, bs_ver, bs_hor,
                       block: int = 16, bit_depth: int = 8, qp_map=None,
                       seg4: bool = False, beta_off: int = 0,
-                      tc_off: int = 0):
+                      tc_off: int = 0, cb_qp_off: int = 0,
+                      cr_qp_off: int = 0):
     out = deblock_420_bs(jnp.asarray(rec_y), jnp.asarray(rec_u),
                          jnp.asarray(rec_v), qp, bs_ver, bs_hor,
                          block, bit_depth, qp_map=qp_map, seg4=seg4,
-                         beta_off=beta_off, tc_off=tc_off)
+                         beta_off=beta_off, tc_off=tc_off,
+                         cb_qp_off=cb_qp_off, cr_qp_off=cr_qp_off)
     return tuple(np.asarray(o) for o in out)
