@@ -336,9 +336,10 @@ def parse_sps(rbsp: bytes) -> Sps:
     for i in range(num_rps):
         s.rps_list.append(parse_st_rps(r, i, s.rps_list))
     s.lt_present = bool(r.flag())   # long_term_ref_pics_present
+    s.lt_refs = []                  # [(poc_lsb, used_by_curr)] SPS-signalled
     if s.lt_present:
         for _ in range(r.ue()):
-            r.read(s.log2_max_poc_lsb), r.flag()
+            s.lt_refs.append((r.read(s.log2_max_poc_lsb), bool(r.flag())))
     s.temporal_mvp = bool(r.flag())
     s.strong_intra_smoothing = bool(r.flag())
     if r.flag():                # vui_parameters_present
@@ -476,6 +477,8 @@ class SliceHeader:
     mvd_l1_zero: bool = False
     wp: WpTable | None = None
     entry_points: list = dataclasses.field(default_factory=list)
+    #: long-term pics: [(poc_lsb, used, msb_present, delta_poc_msb_cycle)]
+    lt_entries: list = dataclasses.field(default_factory=list)
 
 
 def parse_slice_header(rbsp: bytes, nal_type: int, sps: Sps,
@@ -510,7 +513,29 @@ def parse_slice_header(rbsp: bytes, nal_type: int, sps: Sps,
         else:
             h.rps = parse_st_rps(r, len(sps.rps_list), sps.rps_list,
                                  slice_header=True)
-        assert not sps.lt_present, "long-term refs not supported"
+        if sps.lt_present:
+            # lt section (spec 7.3.6.1): SPS-indexed entries first, then
+            # slice-signalled ones; delta_poc_msb_cycle_lt is delta-coded
+            # within each group (spec 7.4.7.1 DeltaPocMsbCycleLt)
+            n_sps = r.ue() if sps.lt_refs else 0
+            n_pics = r.ue()
+            prev_cycle = 0
+            for i in range(n_sps + n_pics):
+                if i < n_sps:
+                    idx = 0
+                    if len(sps.lt_refs) > 1:
+                        idx = r.read((len(sps.lt_refs) - 1).bit_length())
+                    lsb, used = sps.lt_refs[idx]
+                else:
+                    lsb = r.read(sps.log2_max_poc_lsb)
+                    used = bool(r.flag())
+                msb_present = bool(r.flag())
+                d = r.ue() if msb_present else 0
+                # TDecCAVLC: the msb-cycle chain advances every entry,
+                # restarting at the first slice-signalled one
+                cycle = d if i in (0, n_sps) else d + prev_cycle
+                prev_cycle = cycle
+                h.lt_entries.append((lsb, used, msb_present, cycle))
         if sps.temporal_mvp:
             h.tmvp = bool(r.flag())
     else:
@@ -525,7 +550,8 @@ def parse_slice_header(rbsp: bytes, nal_type: int, sps: Sps,
             if h.slice_type == B_SLICE:
                 n1 = 1 + r.ue()
         h.num_ref_idx = (n0, n1 if h.slice_type == B_SLICE else 0)
-        npc = sum(u for _, u in h.rps.neg) + sum(u for _, u in h.rps.pos)
+        npc = (sum(u for _, u in h.rps.neg) + sum(u for _, u in h.rps.pos) +
+               sum(1 for _, u, _, _ in h.lt_entries if u))
         if pps.lists_modification and npc > 1:
             nbits = max(1, (npc - 1).bit_length())
             mods = []
@@ -741,11 +767,32 @@ class GeneralDecoder:
 
     # ---- reference picture lists (spec 8.3.4 / TComSlice setRefPicList) -
 
+    def _lt_pocs(self, h: SliceHeader) -> list[int]:
+        """Resolve used long-term entries to full POCs (spec 8.3.2
+        PocLtCurr): msb-signalled entries by arithmetic, the rest by
+        matching poc lsb against the DPB."""
+        max_lsb = 1 << self.sps.log2_max_poc_lsb
+        out = []
+        for lsb, used, msb_present, cycle in h.lt_entries:
+            if not used:
+                continue
+            if msb_present:
+                out.append(h.poc - cycle * max_lsb -
+                           (h.poc & (max_lsb - 1)) + lsb)
+            else:
+                cand = [p for p in self.dpb if (p & (max_lsb - 1)) == lsb]
+                assert cand, f"long-term ref lsb {lsb} not in DPB"
+                out.append(max(cand))
+        return out
+
     def _ref_lists(self, h: SliceHeader) -> list[list[int]]:
         before = [h.poc + d for d, u in h.rps.neg if u]
         after = [h.poc + d for d, u in h.rps.pos if u]
+        lt = self._lt_pocs(h) if h.lt_entries else []
+        self._lt_protect = set(lt)
         lists = []
-        for lx, order in ((0, before + after), (1, after + before)):
+        for lx, order in ((0, before + after + lt),
+                          (1, after + before + lt)):
             n = h.num_ref_idx[lx]
             if n == 0 or not order:
                 lists.append([])
@@ -983,8 +1030,10 @@ class GeneralDecoder:
         self._keys.append((self._epoch, h.poc))
         self.dpb[h.poc] = (frame, st.pm)
         if len(self.dpb) > 32:      # bound memory; RPS windows are small
+            keep = getattr(self, "_lt_protect", set())
             for p in sorted(self.dpb)[:len(self.dpb) - 32]:
-                del self.dpb[p]
+                if p not in keep:   # long-term pics survive the window
+                    del self.dpb[p]
         return frame
 
     def _decode_sao(self, dec, params, i, bx, by, cw, h: SliceHeader,

@@ -46,6 +46,15 @@ class HevcConfig:
     merge_cands: int = 1       # MaxNumMergeCand (1..5)
     temporal_mvp: bool = False  # sps/slice temporal MVP (TMVP candidate)
     tt_depth_inter: int = 0    # max_transform_hierarchy_depth_inter
+    #: P slices reference the IDR as a long-term picture (spec 7.4.3.2
+    #: long_term_ref_pics_present; TComSlice long-term RPS machinery)
+    long_term_idr: bool = False
+    #: write VUI timing + NAL HRD params and emit buffering-period /
+    #: pic-timing SEI (TEncGOP xCreateBufferingPeriodSEI / PictureTiming)
+    timing_sei: bool = False
+    frame_rate: float = 30.0
+    hrd_bitrate_bps: int = 1_000_000   # NAL HRD BitRate[0]
+    hrd_cpb_bits: int = 2_000_000      # NAL HRD CpbSize[0]
 
     @property
     def tiles_enabled(self) -> bool:
@@ -142,13 +151,53 @@ def write_sps(cfg: HevcConfig) -> bytes:
     w.flag(1 if cfg.sao else 0)  # sample_adaptive_offset_enabled_flag
     w.flag(0)       # pcm_enabled_flag
     w.ue(0)         # num_short_term_ref_pic_sets
-    w.flag(0)       # long_term_ref_pics_present_flag
+    w.flag(1 if cfg.long_term_idr else 0)  # long_term_ref_pics_present_flag
+    if cfg.long_term_idr:
+        w.ue(0)     # num_long_term_ref_pics_sps (slice-signalled lt pics)
     w.flag(1 if cfg.temporal_mvp else 0)  # sps_temporal_mvp_enabled_flag
     w.flag(0)       # strong_intra_smoothing_enabled_flag
-    w.flag(0)       # vui_parameters_present_flag
+    w.flag(1 if cfg.timing_sei else 0)  # vui_parameters_present_flag
+    if cfg.timing_sei:
+        _write_vui(w, cfg)
     w.flag(0)       # sps_extension_present_flag
     w.rbsp_trailing_bits()
     return w.data()
+
+
+def _write_vui(w: BitWriter, cfg: HevcConfig) -> None:
+    """VUI with timing info + single-CPB NAL HRD (spec E.2.1/E.2.2;
+    TEncCavlc codeVUI/codeHrdParameters).  24-bit HRD delay lengths to
+    match the sei.BufferingPeriod / PictureTiming writers."""
+    w.flag(0)       # aspect_ratio_info_present_flag
+    w.flag(0)       # overscan_info_present_flag
+    w.flag(0)       # video_signal_type_present_flag
+    w.flag(0)       # chroma_loc_info_present_flag
+    w.flag(0)       # neutral_chroma_indication_flag
+    w.flag(0)       # field_seq_flag
+    w.flag(1)       # frame_field_info_present_flag (pic_struct in PT SEI)
+    w.flag(0)       # default_display_window_flag
+    w.flag(1)       # vui_timing_info_present_flag
+    w.write(1000, 32)                          # vui_num_units_in_tick
+    w.write(int(round(cfg.frame_rate * 1000)), 32)  # vui_time_scale
+    w.flag(0)       # vui_poc_proportional_to_timing_flag
+    w.flag(1)       # vui_hrd_parameters_present_flag
+    # hrd_parameters(1, 0): NAL HRD only, no sub-pic CPB, one CPB
+    w.flag(1)       # nal_hrd_parameters_present_flag
+    w.flag(0)       # vcl_hrd_parameters_present_flag
+    w.flag(0)       # sub_pic_hrd_params_present_flag
+    w.write(0, 4)   # bit_rate_scale (BitRate units of 2^6)
+    w.write(0, 4)   # cpb_size_scale (CpbSize units of 2^4)
+    w.write(23, 5)  # initial_cpb_removal_delay_length_minus1 -> 24 bits
+    w.write(23, 5)  # au_cpb_removal_delay_length_minus1 -> 24 bits
+    w.write(23, 5)  # dpb_output_delay_length_minus1 -> 24 bits
+    # sub-layer 0
+    w.flag(1)       # fixed_pic_rate_general_flag
+    w.ue(0)         # elemental_duration_in_tc_minus1
+    w.ue(0)         # cpb_cnt_minus1
+    w.ue(max(0, (cfg.hrd_bitrate_bps >> 6) - 1))  # bit_rate_value_minus1
+    w.ue(max(0, (cfg.hrd_cpb_bits >> 4) - 1))     # cpb_size_value_minus1
+    w.flag(0)       # cbr_flag
+    w.flag(0)       # bitstream_restriction_flag
 
 
 def parse_sps(rbsp: bytes) -> HevcConfig:
@@ -179,14 +228,16 @@ def parse_sps(rbsp: bytes) -> HevcConfig:
     sao = bool(r.flag())
     assert not r.flag(), "PCM unsupported"
     assert r.ue() == 0, "RPS unsupported (all-intra build)"
-    assert not r.flag()
+    lt_present = bool(r.flag())     # long_term_ref_pics_present
+    if lt_present:
+        assert r.ue() == 0, "SPS-signalled long-term pics unsupported"
     tmvp = bool(r.flag())  # temporal mvp
     assert not r.flag(), "strong intra smoothing unsupported"
     # ignore VUI/extensions
     return HevcConfig(width=width, height=height, log2_ctb=log2_ctb,
                       log2_min_cb=log2_min_cb, log2_min_tb=log2_min_tb,
                       log2_max_tb=log2_max_tb, sao=sao, temporal_mvp=tmvp,
-                      tt_depth_inter=depth_inter)
+                      tt_depth_inter=depth_inter, long_term_idr=lt_present)
 
 
 def write_pps(cfg: HevcConfig) -> bytes:

@@ -185,12 +185,24 @@ def write_p_slice_header(cfg: headers.HevcConfig, poc: int,
     w.ue(1)            # slice_type = P
     w.write(poc & 255, 8)  # slice_pic_order_cnt_lsb
     w.flag(0)          # short_term_ref_pic_set_sps_flag
-    # st_ref_pic_set: n_refs negative refs at deltas 1..n_refs
-    w.ue(n_refs)       # num_negative_pics
-    w.ue(0)            # num_positive_pics
-    for _ in range(n_refs):
-        w.ue(0)        # delta_poc_s0_minus1[i]
-        w.flag(1)      # used_by_curr_pic_s0_flag[i]
+    if cfg.long_term_idr:
+        # empty short-term RPS; the single reference is the IDR signalled
+        # as a long-term picture (spec 7.3.6.1 lt section)
+        assert n_refs == 1 and not cfg.temporal_mvp, \
+            "long_term_idr mode: 1 ref, no TMVP"
+        w.ue(0)        # num_negative_pics
+        w.ue(0)        # num_positive_pics
+        w.ue(1)        # num_long_term_pics (num_long_term_sps absent: 0 in SPS)
+        w.write(0, 8)  # poc_lsb_lt = 0 (the IDR)
+        w.flag(1)      # used_by_curr_pic_lt_flag
+        w.flag(0)      # delta_poc_msb_present_flag
+    else:
+        # st_ref_pic_set: n_refs negative refs at deltas 1..n_refs
+        w.ue(n_refs)       # num_negative_pics
+        w.ue(0)            # num_positive_pics
+        for _ in range(n_refs):
+            w.ue(0)        # delta_poc_s0_minus1[i]
+            w.flag(1)      # used_by_curr_pic_s0_flag[i]
     if cfg.temporal_mvp:
         w.flag(1)      # slice_temporal_mvp_enabled_flag
     if cfg.sao:
@@ -235,7 +247,8 @@ def write_p_slice_header(cfg: headers.HevcConfig, poc: int,
 
 
 def parse_p_slice_header(rbsp: bytes, pps: headers.PpsInfo,
-                         sps_tmvp: bool = False, sps_sao: bool = False):
+                         sps_tmvp: bool = False, sps_sao: bool = False,
+                         sps_lt: bool = False):
     r = bs.BitReader(rbsp)
     assert r.flag() == 1
     assert r.ue() == 0
@@ -247,6 +260,16 @@ def parse_p_slice_header(rbsp: bytes, pps: headers.PpsInfo,
     assert r.ue() == 0, "no positive refs in LD-P"
     for _ in range(n_neg):
         assert r.ue() == 0 and r.flag() == 1, "unit-delta RPS expected"
+    lt_pocs = ()
+    if sps_lt:
+        n_lt = r.ue()           # num_long_term_pics (num_long_term_sps: 0)
+        pocs = []
+        for _ in range(n_lt):
+            lsb = r.read(8)     # poc_lsb_lt
+            assert r.flag() == 1, "unused lt pics unexpected here"
+            assert r.flag() == 0, "delta_poc_msb unexpected (short POCs)"
+            pocs.append(lsb)
+        lt_pocs = tuple(pocs)
     tmvp = False
     if sps_tmvp:
         tmvp = bool(r.flag())
@@ -285,7 +308,7 @@ def parse_p_slice_header(rbsp: bytes, pps: headers.PpsInfo,
     r.byte_align()
     return PSliceInfo(poc=poc, qp=qp, data_offset_bits=r.bit_pos(), wp=wp,
                       n_refs=n_refs, merge_cands=merge_cands, tmvp=tmvp,
-                      sao=sao)
+                      sao=sao, lt_pocs=lt_pocs)
 
 
 @dataclasses.dataclass
@@ -298,6 +321,7 @@ class PSliceInfo:
     merge_cands: int = 1
     tmvp: bool = False
     sao: bool = False
+    lt_pocs: tuple = ()      # long-term reference POC lsbs (L0 tail)
 
 
 # ---------------------------------------------------------------------------
@@ -357,16 +381,36 @@ class LowDelayEncoder(ic.IntraEncoder):
                 bw, bh = self.cfg.width // 16, self.cfg.height // 16
                 mf = motion.MotionField.empty(bw, bh, poc)
             else:
-                frame_nals, rec, mf = self.encode_p_frame(y, u, v, dpb, poc)
+                # long_term_idr: the only active reference is the IDR,
+                # kept alive as a long-term picture (oldest DPB entry)
+                refs = [dpb[-1]] if self.cfg.long_term_idr else dpb
+                frame_nals, rec, mf = self.encode_p_frame(y, u, v, refs, poc)
             if rate_control is not None:
                 bits = 8 * sum(len(n) for n in frame_nals)
                 mad = float(np.mean(np.abs(
                     rec[0].astype(np.float64) - y.astype(np.float64))))
                 rate_control.update(bits, mad)
+            if self.cfg.timing_sei:
+                # HRD SEI prefix: buffering period on the IRAP AU,
+                # pic timing on every AU (TEncGOP xCreate*SEI wiring)
+                from video_codecs_tpu.models.hevc import sei as sei_mod
+                msgs: list = []
+                if poc == poc0:
+                    msgs.append(sei_mod.BufferingPeriod(
+                        initial_cpb_removal_delay=90000))
+                msgs.append(sei_mod.PictureTiming(
+                    au_cpb_removal_delay_minus1=max(0, poc - poc0 - 1),
+                    pic_dpb_output_delay=1))
+                frame_nals.insert(0, sei_mod.sei_nal(msgs))
             nals.extend(frame_nals)
             recons.append(rec)
             dpb.insert(0, (poc, rec, mf))
-            del dpb[self.cfg.num_refs:]
+            if self.cfg.long_term_idr:
+                # keep the short-term window plus the long-term IDR tail
+                dpb[:] = dpb[:self.cfg.num_refs] + \
+                    [e for e in dpb[self.cfg.num_refs:] if e[0] == 0]
+            else:
+                del dpb[self.cfg.num_refs:]
         from video_codecs_tpu.models.hevc import checkpoint as _cp
         final = _cp.capture(poc0 + len(recons),
                             dpb[0][1] if dpb else None, rate_control)
@@ -847,7 +891,11 @@ class LowDelayDecoder(ic.IntraDecoder):
             bh = self.cfg.height // 16
             mf = motion.MotionField.empty(bw, bh, poc)
         self._dpb.insert(0, (poc, frame, mf))
-        del self._dpb[8:]
+        if self.cfg.long_term_idr:
+            self._dpb[:] = self._dpb[:8] + \
+                [e for e in self._dpb[8:] if e[0] == 0]
+        else:
+            del self._dpb[8:]
 
     def decode(self, stream: bytes):
         frames = []
@@ -894,11 +942,19 @@ class LowDelayDecoder(ic.IntraDecoder):
 
         cfg, pps = self.cfg, self.pps
         h = parse_p_slice_header(rbsp, pps, sps_tmvp=cfg.temporal_mvp,
-                                 sps_sao=cfg.sao)
+                                 sps_sao=cfg.sao, sps_lt=cfg.long_term_idr)
         poc, qp, wp = h.poc, h.qp, h.wp
         qp_c = ic.chroma_qp(qp)
         bw, bh = cfg.width // 16, cfg.height // 16
-        refs = self._dpb[:h.n_refs]
+        if h.lt_pocs:
+            # L0 = st-used pics (none here) + long-term pics, lsb-matched
+            refs = []
+            for lsb in h.lt_pocs:
+                cand = [e for e in self._dpb if (e[0] & 255) == lsb]
+                assert cand, f"long-term reference lsb {lsb} not in DPB"
+                refs.append(max(cand, key=lambda e: e[0]))
+        else:
+            refs = self._dpb[:h.n_refs]
         assert len(refs) == h.n_refs, "missing reference pictures"
         ref_pocs = [p for (p, _, _) in refs]
         ref_planes = [tuple(pl.astype(np.int32) for pl in planes)
