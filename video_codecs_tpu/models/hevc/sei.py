@@ -68,19 +68,30 @@ class BufferingPeriod:
 
 @dataclass
 class PictureTiming:
-    """SEI.h:187 SEIPictureTiming, frame-field info only (no CPB HRD)."""
+    """SEI.h:187 SEIPictureTiming: frame-field info plus, when the SPS HRD
+    signals CpbDpbDelaysPresent, the 24-bit AU CPB removal / DPB output
+    delays (the write_vui HRD twin uses 24-bit delay lengths)."""
     pic_struct: int = 0               # 0 = progressive frame
     source_scan_type: int = 1         # 1 = progressive
     duplicate_flag: int = 0
+    au_cpb_removal_delay_minus1: int | None = None
+    pic_dpb_output_delay: int = 0
 
     def write(self, w: BitWriter) -> None:
         w.write(self.pic_struct, 4)
         w.write(self.source_scan_type, 2)
         w.flag(self.duplicate_flag)
+        if self.au_cpb_removal_delay_minus1 is not None:
+            w.write(self.au_cpb_removal_delay_minus1, 24)
+            w.write(self.pic_dpb_output_delay, 24)
 
     @classmethod
     def parse(cls, r: BitReader) -> "PictureTiming":
-        return cls(r.read(4), r.read(2), r.flag())
+        out = cls(r.read(4), r.read(2), r.flag())
+        if r.bits_left() >= 48:       # CPB/DPB delays present (24+24)
+            out.au_cpb_removal_delay_minus1 = r.read(24)
+            out.pic_dpb_output_delay = r.read(24)
+        return out
 
 
 @dataclass
