@@ -272,7 +272,7 @@ class H264Encoder(H264IntraEncoder):
                  partitions: bool = True,
                  transform8x8: bool = False,
                  long_term: bool = False, lt_period: int = 0,
-                 reorder: str = "") -> None:
+                 reorder: str = "", intra_refresh: int = 0) -> None:
         super().__init__(width, height, qp=qp, deblock=True, entropy=entropy,
                          perceptual=perceptual, quant=quant,
                          transform8x8=transform8x8)
@@ -294,6 +294,10 @@ class H264Encoder(H264IntraEncoder):
         self.partitions = partitions   # 16x8/8x16/P8x8 mode loops (md_low)
         self._wp = None                # per-ref WP params of this slice
         self._prev_mvg = None          # temporal predictor source (EPZS)
+        # intrarefresh.c semantics: N MBs per P picture forced to intra,
+        # cycling through the picture so every MB refreshes periodically
+        self.intra_refresh = intra_refresh
+        self._refresh_cursor = 0
 
     def encode_sequence(self, frames):
         from video_codecs_tpu.models.h264 import dpb as dpb_mod
@@ -746,6 +750,14 @@ class H264Encoder(H264IntraEncoder):
             b = 1 if (mby > 0 and not self._skip[mby - 1, mbx]) else 0
             return a, b
 
+        refresh_set: set = set()
+        if self.intra_refresh:
+            nmb = mbw * mbh
+            nref = min(self.intra_refresh, nmb)
+            c0 = self._refresh_cursor
+            refresh_set = {(c0 + i) % nmb for i in range(nref)}
+            self._refresh_cursor = (c0 + nref) % nmb
+
         skip_run = 0
         for mby in range(mbh):
             for mbx in range(mbw):
@@ -883,8 +895,10 @@ class H264Encoder(H264IntraEncoder):
                     int(np.abs(orig - pred_luma16(rec_y, x, yy, m)).sum())
                     for m in ([2] + ([0] if mby else [])
                               + ([1] if mbx else [])))
-                if isad + round(lam_me_mb * 8) < best_mode[0]:
-                    # intra MB inside the P slice
+                if (mby * mbw + mbx) in refresh_set or \
+                        isad + round(lam_me_mb * 8) < best_mode[0]:
+                    # intra MB inside the P slice (mode choice or forced
+                    # by the cyclic intra-refresh map, intrarefresh.c)
                     if ce is not None:
                         a, b = skip_ctx_terms(mbx, mby)
                         ce.mb_skip_flag_p(0, a, b)
