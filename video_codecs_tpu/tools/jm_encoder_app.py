@@ -104,6 +104,21 @@ def main(argv=None) -> None:
 
     fps = float(g("FrameRate", 30.0))
     kbps = len(stream) * 8 * fps / max(len(frames), 1) / 1000.0
+    # conformance.c LevelCheck: validate the coded geometry/rate against
+    # the signalled level (or report the minimum conforming one)
+    from video_codecs_tpu.tools.misc import (check_level_conformance,
+                                             minimum_level)
+    level = int(g("LevelIDC", 0))
+    if level:
+        for msg in check_level_conformance(
+                w, h, fps, level, bitrate_bps=kbps * 1000.0,
+                dpb_frames=max(int(g("NumberReferenceFrames", 1)), 1)):
+            print(f"** level {level / 10:.1f} conformance: {msg}",
+                  file=sys.stderr)
+    else:
+        level = minimum_level(w, h, fps,
+                              max(int(g("NumberReferenceFrames", 1)), 1))
+        print(f" Minimum conforming level: {level / 10:.1f}")
     psnr = yuv.psnr(np.stack([r[0] for r in recons]).astype(np.float64),
                     np.stack([f[0] for f in frames]).astype(np.float64))
     # report.c-style one-line summary
