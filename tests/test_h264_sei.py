@@ -15,6 +15,9 @@ from video_codecs_tpu.utils import yuv
 JM_DECODER = "/root/repo/.refbuild/jm18.5/bin/ldecod.exe"
 
 MESSAGES = [
+    sei.BufferingPeriod(sps_id=0, initial_cpb_removal_delay=45000,
+                        initial_cpb_removal_delay_offset=7),
+    sei.PicTiming(cpb_removal_delay=12, dpb_output_delay=2, pic_struct=0),
     sei.UserDataUnregistered(uuid=bytes(range(16)), data=b"vct-h264"),
     sei.UserDataRegistered(country_code=0xB5, data=b"\x00\x31abc"),
     sei.RecoveryPoint(recovery_frame_cnt=4, exact_match=False,

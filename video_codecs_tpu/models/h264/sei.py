@@ -18,6 +18,8 @@ from video_codecs_tpu.entropy.bitstream import BitReader, BitWriter
 
 NAL_SEI = 6
 
+BUFFERING_PERIOD = 0
+PIC_TIMING = 1
 USER_DATA_REGISTERED = 4
 USER_DATA_UNREGISTERED = 5
 RECOVERY_POINT = 6
@@ -26,6 +28,45 @@ SCENE_INFO = 9
 FULL_FRAME_FREEZE = 13
 FULL_FRAME_FREEZE_RELEASE = 14
 FRAME_PACKING = 45
+
+
+@dataclass
+class BufferingPeriod:
+    """sei.c buffering period (spec D.1.1), single NAL-HRD CPB with the
+    24-bit delay lengths this package's HRD writers use."""
+    sps_id: int = 0
+    initial_cpb_removal_delay: int = 90000
+    initial_cpb_removal_delay_offset: int = 0
+
+    def write(self, w: BitWriter) -> None:
+        w.ue(self.sps_id)
+        w.write(self.initial_cpb_removal_delay, 24)
+        w.write(self.initial_cpb_removal_delay_offset, 24)
+
+    @classmethod
+    def parse(cls, r: BitReader, size: int = 0) -> "BufferingPeriod":
+        return cls(r.ue(), r.read(24), r.read(24))
+
+
+@dataclass
+class PicTiming:
+    """sei.c picture timing (spec D.1.2): 24-bit CPB removal / DPB output
+    delays + pic_struct with no clock timestamps."""
+    cpb_removal_delay: int = 0
+    dpb_output_delay: int = 0
+    pic_struct: int = 0               # 0 = progressive frame
+
+    def write(self, w: BitWriter) -> None:
+        w.write(self.cpb_removal_delay, 24)
+        w.write(self.dpb_output_delay, 24)
+        w.write(self.pic_struct, 4)
+        w.flag(0)                     # clock_timestamp_flag[0]
+
+    @classmethod
+    def parse(cls, r: BitReader, size: int = 0) -> "PicTiming":
+        out = cls(r.read(24), r.read(24), r.read(4))
+        r.flag()
+        return out
 
 
 @dataclass
@@ -177,6 +218,8 @@ class FramePacking:
 
 
 _TYPES = {
+    BUFFERING_PERIOD: BufferingPeriod,
+    PIC_TIMING: PicTiming,
     USER_DATA_REGISTERED: UserDataRegistered,
     USER_DATA_UNREGISTERED: UserDataUnregistered,
     RECOVERY_POINT: RecoveryPoint,
